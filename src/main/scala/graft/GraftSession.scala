@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with scale-sane defaults.
+  *
+  * Mirrors the role of eel's implicit Hadoop conf plumbing
+  * (reference: eel-core/src/main/scala/io/eels/Source.scala:24) but on
+  * Spark: AQE on (runtime re-plan, skew-join splitting), shuffle
+  * partitions sized to the machine rather than the 200 default, UTC so
+  * timestamp results are oracle-comparable.
+  */
+object GraftSession {
+
+  def builder(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+              shufflePartitions: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(): SparkSession = builder().getOrCreate()
+}
+
+/** Loaders for the test corpus tables (TESTDATA.md). Plain
+  * `spark.read.parquet` relations so Catalyst pushes filters and
+  * prunes columns down to the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** The events table stores TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects; read nanos as long and integer-divide to a
+    * microsecond timestamp (corpus is µs-precision, so lossless —
+    * double division would lose precision above 2^53 ns). */
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = eventsRaw(spark, dir)
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}

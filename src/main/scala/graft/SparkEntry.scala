@@ -1,13 +1,638 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Gds
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.operators.{Dedup, Similarity, TimeSeries}
+import graft.multimodal.Multimodal
+import graft.sql.GraftSqlContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract: every operator in SURVEY.md §2 has a `queries`
+  * entry; SQL-expressible ones also have a DuckDB `oracleSql` entry
+  * with identical column names/aliases (the driver sorts columns by
+  * name and hash-compares values).
+  *
+  * Result-stability discipline (distributed engine vs single-node
+  * oracle): every query ends in an ORDER-BY-free but *deterministic*
+  * relation — aggregates keyed by group, or explicitly ranked rows —
+  * and money/ratio floats are rounded on BOTH sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1 DataStream transforms -----------------------------------
+    "ds_projection" -> ((s, dir) =>
+      Gds(t(s, dir, "lineitem")).projection("l_orderkey", "l_quantity", "l_extendedprice").toDF),
+
+    "ds_filter" -> ((s, dir) =>
+      Gds(t(s, dir, "lineitem"))
+        .filter(col("l_quantity") > 30)
+        .filterNot(col("l_returnflag") === "A")
+        .filter("l_discount", _ <= 0.05)
+        .projection("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_discount").toDF),
+
+    "ds_map" -> ((s, dir) =>
+      Gds(t(s, dir, "part"))
+        .mapField("p_name", upper _)
+        .mapField("p_retailprice", c => round(c * 1.1, 2))
+        .projection("p_partkey", "p_name", "p_retailprice").toDF),
+
+    "ds_addfield" -> ((s, dir) =>
+      Gds(t(s, dir, "lineitem"))
+        // unrounded: per-row IEEE product is bit-identical across engines,
+        // while round() on a .xx5 boundary is not (Spark rounds the shortest
+        // decimal repr, DuckDB the binary value)
+        .addField("net_price", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .addFieldIfNotExists("l_quantity", 0.0) // no-op: exists
+        .addFieldIfNotExists("source_tag", "graft")
+        .projection("l_orderkey", "l_linenumber", "net_price", "source_tag").toDF),
+
+    "ds_renamefield" -> ((s, dir) =>
+      Gds(t(s, dir, "region"))
+        .renameField("r_name", "region_name")
+        .projection("r_regionkey", "region_name").toDF),
+
+    "ds_dropfield" -> ((s, dir) =>
+      Gds(t(s, dir, "customer"))
+        .removeField("c_acctbal")
+        .removeFields("c_mkt.*".r).toDF),
+
+    "ds_dropnullrows" -> ((s, dir) =>
+      Gds(t(s, dir, "documents"))
+        .mapField("lang", c => when(c === "en", c)) // manufacture nulls deterministically
+        .dropNullRows()
+        .projection("doc_id", "lang").toDF),
+
+    "ds_replacenulls" -> ((s, dir) =>
+      Gds(t(s, dir, "documents"))
+        .mapField("lang", c => when(c =!= "en", c))
+        .replaceNullValues("english")
+        .projection("doc_id", "lang").toDF),
+
+    "ds_take" -> ((s, dir) =>
+      Gds(t(s, dir, "orders"))
+        .take(50, col("o_orderkey"))
+        .projection("o_orderkey", "o_totalprice").toDF),
+
+    "ds_takewhile" -> ((s, dir) =>
+      Gds(t(s, dir, "orders"))
+        .takeWhile(col("o_orderkey") < 1000, col("o_orderkey"))
+        .projection("o_orderkey", "o_orderstatus").toDF),
+
+    "ds_union" -> ((s, dir) => {
+      val o = Gds(t(s, dir, "orders"))
+      val hi = o.filter(col("o_totalprice") > 400000)
+      val lo = o.filter(col("o_totalprice") < 1000)
+      (hi ++ lo).projection("o_orderkey", "o_totalprice").toDF
+    }),
+
+    "ds_subtract" -> ((s, dir) => {
+      val c = Gds(t(s, dir, "customer")).projection("c_custkey", "c_mktsegment")
+      val b = c.filter(col("c_mktsegment") === "BUILDING")
+      c.subtract(b).toDF
+    }),
+
+    "ds_intersection" -> ((s, dir) => {
+      val c = Gds(t(s, dir, "customer")).projection("c_custkey", "c_nationkey")
+      val small = c.filter(col("c_custkey") <= 500)
+      val even = c.filter(col("c_custkey") % 2 === 0)
+      small.intersection(even).toDF
+    }),
+
+    "ds_cartesian" -> ((s, dir) =>
+      Gds(t(s, dir, "region")).cartesian(Gds(t(s, dir, "nation")))
+        .projection("r_regionkey", "r_name", "n_nationkey", "n_name").toDF),
+
+    "ds_join" -> ((s, dir) => {
+      val li = Gds(t(s, dir, "lineitem")).projection("l_orderkey", "l_partkey", "l_quantity")
+        .renameField("l_partkey", "p_partkey")
+      val p = Gds(t(s, dir, "part")).projection("p_partkey", "p_brand")
+      li.join("p_partkey", p, broadcastOther = true)
+        .projection("l_orderkey", "p_partkey", "l_quantity", "p_brand").toDF
+    }),
+
+    "ds_explode" -> ((s, dir) =>
+      Gds(t(s, dir, "documents"))
+        .projection("doc_id", "text")
+        .explodeCol(T.tokens(col("text")), "token")
+        .projection("doc_id", "token").toDF),
+
+    "ds_sample" -> ((s, dir) =>
+      Gds(t(s, dir, "events"))
+        .sampleEvery(10, col("event_id"))
+        .projection("event_id", "event_type").toDF),
+
+    "ds_minby" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(min_by(col("o_orderkey"), col("o_totalprice")).as("min_order"),
+             round(min(col("o_totalprice")), 2).as("min_price"))),
+
+    "ds_maxby" -> ((s, dir) =>
+      // o_totalprice is tie-free in this corpus (verified), so plain
+      // max_by is deterministic on both engines
+      t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("max_order"),
+             round(max(col("o_totalprice")), 2).as("max_price"))),
+
+    "ds_distinct" -> ((s, dir) =>
+      Gds(t(s, dir, "lineitem")).projection("l_returnflag", "l_linestatus").distinct().toDF),
+
+    "ds_concat_zip" -> ((s, dir) => {
+      val l = Gds(t(s, dir, "region")).projection("r_regionkey", "r_name")
+      val r = Gds(t(s, dir, "region")).projection("r_regionkey", "r_name")
+        .renameField("r_regionkey", "k2").renameField("r_name", "name2")
+      l.zip(r, col("r_regionkey").asc, col("k2").desc).toDF
+    }),
+
+    "ds_align" -> ((s, dir) =>
+      Gds(t(s, dir, "nation")).align(StructType(Seq(
+        StructField("n_name", StringType),
+        StructField("n_nationkey", LongType),   // cast int -> long
+        StructField("n_comment", StringType)))) // missing -> null
+        .toDF),
+
+    "ds_schema_ops" -> ((s, dir) =>
+      Gds(t(s, dir, "supplier"))
+        .withLowerCaseSchema()
+        .stripCharsFromFieldNames(Seq('_'))
+        .replaceFieldType("sacctbal".r, StringType)
+        .projection("ssuppkey", "sname", "sacctbal").toDF),
+
+    // ---- §2.2 grouped aggregation -------------------------------------
+    "gds_groupby_agg" -> ((s, dir) =>
+      Gds(t(s, dir, "lineitem"))
+        .groupBy("l_returnflag")
+        .sum("l_quantity").count("l_orderkey").avg("l_discount")
+        .min("l_extendedprice").max("l_extendedprice")
+        .toGds
+        .mapField("sum_l_quantity", round(_, 2))
+        .mapField("avg_l_discount", round(_, 6))
+        .mapField("min_l_extendedprice", round(_, 2))
+        .mapField("max_l_extendedprice", round(_, 2)).toDF),
+
+    "gds_aggregated" -> ((s, dir) =>
+      Gds(t(s, dir, "lineitem")).aggregated()
+        .agg(round(sum(col("l_extendedprice")), 2).as("total_price"),
+             count(lit(1)).as("n_rows"),
+             round(avg(col("l_quantity")), 6).as("avg_qty")).toDF),
+
+    "gds_groupby_multi" -> ((s, dir) =>
+      Gds(t(s, dir, "lineitem"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+             round(avg(col("l_extendedprice")), 4).as("avg_price"),
+             count(lit(1)).as("n"),
+             countDistinct(col("l_orderkey")).as("n_orders")).toDF),
+
+    // ---- §2.4 sources / sinks (roundtrips through a scratch dir) ------
+    "src_parquet" -> ((s, dir) => {
+      val out = scratch(s, dir, "src_parquet")
+      graft.sources.ParquetSink(out).write(
+        t(s, dir, "nation").filter(col("n_regionkey") <= 2))
+      graft.sources.ParquetSource(out).read(s)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    }),
+
+    "src_csv" -> ((s, dir) => {
+      val out = scratch(s, dir, "src_csv")
+      graft.sources.CsvSink(out, header = true, delimiter = "|").write(
+        t(s, dir, "region"))
+      graft.sources.CsvSource(out, header = true, delimiter = "|",
+        schema = Some(StructType(Seq(
+          StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))))
+        .read(s)
+    }),
+
+    "src_json" -> ((s, dir) => {
+      val out = scratch(s, dir, "src_json")
+      graft.sources.JsonSink(out).write(
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"), col("s_acctbal")))
+      graft.sources.JsonSource(out, schema = Some(StructType(Seq(
+        StructField("s_suppkey", LongType), StructField("s_name", StringType),
+        StructField("s_acctbal", DoubleType))))).read(s)
+        .select(col("s_suppkey"), col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
+    }),
+
+    "src_orc" -> ((s, dir) => {
+      val out = scratch(s, dir, "src_orc")
+      graft.sources.OrcSink(out).write(t(s, dir, "customer"))
+      graft.sources.OrcSource(out).read(s)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    }),
+
+    "sql_context" -> ((s, dir) => {
+      val ctx = GraftSqlContext.withTables(s, dir)
+      ctx.sql("""SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+                 FROM customer JOIN nation ON c_nationkey = n_nationkey
+                 GROUP BY n_name""").toDF
+    }),
+
+    // ---- §2.5 headline queries ----------------------------------------
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1995-03-15"))
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1995-03-15"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q5_nation_revenue" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val joined = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(
+          col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      joined.groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    "q_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("rk"))
+    }),
+
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))),
+
+    // ---- §2.6 events / time-series ------------------------------------
+    "evt_window_agg" -> ((s, dir) =>
+      TimeSeries.tumblingAgg(t(s, dir, "events"), "ts", 60, Seq("event_type"))),
+
+    "evt_sessionize" -> ((s, dir) =>
+      TimeSeries.sessionize(t(s, dir, "events"), "user_id", "ts", 30)
+        .select(col("event_id"), col("user_id"), col("ts"), col("session_seq"))),
+
+    "evt_asof_join" -> ((s, dir) => {
+      val clicks = t(s, dir, "events").filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = t(s, dir, "events").filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("value").as("view_value"))
+      TimeSeries.asofJoin(clicks, views, "user_id", "ts", "view_ts", Seq("view_value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("view_value"), 2).as("view_value"))
+    }),
+
+    // ---- §2.7 dedup ----------------------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
+
+    "dedup_exact_norm" -> ((s, dir) =>
+      Dedup.exactNormalized(t(s, dir, "documents"), "text", "doc_id")),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      // fixed candidate set: consecutive doc pairs — exercises the exact
+      // verify join independent of LSH candidate generation
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("id_l"), (col("doc_id") + 1).as("id_r"))
+        .filter(col("id_l") % 10 === 0)
+      Dedup.ngramJaccard(pairs, docs, "doc_id", "text", 3)
+        .filter(col("jaccard") > 0)
+    }),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64)),
+
+    // ---- §2.8 similarity search ---------------------------------------
+    "sim_bruteforce_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 1000 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", "qid", "qvec", k = 5)
+        .select(col("qid"), col("vec_id"), col("score"), col("rank"))
+    }),
+
+    "sim_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 1000 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", "qid", "qvec",
+        k = 5, dim = 64, nBits = 8)
+        .select(col("qid"), col("vec_id"), col("score"), col("rank"))
+    }),
+
+    // ---- §2.9 text analysis -------------------------------------------
+    "text_tokencount" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens"),
+          T.subwordEstimate(col("text")).cast("long").as("est_subwords"))),
+
+    "text_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), T.qualityStruct(col("text")).as("q"))
+        .select(col("doc_id"), col("q.n_chars").as("n_chars"),
+          col("q.n_tokens").as("n_tokens"), col("q.mean_token_len").as("mean_token_len"),
+          col("q.punct_ratio").as("punct_ratio"), col("q.stopword_ratio").as("stopword_ratio"))),
+
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), T.langId(col("text")).as("lang_pred"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))),
+
+    // ---- §2.10 multimodal ---------------------------------------------
+    "mm_binary_meta" -> ((s, dir) => {
+      val media = Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.decodeFeatures(media)
+        .select(col("media_id"), col("n_bytes"), col("first_byte"), col("byte_sum"), col("format"))
+    }),
+
+    "mm_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
+        .select(col("media_id"), col("frame_idx"), col("frame_bytes"))
+    }),
+  )
+
+  /** Per-query scratch dir for sink roundtrips (driver may run Verify
+    * with a read-only CWD, so use java.io.tmpdir). */
+  private def scratch(s: SparkSession, dir: String, name: String): String = {
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    s"$base/graft_scratch/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
+  }
+
+  // -------------------------------------------------------------------
+  // DuckDB oracle SQL — identical column names & rounding as above.
+  // Tables are registered by the driver from the same parquet files.
+  // -------------------------------------------------------------------
+  def oracleSql: Map[String, String] = Map(
+    "ds_projection" ->
+      "SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem",
+
+    "ds_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_discount
+         FROM lineitem
+         WHERE l_quantity > 30 AND NOT l_returnflag = 'A' AND l_discount <= 0.05""",
+
+    "ds_map" ->
+      "SELECT p_partkey, upper(p_name) AS p_name, round(p_retailprice * 1.1, 2) AS p_retailprice FROM part",
+
+    "ds_addfield" ->
+      """SELECT l_orderkey, l_linenumber,
+                l_extendedprice * (1 - l_discount) AS net_price,
+                'graft' AS source_tag
+         FROM lineitem""",
+
+    "ds_renamefield" ->
+      "SELECT r_regionkey, r_name AS region_name FROM region",
+
+    "ds_dropfield" ->
+      "SELECT c_custkey, c_name, c_nationkey FROM customer",
+
+    "ds_dropnullrows" ->
+      "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
+
+    "ds_replacenulls" ->
+      "SELECT doc_id, CASE WHEN lang <> 'en' THEN lang ELSE 'english' END AS lang FROM documents",
+
+    "ds_take" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 50",
+
+    "ds_takewhile" ->
+      "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 1000",
+
+    "ds_union" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000
+         UNION ALL
+         SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 1000""",
+
+    "ds_subtract" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         EXCEPT
+         SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'""",
+
+    "ds_intersection" ->
+      """SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey <= 500
+         INTERSECT
+         SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 2 = 0""",
+
+    "ds_cartesian" ->
+      "SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation",
+
+    "ds_join" ->
+      """SELECT l_orderkey, p.p_partkey, l_quantity, p_brand
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""",
+
+    "ds_explode" ->
+      """SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+         FROM documents""",
+
+    "ds_sample" ->
+      "SELECT event_id, event_type FROM events WHERE event_id % 10 = 0",
+
+    "ds_minby" ->
+      """SELECT o_orderstatus,
+                min_by(o_orderkey, o_totalprice) AS min_order,
+                round(min(o_totalprice), 2) AS min_price
+         FROM orders GROUP BY o_orderstatus""",
+
+    "ds_maxby" ->
+      """SELECT o_orderstatus,
+                max_by(o_orderkey, o_totalprice) AS max_order,
+                round(max(o_totalprice), 2) AS max_price
+         FROM orders GROUP BY o_orderstatus""",
+
+    "ds_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "ds_concat_zip" ->
+      """WITH l AS (SELECT r_regionkey, r_name, row_number() OVER (ORDER BY r_regionkey ASC) AS rn FROM region),
+              r AS (SELECT r_regionkey AS k2, r_name AS name2, row_number() OVER (ORDER BY r_regionkey DESC) AS rn FROM region)
+         SELECT l.r_regionkey, l.r_name, r.k2, r.name2 FROM l JOIN r USING (rn)""",
+
+    "ds_align" ->
+      "SELECT n_name, CAST(n_nationkey AS BIGINT) AS n_nationkey, CAST(NULL AS VARCHAR) AS n_comment FROM nation",
+
+    "ds_schema_ops" ->
+      "SELECT s_suppkey AS ssuppkey, s_name AS sname, CAST(s_acctbal AS VARCHAR) AS sacctbal FROM supplier",
+
+    "gds_groupby_agg" ->
+      """SELECT l_returnflag,
+                round(sum(l_quantity), 2) AS sum_l_quantity,
+                count(l_orderkey) AS count_l_orderkey,
+                round(avg(l_discount), 6) AS avg_l_discount,
+                round(min(l_extendedprice), 2) AS min_l_extendedprice,
+                round(max(l_extendedprice), 2) AS max_l_extendedprice
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "gds_aggregated" ->
+      """SELECT round(sum(l_extendedprice), 2) AS total_price,
+                count(*) AS n_rows,
+                round(avg(l_quantity), 6) AS avg_qty
+         FROM lineitem""",
+
+    "gds_groupby_multi" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(avg(l_extendedprice), 4) AS avg_price,
+                count(*) AS n,
+                count(DISTINCT l_orderkey) AS n_orders
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "src_parquet" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <= 2",
+
+    "src_csv" ->
+      "SELECT r_regionkey, r_name FROM region",
+
+    "src_json" ->
+      "SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal FROM supplier",
+
+    "src_orc" ->
+      "SELECT c_custkey, c_name, c_nationkey FROM customer",
+
+    "sql_context" ->
+      """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                round(avg(l_quantity), 6) AS avg_qty,
+                round(avg(l_extendedprice), 6) AS avg_price,
+                round(avg(l_discount), 6) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING'
+           AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey ASC
+         LIMIT 10""",
+
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name""",
+
+    "q_window_topn" ->
+      """SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rk
+         FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_orderstatus
+                                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+               FROM orders)
+         WHERE rk <= 5""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "evt_window_agg" ->
+      """SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start, event_type,
+                count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "evt_sessionize" ->
+      """SELECT event_id, user_id, ts,
+                CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         FROM (SELECT event_id, user_id, ts,
+                      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                           THEN 1 ELSE 0 END AS is_new
+               FROM events)""",
+
+    "evt_asof_join" ->
+      """SELECT c.event_id, c.user_id, c.ts, round(v.view_value, 2) AS view_value
+         FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view') v
+           ON c.user_id = v.user_id AND v.ts <= c.ts""",
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text)""",
+
+    "dedup_exact_norm" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+                min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+
+    "text_tokencount" ->
+      """SELECT doc_id,
+                len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tokens,
+                CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_subwords
+         FROM documents""",
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents""",
+
+    // corpus text is ASCII-only (verified), so codepoint == UTF-8 byte
+    "mm_binary_meta" ->
+      """SELECT doc_id AS media_id,
+                CAST(length(text) AS BIGINT) AS n_bytes,
+                CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END AS first_byte,
+                CAST(list_aggregate(list_transform(string_split(text, ''), c -> ascii(c)), 'sum') AS BIGINT) AS byte_sum,
+                'txt' AS format
+         FROM documents""",
+    // text_quality / text_langid / dedup_* (lsh) / sim_* / mm_frame_sample:
+    // rows-only checks (word-occurrence + LSH semantics not portably
+    // SQL-expressible in DuckDB) — driver records weaker check.
+  )
 }

@@ -1,0 +1,244 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import scala.util.matching.Regex
+
+/** Spark-native equivalent of eel's `DataStream`
+  * (reference: eel-core/src/main/scala/io/eels/datastream/DataStream.scala).
+  *
+  * Every transform is a thin veneer over `Dataset` operators, so the
+  * whole chain stays one Catalyst logical plan: filters/projections
+  * push down to the scan, joins pick broadcast/shuffle strategies via
+  * the optimizer + AQE, and expressions run in whole-stage codegen.
+  *
+  * Order-dependent eel ops (take/drop/takeWhile/zip) are meaningless
+  * on an unordered distributed relation, so those overloads take an
+  * explicit ordering column and are implemented without any
+  * single-threaded streaming (see each method's note).
+  *
+  * The `Row => Row` closure overloads from eel are provided for API
+  * parity (`mapRows`, `explodeRows`, `filterRows`) but break codegen
+  * and carry a serialization boundary — the Column-based overloads are
+  * the idiomatic path and are what every built-in operator uses.
+  */
+final case class Gds(df: DataFrame) {
+
+  def schema: StructType = df.schema
+  def spark: SparkSession = df.sparkSession
+
+  // ---- projection ------------------------------------------------------
+  /** eel `projection(fields)` (DataStream.scala:711). Column pruning
+    * reaches the parquet scan. */
+  def projection(first: String, rest: String*): Gds = projection(first +: rest)
+  def projection(fields: Seq[String]): Gds = Gds(df.select(fields.map(col): _*))
+  /** eel `projectionExpression("a,b")` (DataStream.scala:705). */
+  def projectionExpression(expression: String): Gds =
+    projection(expression.split(',').map(_.trim).toSeq)
+
+  // ---- filter ----------------------------------------------------------
+  /** eel `filter(Row => Boolean)` family (DataStream.scala:67-93). */
+  def filter(p: Column): Gds = Gds(df.filter(p))
+  def filterNot(p: Column): Gds = Gds(df.filter(!p))
+  def filter(fieldName: String, p: Column => Column): Gds = Gds(df.filter(p(col(fieldName))))
+  /** Closure escape-hatch; not codegen-friendly. */
+  def filterRows(p: Row => Boolean): Gds = Gds(df.filter(p))
+
+  // ---- per-field map / update -----------------------------------------
+  /** eel `mapField` / `update` / `replace(fieldName, fn)`
+    * (DataStream.scala:49,605-652): rewrite one column in place. */
+  def mapField(fieldName: String, fn: Column => Column): Gds =
+    Gds(df.withColumn(fieldName, fn(col(fieldName))))
+  def mapFieldIfExists(fieldName: String, fn: Column => Column): Gds =
+    if (df.columns.contains(fieldName)) mapField(fieldName, fn) else this
+  /** eel `replace(from, target)` (DataStream.scala:652): substitute a
+    * value wherever it appears, any column. */
+  def replaceValue(from: String, target: Any): Gds = Gds(
+    df.select(df.schema.fields.map { f =>
+      when(col(f.name).cast("string") === lit(from), lit(target).cast(f.dataType))
+        .otherwise(col(f.name)).as(f.name)
+    }.toSeq: _*))
+  /** Closure escape-hatch for eel's `map(Row => Row)` (DataStream.scala:40). */
+  def mapRows(f: Row => Row, outSchema: StructType): Gds =
+    Gds(df.map(f)(Encoders.row(outSchema)).toDF())
+
+  // ---- add / remove / rename fields -----------------------------------
+  /** eel `addField` family (DataStream.scala:775-855). */
+  def addField(name: String, value: Column): Gds = {
+    require(!df.columns.contains(name), s"Field $name already exists")
+    Gds(df.withColumn(name, value))
+  }
+  def addField(name: String, defaultValue: Any): Gds = addField(name, lit(defaultValue))
+  def addFieldIfNotExists(name: String, defaultValue: Any): Gds =
+    if (df.columns.contains(name)) this else addField(name, lit(defaultValue))
+  /** eel `renameField` (DataStream.scala:450). */
+  def renameField(nameFrom: String, nameTo: String): Gds =
+    Gds(df.withColumnRenamed(nameFrom, nameTo))
+  /** eel `removeField` (DataStream.scala:465). */
+  def removeField(fieldName: String, caseSensitive: Boolean = true): Gds = {
+    val victims =
+      if (caseSensitive) df.columns.filter(_ == fieldName)
+      else df.columns.filter(_.equalsIgnoreCase(fieldName))
+    Gds(df.drop(victims.toSeq: _*))
+  }
+  /** eel `removeFields(regex)` (DataStream.scala:482). */
+  def removeFields(regex: Regex): Gds =
+    Gds(df.drop(df.columns.filter(c => regex.pattern.matcher(c).matches()).toSeq: _*))
+
+  // ---- null handling ---------------------------------------------------
+  /** eel `dropNullRows` (DataStream.scala:462). */
+  def dropNullRows(): Gds = Gds(df.na.drop("any"))
+  /** eel `replaceNullValues(default)` (DataStream.scala:755) — string
+    * columns only, like the reference. */
+  def replaceNullValues(defaultValue: String): Gds = Gds(df.na.fill(defaultValue))
+
+  // ---- schema surgery --------------------------------------------------
+  /** eel `withLowerCaseSchema` (DataStream.scala:95). */
+  def withLowerCaseSchema(): Gds =
+    Gds(df.toDF(df.columns.map(_.toLowerCase).toSeq: _*))
+  /** eel `stripCharsFromFieldNames` (DataStream.scala:590). */
+  def stripCharsFromFieldNames(chars: Seq[Char]): Gds =
+    Gds(df.toDF(df.columns.map(c => c.filterNot(chars.contains)).toSeq: _*))
+  /** eel `replaceFieldType` (DataStream.scala:344,868-874). */
+  def replaceFieldType(fieldName: String, datatype: DataType): Gds =
+    mapField(fieldName, _.cast(datatype))
+  def replaceFieldType(regex: Regex, datatype: DataType): Gds = Gds(
+    df.select(df.columns.map { c =>
+      if (regex.pattern.matcher(c).matches()) col(c).cast(datatype).as(c) else col(c)
+    }.toSeq: _*))
+  /** eel `align(schema)` (DataStream.scala:122): reorder to the target
+    * schema, cast matching columns, null-fill missing ones. */
+  def align(target: StructType): Gds = Gds(
+    df.select(target.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*))
+
+  // ---- ordered subsets (explicit order — see class doc) ----------------
+  /** eel `take(n)` (DataStream.scala:165). Spark plans orderBy+limit as
+    * partial per-partition top-K + single small reduce — no global sort. */
+  def take(n: Int, order: Column*): Gds = Gds(df.orderBy(order: _*).limit(n))
+  /** eel `drop(n)` (DataStream.scala:200) → offset. */
+  def dropRows(n: Int, order: Column*): Gds = Gds(df.orderBy(order: _*).offset(n))
+  /** eel `takeWhile(p)` (DataStream.scala:137): keep the ordered prefix
+    * where p holds. Distributed form: keep rows strictly below the
+    * minimum order-key at which p fails — one cheap scalar aggregate
+    * broadcast back, no single-threaded scan. */
+  def takeWhile(p: Column, order: Column): Gds = {
+    val cutoff = df.filter(!p).agg(min(order).as("__cutoff"))
+    Gds(df.join(broadcast(cutoff)).filter(col("__cutoff").isNull || order < col("__cutoff"))
+      .drop("__cutoff"))
+  }
+  /** eel `dropWhile(p)` (DataStream.scala:214). */
+  def dropWhile(p: Column, order: Column): Gds = {
+    val cutoff = df.filter(!p).agg(min(order).as("__cutoff"))
+    Gds(df.join(broadcast(cutoff)).filter(col("__cutoff").isNotNull && order >= col("__cutoff"))
+      .drop("__cutoff"))
+  }
+  /** eel `sample(k)` (DataStream.scala:665) kept every k-th row; the
+    * scalable deterministic analogue is hash-mod sampling: no shuffle,
+    * stable across runs and partitionings. */
+  def sampleEvery(k: Int, key: Column): Gds = Gds(df.filter(pmod(key, lit(k)) === 0))
+
+  // ---- set ops ---------------------------------------------------------
+  /** eel `union`/`++` (DataStream.scala:685). */
+  def union(other: Gds): Gds = Gds(df.unionByName(other.df))
+  def ++(other: Gds): Gds = union(other)
+  /** eel `substract` [sic] (DataStream.scala:735). */
+  def subtract(other: Gds): Gds = Gds(df.except(other.df))
+  /** eel `intersection` (DataStream.scala:745). */
+  def intersection(other: Gds): Gds = Gds(df.intersect(other.df))
+  def distinct(): Gds = Gds(df.distinct())
+
+  // ---- joins -----------------------------------------------------------
+  /** eel `cartesian` (DataStream.scala:267). */
+  def cartesian(other: Gds): Gds = Gds(df.crossJoin(other.df))
+  /** eel `join(key, other)` (DataStream.scala:426): equi-join adding the
+    * other stream's fields. Catalyst auto-broadcasts small sides; pass
+    * broadcastOther=true to force it for known-small dimensions. */
+  def join(key: String, other: Gds, broadcastOther: Boolean = false): Gds = {
+    val rhs = if (broadcastOther) broadcast(other.df) else other.df
+    Gds(df.join(rhs, Seq(key)))
+  }
+  /** eel `concat` (DataStream.scala:380) zips two streams positionally.
+    * Distributed form: row_number over an explicit order on each side,
+    * then an equi-join on that ordinal. */
+  def zip(other: Gds, leftOrder: Column, rightOrder: Column): Gds = {
+    import org.apache.spark.sql.expressions.Window
+    val l = df.withColumn("__rn", row_number().over(Window.orderBy(leftOrder)))
+    val rightCols = other.df.columns
+    val r = other.df.withColumn("__rn", row_number().over(Window.orderBy(rightOrder)))
+    Gds(l.join(r, Seq("__rn"), "inner").drop("__rn"))
+  }
+
+  // ---- explode ---------------------------------------------------------
+  /** eel `explode(Row => Seq[Row])` (DataStream.scala:857) — idiomatic
+    * column form: one row per array element. */
+  def explodeCol(column: Column, as: String): Gds =
+    Gds(df.withColumn(as, explode(column)))
+  def explodeRows(f: Row => Seq[Row], outSchema: StructType): Gds =
+    Gds(df.flatMap(f)(Encoders.row(outSchema)).toDF())
+
+  // ---- grouping --------------------------------------------------------
+  /** eel `groupBy` (DataStream.scala:248). */
+  def groupBy(first: String, rest: String*): GroupedGds =
+    GroupedGds(df, (first +: rest).map(col))
+  /** eel `aggregated()` (DataStream.scala:241): whole-stream aggregation. */
+  def aggregated(): GroupedGds = GroupedGds(df, Seq.empty)
+
+  // ---- actions (eel DataStream.scala:894-1010) -------------------------
+  def collect: Seq[Row] = df.collect().toSeq
+  def collectValues: Seq[Seq[Any]] = collect.map(_.toSeq)
+  def count: Long = df.count()
+  def size: Long = count
+  def head: Row = df.head()
+  def exists(p: Column): Boolean = !df.filter(p).isEmpty
+  def find(p: Column): Option[Row] = df.filter(p).limit(1).collect().headOption
+  /** eel `minBy`/`maxBy` (DataStream.scala:515,534). */
+  def minBy(order: Column): Row = df.orderBy(order.asc).head()
+  def maxBy(order: Column): Row = df.orderBy(order.desc).head()
+  def iterator: Iterator[Row] = df.toLocalIterator().asInstanceOf[java.util.Iterator[Row]] match {
+    case it => new Iterator[Row] { def hasNext = it.hasNext; def next() = it.next() }
+  }
+  /** eel `multiplex`/`tee` (DataStream.scala:561,945): in Spark the plan
+    * is a value — reuse it; cache() makes the shared scan physical. */
+  def multiplex(n: Int, cache: Boolean = true): Seq[Gds] = {
+    val d = if (cache) df.cache() else df
+    Seq.fill(n)(Gds(d))
+  }
+
+  def toDF: DataFrame = df
+}
+
+object Gds {
+  def apply(spark: SparkSession, parquetPath: String): Gds =
+    Gds(spark.read.parquet(parquetPath))
+}
+
+/** Spark-native equivalent of eel's `GroupedDataStream`
+  * (reference: eel-core/src/main/scala/io/eels/datastream/GroupedDataStream.scala).
+  * Aggregations accumulate and resolve to one `groupBy().agg(...)` —
+  * partial (map-side) aggregation then a single shuffle on the keys.
+  * An empty key set reproduces eel's `FullDatasetKeyFn` whole-stream
+  * aggregation.
+  */
+final case class GroupedGds(df: DataFrame, keys: Seq[Column], aggs: Seq[Column] = Seq.empty) {
+  private def add(c: Column): GroupedGds = copy(aggs = aggs :+ c)
+  /** eel GroupedDataStream.scala:76-80. eel emits Double for all aggs;
+    * we keep native Spark types (sum of long stays long). */
+  def sum(field: String): GroupedGds = add(functions_sum(field))
+  def count(field: String): GroupedGds = add(org.apache.spark.sql.functions.count(col(field)).as(s"count_$field"))
+  def avg(field: String): GroupedGds = add(org.apache.spark.sql.functions.avg(col(field)).as(s"avg_$field"))
+  def min(field: String): GroupedGds = add(org.apache.spark.sql.functions.min(col(field)).as(s"min_$field"))
+  def max(field: String): GroupedGds = add(org.apache.spark.sql.functions.max(col(field)).as(s"max_$field"))
+  def agg(exprs: Column*): GroupedGds = copy(aggs = aggs ++ exprs)
+  private def functions_sum(field: String): Column =
+    org.apache.spark.sql.functions.sum(col(field)).as(s"sum_$field")
+
+  def toGds: Gds = Gds(toDF)
+  def toDF: DataFrame =
+    if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+}

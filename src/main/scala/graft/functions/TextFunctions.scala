@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for LLM-data-pipeline work.
+  *
+  * All built from `org.apache.spark.sql.functions` so they stay inside
+  * whole-stage codegen and are expressible as equivalent ANSI SQL for
+  * the DuckDB oracle. Occurrence counting deliberately uses
+  * `replace`-length arithmetic instead of regex so the semantics are
+  * identical across engines (Java regex vs RE2 dialects).
+  */
+object TextFunctions {
+
+  /** Lowercase, collapse whitespace, trim — canonical text form. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Token count (BPE-ish subword estimate = ceil(chars/4) is provided
+    * separately as [[subwordEstimate]]). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Rough BPE token estimate: chars/4, the usual heuristic. */
+  def subwordEstimate(c: Column): Column = ceil(length(c) / lit(4.0))
+
+  /** Non-overlapping occurrences of `word` as a standalone token. */
+  def wordOccurrences(c: Column, word: String): Column = {
+    val padded = concat(lit(" "), normText(c), lit(" "))
+    val needle = s" $word "
+    // each removal eats len(word)+2 chars
+    ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(needle), " ")))
+      / lit(needle.length - 1)).cast("int")
+  }
+
+  /** Punctuation count without regex-dialect risk: translate() drop. */
+  def punctCount(c: Column): Column =
+    length(c) - length(translate(c, ".,;:!?'\"()-", ""))
+
+  /** Language marker words, per language, priority order for argmax
+    * tie-breaking. Deterministic heuristic — a real system would swap
+    * in fastText; the Spark plumbing is identical. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "une"),
+    "es" -> Seq("el", "los", "las", "y", "una"),
+  )
+
+  def langScore(c: Column, markers: Seq[String]): Column =
+    markers.map(w => wordOccurrences(c, w)).reduce(_ + _)
+
+  /** n-gram-heuristic language ID: argmax of marker-word counts with
+    * fixed priority tie-breaking; "und" (undetermined) when no marker
+    * hits at all. */
+  def langId(c: Column): Column = {
+    val scores = langMarkers.map { case (lang, ws) => lang -> langScore(c, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), elseC) =>
+      when(s === best && best > 0, lit(lang)).otherwise(elseC)
+    }
+  }
+
+  /** Quality signals: length, token count, mean token length,
+    * punctuation ratio, stopword ratio (en), and a composite score.
+    * Ratios rounded so float compare is stable across engines. */
+  def qualityStruct(c: Column): Column = {
+    val n = normText(c)
+    val toks = tokenCount(c)
+    val punct = punctCount(c)
+    val stop = langScore(c, langMarkers.head._2)
+    val meanTokLen = round((length(n) - (toks - 1)).cast("double") / toks, 4)
+    val punctRatio = round(punct.cast("double") / greatest(length(c), lit(1)), 6)
+    val stopRatio = round(stop.cast("double") / greatest(toks, lit(1)), 6)
+    struct(
+      length(c).as("n_chars"),
+      toks.as("n_tokens"),
+      meanTokLen.as("mean_token_len"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"),
+    )
+  }
+
+  /** Normalized-content fingerprint — stable doc identity for exact
+    * dedup and provenance (md5 = same function name + output in
+    * DuckDB). */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Word k-shingles of the normalized text (for MinHash). */
+  def shingles(c: Column, k: Int): Column = {
+    val t = tokens(c)
+    val idx = sequence(lit(0), greatest(size(t) - k, lit(0)))
+    when(size(t) < k, array(concat_ws(" ", t)))
+      .otherwise(transform(idx, i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media travels as an opaque `binary` payload column next to a typed
+  * metadata struct — the pattern that scales: Spark shuffles/spills
+  * binary like any column, partition sizing is controlled by
+  * `spark.sql.files.maxPartitionBytes`, and decode runs batch-wise in
+  * `mapPartitions` so a heavy codec amortizes per-partition setup
+  * (same shape as a Python `mapInPandas` batch UDF).
+  *
+  * The actual codec is STUBBED (no image/audio libraries ship in this
+  * container): [[DecodeStub.decode]] is a deterministic fake that
+  * computes real byte-level features. The Spark-side plumbing —
+  * schema, encoders, batch signature, partition flow — is real and
+  * tested; swapping in a JNI/ffmpeg decoder changes only the stub body.
+  */
+object Multimodal {
+
+  /** A media row: id + payload + format tag. */
+  final case class MediaRecord(media_id: Long, payload: Array[Byte], format: String)
+
+  /** Decoded features (deterministic stub output). */
+  final case class MediaFeatures(media_id: Long, n_bytes: Long, first_byte: Int,
+                                 byte_sum: Long, format: String)
+
+  /** Deterministic fake decoder — replace with a real codec binding.
+    * Pure function of the payload bytes so results are reproducible
+    * and oracle-checkable. */
+  object DecodeStub {
+    def decode(r: MediaRecord): MediaFeatures = {
+      val bytes = r.payload
+      var s = 0L
+      var i = 0
+      while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+      MediaFeatures(r.media_id, bytes.length.toLong,
+        if (bytes.isEmpty) -1 else bytes(0) & 0xff, s, r.format)
+    }
+  }
+
+  /** Attach a binary payload column (UTF-8 bytes of a text column —
+    * stands in for image/audio bytes) plus a typed metadata struct. */
+  def attachPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("media_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      lit("txt").as("format"))
+
+  /** Batch decode: Dataset[MediaRecord] → Dataset[MediaFeatures] via
+    * mapPartitions (one stub-codec "session" per partition). */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val ds: Dataset[MediaRecord] = media.as[MediaRecord](Encoders.product[MediaRecord])
+    ds.mapPartitions { it =>
+      // per-partition codec init would go here
+      it.map(DecodeStub.decode)
+    }(Encoders.product[MediaFeatures]).toDF()
+  }
+
+  /** Deterministic frame/chunk sampling: split the payload into
+    * `frameBytes` chunks and keep every `stride`-th, without decoding —
+    * pure expressions, no data copy of unsampled frames after pushdown. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = ceil(length(col("payload")).cast("double") / frameBytes).cast("int")
+    media
+      .select(col("media_id"), col("payload"), posexplode(sequence(lit(0), nFrames - 1)).as(Seq("frame_idx", "frame_no")))
+      .filter(col("frame_idx") % stride === 0)
+      .select(col("media_id"), col("frame_idx"),
+        col("payload").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)).as("frame"))
+      .withColumn("frame_bytes", length(col("frame")))
+  }
+}

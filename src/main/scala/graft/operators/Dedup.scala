@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for large text corpora.
+  *
+  * Scale shape (100 TB): every variant is
+  *   1. a map-side, shuffle-free per-doc signature (hash / minhash /
+  *      simhash / LSH bucket), then
+  *   2. one shuffle keyed on the (small) signature — never the text,
+  *   3. bucket-local candidate-pair generation with a per-bucket cap so
+  *      a degenerate bucket (all-identical spam) can't quadratically
+  *      explode an executor,
+  *   4. an exact verify join (Jaccard / cosine) only on candidates.
+  *
+  * Signatures are built from `functions._` higher-order expressions —
+  * no UDFs, fully codegen'd, deterministic across runs/partitionings.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical content, keep the smallest id.
+    * At scale the shuffle carries (hash, id) — 24 bytes/doc, not the
+    * document text. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup after text normalization (case/whitespace folding). */
+  def exactNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(T.fingerprint(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures as a relation: (id, sig array<long>).
+    *
+    * Shape chosen for codegen + scale: explode to (id, shingle), hash
+    * each shingle string ONCE, derive the `numHashes` per-seed hashes
+    * by re-mixing the 64-bit value (xxhash64 of long+seed — cheap),
+    * and take them as `min` aggregates. The groupBy(id) shuffles only
+    * the partial per-doc minima (numHashes longs/doc after map-side
+    * combine), never shingle text. A nested higher-order-function
+    * formulation is ~50× slower: Catalyst inlines the shingle-array
+    * construction into every per-seed lambda and interprets it. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int, shingleK: Int): DataFrame = {
+    val mins = (0 until numHashes).map(j => min(xxhash64(col("__h"), lit(j))).as(s"__m$j"))
+    df.select(col(idCol), explode(T.shingles(col(textCol), shingleK)).as("__s"))
+      .select(col(idCol), xxhash64(col("__s")).as("__h"))
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(j => col(s"__m$j")): _*).as("sig"))
+  }
+
+  /** LSH banding: signature → `numBands` band hashes. Docs sharing any
+    * band hash are near-dup candidates. */
+  def bandHashes(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)),
+      b => xxhash64(b, slice(sig, b * lit(rowsPerBand) + 1, lit(rowsPerBand))))
+
+  /** Candidate pairs from any bucketed (id, bucketKey...) relation.
+    * One shuffle: groupBy bucket → collect ids → emit i<j pairs
+    * bucket-locally via generators (no join-back, so the upstream
+    * signature expressions are evaluated exactly once). Buckets capped
+    * at `maxBucketSize` (skew guard — an n-doc bucket yields n²/2
+    * pairs; a degenerate all-identical-spam bucket is dropped rather
+    * than allowed to explode an executor). */
+  private[operators] def pairsFromBuckets(bucketed: DataFrame, idCol: String,
+                                          bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
+    val ids = bucketed.groupBy(bucketCols.map(col): _*)
+      .agg(collect_set(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucketSize))
+      .select(array_sort(col("__ids")).as("__ids"))
+    ids
+      .select(posexplode(col("__ids")).as(Seq("__i", "id_l")), col("__ids"))
+      .select(col("id_l"),
+        explode(slice(col("__ids"), col("__i") + 2, size(col("__ids")))).as("id_r"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-duplicate pairs, exact-verified with n-gram
+    * Jaccard >= `threshold`. */
+  /** Band geometry targets true near-dups: with r=8 rows/band the
+    * probability a J-similar pair shares a band is J^8 — ~0.43/band at
+    * J=0.9 (≈90% recall over 4 bands) while weakly-similar pairs from
+    * a shared vocabulary (J≈0.3 → 6.5e-5) never become candidates, so
+    * the exact-verify stage stays ~linear in the true-dup count. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 32, numBands: Int = 4, shingleK: Int = 3,
+                   threshold: Double = 0.5, maxBucketSize: Int = 500): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
+      .select(col(idCol), bandHashes(col("sig"), numBands, rowsPerBand).as("bands"))
+    val bucketed = sig.select(col(idCol), posexplode(col("bands")).as(Seq("band", "bucket")))
+    val cand = pairsFromBuckets(bucketed, idCol, Seq("band", "bucket"), maxBucketSize)
+    ngramJaccard(cand, df, idCol, textCol, shingleK)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard on candidate pairs (the verify step). */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int): DataFrame = {
+    val sets = docs.select(col(idCol).as("__id"),
+      array_distinct(T.shingles(col(textCol), shingleK)).as("__set"))
+    pairs
+      .join(sets.select(col("__id").as("id_l"), col("__set").as("set_l")), "id_l")
+      .join(sets.select(col("__id").as("id_r"), col("__set").as("set_r")), "id_r")
+      .select(col("id_l"), col("id_r"),
+        round(size(array_intersect(col("set_l"), col("set_r"))).cast("double") /
+          size(array_union(col("set_l"), col("set_r"))), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash signatures as a relation: (id, sig long).
+    * Per bit i, sum +1/-1 over the i-th bit of each token's xxhash64;
+    * bit set when the sum is non-negative. Same explode→hash-once→
+    * 64 map-side partial-sum aggregates shape as [[minhashSignatures]]
+    * (shuffle carries 64 ints/doc, fully codegen'd). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__b$i"))
+    val packed = (0 until 64).map(i =>
+      when(col(s"__b$i") >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    df.select(col(idCol), explode(T.tokens(col(textCol))).as("__t"))
+      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+      .groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), packed.as("sig"))
+  }
+
+  /** SimHash near-dup pairs: band the 64 bits into 4×16-bit chunks
+    * (any shared chunk → candidate; catches hamming distance <= 3 by
+    * pigeonhole), verify with exact hamming via bit_count(xor). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, textCol)
+    val banded = sigs.select(col(idCol), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bucket")))
+    val cand = pairsFromBuckets(banded.select(idCol, "band", "bucket"), idCol,
+      Seq("band", "bucket"), maxBucketSize)
+    cand
+      .join(sigs.select(col(idCol).as("id_l"), col("sig").as("sig_l")), "id_l")
+      .join(sigs.select(col(idCol).as("id_r"), col("sig").as("sig_r")), "id_r")
+      .select(col("id_l"), col("id_r"),
+        bit_count(col("sig_l").bitwiseXOR(col("sig_r"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup: multi-table random-hyperplane LSH candidate
+    * generation (same bucket in any table) then exact cosine verify.
+    * Shuffle carries (id, table, bucket) longs — never the vectors. */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     threshold: Double = 0.4, nBits: Int = 8, nTables: Int = 8,
+                     maxBucketSize: Int = 1000): DataFrame = {
+    val bucketed = df.select(col(idCol),
+        posexplode(V.lshBuckets(col(vecCol), dim, nBits, nTables)).as(Seq("table", "bucket")))
+    val cand = pairsFromBuckets(bucketed, idCol, Seq("table", "bucket"), maxBucketSize)
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    cand
+      .join(vecs.select(col("__id").as("id_l"), col("__v").as("v_l")), "id_l")
+      .join(vecs.select(col("__id").as("id_r"), col("__v").as("v_r")), "id_r")
+      .select(col("id_l"), col("id_r"), V.cosineRounded(col("v_l"), col("v_r")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators (batch forms; streaming variants in
+  * graft.streaming). All partition by the entity key — per-key sorted
+  * windows, never a global sort, so they scale linearly with
+  * executors.
+  */
+object TimeSeries {
+
+  /** Tumbling-window aggregation: count/sum per (window, group). */
+  def tumblingAgg(events: DataFrame, tsCol: String, widthMinutes: Int,
+                  groupCols: Seq[String]): DataFrame = {
+    // cast("double") keeps microsecond fraction (unix_timestamp truncates)
+    val bucket = (floor(col(tsCol).cast("double") / (widthMinutes * 60)) * (widthMinutes * 60))
+      .cast("timestamp").as("window_start")
+    events.groupBy(bucket +: groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same key exceeds `gapMinutes`. Emits each
+    * event with its session ordinal (1-based per key). */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 gapMinutes: Int): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val gap = col(tsCol).cast("double") - lag(col(tsCol), 1).over(byKey).cast("double")
+    val isNew = when(gap.isNull || gap > gapMinutes * 60, 1).otherwise(0)
+    events
+      .withColumn("session_seq",
+        sum(isNew).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** As-of join: for each left row, the most recent right row with
+    * `rightTs <= leftTs` within the same key.
+    *
+    * Physical shape: union both sides tagged, one window pass
+    * partitioned by key ordered by (ts, side) carrying the right
+    * side's payload forward with last(ignoreNulls) — a single shuffle
+    * on the key, no per-row probing, no range-join explosion.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               leftTs: String, rightTs: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val carryLeft = left.columns.filterNot(c => c == keyCol || c == leftTs).toSeq
+    val lhs = left.select(
+      col(keyCol).as("__key") +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
+        (carryLeft.map(col) ++
+          payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+    val rhs = right.select(
+      col(keyCol).as("__key") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
+        (carryLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payloadCols.map(col)): _*)
+    val w = Window.partitionBy(col("__key")).orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(lhs.unionByName(rhs)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .withColumnRenamed("__key", keyCol).withColumnRenamed("__ts", leftTs)
+      .drop("__side")
+  }
+}

@@ -1,0 +1,145 @@
+package graft.sources
+
+import graft.core.Gds
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/Sink abstraction, Spark-first.
+  *
+  * Mirrors eel's `Source`/`Sink` pair (reference:
+  * eel-core/src/main/scala/io/eels/Source.scala,
+  * eel-core/src/main/scala/io/eels/Sink.scala) but each Source is just
+  * a recipe for a `DataFrameReader` call, so the result is a relation
+  * Catalyst can push filters/projections into — not an eager
+  * row-publisher. eel's `parts()` parallelism maps to Spark's file
+  * splits (`spark.sql.files.maxPartitionBytes`).
+  *
+  * `FilePattern` (reference: eel-core/src/main/scala/io/eels/FilePattern.scala)
+  * maps to the glob support built into every reader path.
+  */
+trait Source {
+  def read(spark: SparkSession): DataFrame
+  def toGds(spark: SparkSession): Gds = Gds(read(spark))
+}
+
+trait Sink {
+  def write(df: DataFrame): Unit
+}
+
+/** reference: eel-core .../component/parquet/ParquetSource.scala */
+final case class ParquetSource(paths: String*) extends Source {
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(paths: _*)
+}
+
+/** reference: eel-core .../component/parquet/ParquetSink.scala.
+  * `partitionBy` gives hive-style directory partitioning — the scale
+  * path for selective reads (partition pruning at 100 TB). */
+final case class ParquetSink(path: String,
+                             mode: SaveMode = SaveMode.Overwrite,
+                             partitionCols: Seq[String] = Nil,
+                             compression: String = "zstd") extends Sink {
+  def write(df: DataFrame): Unit = {
+    val w = df.write.mode(mode).option("compression", compression)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+}
+
+/** reference: eel-core .../component/csv/CsvSource.scala (header,
+  * delimiter, nullValue options mirror CsvFormat.scala). */
+final case class CsvSource(path: String,
+                           header: Boolean = true,
+                           delimiter: String = ",",
+                           nullValue: String = "",
+                           schema: Option[StructType] = None,
+                           inferSchema: Boolean = false) extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    var r = spark.read
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .option("nullValue", nullValue)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    schema.foreach(s => r = r.schema(s))
+    if (schema.isEmpty && inferSchema) r = r.option("inferSchema", "true")
+    r.csv(path)
+  }
+}
+
+/** reference: eel-core .../component/csv/CsvSink.scala */
+final case class CsvSink(path: String,
+                         header: Boolean = true,
+                         delimiter: String = ",",
+                         mode: SaveMode = SaveMode.Overwrite) extends Sink {
+  def write(df: DataFrame): Unit =
+    df.write.mode(mode)
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(path)
+}
+
+/** reference: eel-core .../component/json/JsonSource.scala */
+final case class JsonSource(path: String, schema: Option[StructType] = None) extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    val r = spark.read.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    schema.fold(r.json(path))(s => r.schema(s).json(path))
+  }
+}
+
+/** reference: eel-core .../component/json/JsonSink.scala */
+final case class JsonSink(path: String, mode: SaveMode = SaveMode.Overwrite) extends Sink {
+  def write(df: DataFrame): Unit =
+    df.write.mode(mode)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(path)
+}
+
+/** reference: eel-orc/src/main/scala/io/eels/component/orc/OrcSource.scala */
+final case class OrcSource(paths: String*) extends Source {
+  def read(spark: SparkSession): DataFrame = spark.read.orc(paths: _*)
+}
+
+/** reference: eel-orc .../OrcSink.scala */
+final case class OrcSink(path: String, mode: SaveMode = SaveMode.Overwrite) extends Sink {
+  def write(df: DataFrame): Unit = df.write.mode(mode).orc(path)
+}
+
+/** reference: eel-core .../component/jdbc/JdbcSource.scala.
+  * eel's Range/Hash/Bucket partition strategies
+  * (JdbcPartitionStrategy.scala) map onto Spark's built-in
+  * partitionColumn/lowerBound/upperBound/numPartitions parallel read —
+  * each executor opens its own connection for its slice.
+  * (No JDBC driver jar ships in this image; exercised via unit-level
+  * construction only.) */
+final case class JdbcSource(url: String,
+                            query: String,
+                            partitionColumn: Option[String] = None,
+                            lowerBound: Long = 0L,
+                            upperBound: Long = 0L,
+                            numPartitions: Int = 1) extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    var r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("query", query)
+    partitionColumn.foreach { c =>
+      r = r.option("partitionColumn", c)
+        .option("lowerBound", lowerBound).option("upperBound", upperBound)
+        .option("numPartitions", numPartitions)
+    }
+    r.load()
+  }
+}
+
+/** reference: eel-core .../component/jdbc/JdbcSink.scala */
+final case class JdbcSink(url: String, table: String,
+                          mode: SaveMode = SaveMode.Append,
+                          batchSize: Int = 1000) extends Sink {
+  def write(df: DataFrame): Unit =
+    df.write.format("jdbc").mode(mode)
+      .option("url", url).option("dbtable", table)
+      .option("batchsize", batchSize).save()
+}
+
+/** reference: eel-core/src/main/scala/io/eels/DevNullSink.scala —
+  * useful for benchmarking a plan without write cost. */
+case object DevNullSink extends Sink {
+  def write(df: DataFrame): Unit = df.foreach(_ => ())
+}
