@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),           // exact dup of 1
+    (3L, "The  Quick  Brown Fox jumps over the lazy DOG"),         // normalized dup of 1
+    (4L, "the quick brown fox leaps over the lazy dog"),           // near dup (1 word)
+    (5L, "completely different content about spark engines here"),
+  ).toDF("id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val out = Dedup.exact(corpus, "text", "id")
+    assert(out.count == 4)
+    val dup = out.filter(col("n_copies") === 2).collect()
+    assert(dup.length == 1 && dup.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("normalized dedup also folds case/whitespace variants") {
+    val out = Dedup.exactNormalized(corpus, "text", "id")
+    assert(out.count == 3)
+    assert(out.filter(col("n_copies") === 3).count == 1)
+  }
+
+  test("minhash signatures are deterministic and equal for identical docs") {
+    val sigs = Dedup.minhashSignatures(corpus, "id", "text", 32, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs.values.forall(_.length == 32))
+    // one changed word of 9 breaks 3 of 7 3-shingles -> J≈0.4 -> E[share]≈13/32;
+    // unrelated doc shares none
+    val nearShare = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    val farShare = sigs(1L).zip(sigs(5L)).count { case (a, b) => a == b }
+    assert(nearShare > 6 && nearShare < 26)
+    assert(farShare < 4 && farShare < nearShare)
+  }
+
+  test("minhashPairs finds exact+near dups and reports jaccard") {
+    val pairs = Dedup.minhashPairs(corpus, "id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)))
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 1.0)
+    assert(!keys.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical docs hamming 0, near dups small, unrelated large") {
+    val sigs = Dedup.simhashSignatures(corpus, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(4L)) < ham(sigs(1L), sigs(5L)))
+    val pairs = Dedup.simhashPairs(corpus, "id", "text", maxHamming = 3)
+    assert(pairs.filter(col("id_l") === 1 && col("id_r") === 2).count == 1)
+  }
+
+  test("ngramJaccard computes exact overlap on given pairs") {
+    val pairs = Seq((1L, 2L), (1L, 5L)).toDF("id_l", "id_r")
+    val out = Dedup.ngramJaccard(pairs, corpus, "id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 5L)) == 0.0)
+  }
+
+  test("bucket cap drops degenerate buckets instead of exploding") {
+    val spam = (1L to 50L).map(i => (i, "same spam text every time")).toDF("id", "text")
+    val capped = Dedup.minhashPairs(spam, "id", "text", maxBucketSize = 10)
+    assert(capped.count == 0) // one 50-doc bucket > cap -> dropped
+    val uncapped = Dedup.minhashPairs(spam, "id", "text", maxBucketSize = 100)
+    assert(uncapped.count == 50L * 49 / 2)
+  }
+
+  test("embedding pairs: planted near-duplicate vector is found") {
+    val base = Array.tabulate(8)(i => math.sin(i * 1.7).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(8)(i => math.cos(i * 2.3 + 1).toFloat)
+    val vecs = Seq((1L, base.toSeq), (2L, near.toSeq), (3L, far.toSeq)).toDF("id", "v")
+    val out = Dedup.embeddingPairs(vecs, "id", "v", dim = 8, threshold = 0.99, nBits = 4, nTables = 6)
+    val found = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(found.contains((1L, 2L)))
+    assert(!found.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}

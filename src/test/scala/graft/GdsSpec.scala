@@ -1,0 +1,153 @@
+package graft
+
+import graft.core.Gds
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class GdsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def people = Gds(Seq(
+    ("alice", 30, "london"), ("bob", 25, "paris"),
+    ("carol", 35, "london"), ("dave", 25, null),
+  ).toDF("name", "age", "city"))
+
+  test("projection selects and orders columns") {
+    val out = people.projection("city", "name")
+    assert(out.schema.fieldNames.toSeq == Seq("city", "name"))
+    assert(out.count == 4)
+  }
+
+  test("projectionExpression parses comma list") {
+    assert(people.projectionExpression("name , age").schema.fieldNames.toSeq == Seq("name", "age"))
+  }
+
+  test("filter / filterNot / filter(field)") {
+    assert(people.filter(col("age") > 26).count == 2)
+    assert(people.filterNot(col("age") > 26).count == 2)
+    assert(people.filter("age", _ === 25).count == 2)
+    assert(people.filterRows(r => r.getAs[Int]("age") == 30).count == 1)
+  }
+
+  test("mapField rewrites in place, keeps schema order") {
+    val out = people.mapField("name", upper _)
+    assert(out.schema.fieldNames.toSeq == Seq("name", "age", "city"))
+    assert(rows(out.projection("name").toDF).map(_.getString(0)).toSet.contains("ALICE"))
+    assert(people.mapFieldIfExists("nope", upper _).count == 4)
+  }
+
+  test("replaceValue substitutes across any column") {
+    val out = people.replaceValue("london", "LDN")
+    assert(rows(out.toDF).count(_.getString(2) == "LDN") == 2)
+  }
+
+  test("addField / addFieldIfNotExists / require on duplicate") {
+    assert(people.addField("x", lit(1)).schema.fieldNames.contains("x"))
+    assert(people.addFieldIfNotExists("age", 99).projection("age").collect.map(_.getInt(0)).max == 35)
+    intercept[IllegalArgumentException](people.addField("age", lit(1)))
+  }
+
+  test("rename / remove / removeFields regex / case-insensitive remove") {
+    assert(people.renameField("name", "nm").schema.fieldNames.contains("nm"))
+    assert(!people.removeField("city").schema.fieldNames.contains("city"))
+    assert(people.removeField("CITY", caseSensitive = false).schema.fieldNames.length == 2)
+    // full-match semantics: "a.e" matches only "age", not "name"
+    assert(people.removeFields("a.e".r).schema.fieldNames.toSeq == Seq("name", "city"))
+    assert(people.removeFields(".*a.*".r).schema.fieldNames.toSeq == Seq("city"))
+  }
+
+  test("dropNullRows / replaceNullValues") {
+    assert(people.dropNullRows().count == 3)
+    val filled = people.replaceNullValues("unknown")
+    assert(rows(filled.toDF).count(_.getString(2) == "unknown") == 1)
+  }
+
+  test("schema surgery: lowercase, strip, retype, align") {
+    val df = Gds(Seq((1, "a")).toDF("Col_One", "COL_TWO"))
+    assert(df.withLowerCaseSchema().schema.fieldNames.toSeq == Seq("col_one", "col_two"))
+    assert(df.stripCharsFromFieldNames(Seq('_')).schema.fieldNames.toSeq == Seq("ColOne", "COLTWO"))
+    val retyped = people.replaceFieldType("age", StringType)
+    assert(retyped.schema("age").dataType == StringType)
+    val aligned = people.align(StructType(Seq(
+      StructField("age", LongType), StructField("name", StringType),
+      StructField("extra", DoubleType))))
+    assert(aligned.schema.fieldNames.toSeq == Seq("age", "name", "extra"))
+    assert(aligned.schema("age").dataType == LongType)
+    assert(rows(aligned.toDF).forall(_.isNullAt(2)))
+  }
+
+  test("take / dropRows with explicit order") {
+    val out = people.take(2, col("age").asc, col("name").asc)
+    assert(rows(out.toDF).map(_.getString(0)) == Seq("bob", "dave"))
+    val dropped = people.dropRows(2, col("age").asc, col("name").asc)
+    assert(dropped.count == 2)
+  }
+
+  test("takeWhile / dropWhile over an ordered key") {
+    val nums = Gds((1 to 10).toDF("n"))
+    assert(nums.takeWhile(col("n") < 4, col("n")).count == 3)
+    assert(nums.dropWhile(col("n") < 4, col("n")).count == 7)
+    // predicate never fails -> whole stream kept / nothing dropped
+    assert(nums.takeWhile(col("n") < 99, col("n")).count == 10)
+    assert(nums.dropWhile(col("n") < 99, col("n")).count == 0)
+  }
+
+  test("sampleEvery keeps every k-th by key") {
+    val nums = Gds((0 until 100).toDF("n"))
+    assert(nums.sampleEvery(10, col("n")).count == 10)
+  }
+
+  test("union / subtract / intersection / distinct") {
+    val a = Gds(Seq(1, 2, 3).toDF("n"))
+    val b = Gds(Seq(3, 4).toDF("n"))
+    assert((a ++ b).count == 5)
+    assert(a.subtract(b).collect.map(_.getInt(0)).toSet == Set(1, 2))
+    assert(a.intersection(b).collect.map(_.getInt(0)).toSet == Set(3))
+    assert(Gds(Seq(1, 1, 2).toDF("n")).distinct().count == 2)
+  }
+
+  test("cartesian / join with broadcast") {
+    val dims = Gds(Seq(("london", "UK"), ("paris", "FR")).toDF("city", "country"))
+    assert(people.cartesian(dims).count == 8)
+    val joined = people.join("city", dims, broadcastOther = true)
+    assert(joined.count == 3) // dave's null city drops
+    assert(joined.schema.fieldNames.contains("country"))
+  }
+
+  test("zip joins positionally over explicit orders") {
+    val l = Gds(Seq("a", "b", "c").toDF("x"))
+    val r = Gds(Seq(1, 2, 3).toDF("y"))
+    val z = rows(l.zip(r, col("x").asc, col("y").desc).toDF)
+    assert(z.map(row => (row.getString(0), row.getInt(1))).toSet == Set(("a", 3), ("b", 2), ("c", 1)))
+  }
+
+  test("explodeCol flattens arrays") {
+    val df = Gds(Seq((1, Seq("x", "y"))).toDF("id", "arr"))
+    assert(df.explodeCol(col("arr"), "el").count == 2)
+  }
+
+  test("grouping: groupBy chains and whole-stream aggregated") {
+    val g = people.groupBy("city").sum("age").count("name").toGds
+    val london = rows(g.filter(col("city") === "london").toDF).head
+    assert(london.getAs[Long]("sum_age") == 65L)
+    val whole = people.aggregated().max("age").toGds
+    assert(rows(whole.toDF).head.getAs[Int]("max_age") == 35)
+  }
+
+  test("actions: collect/count/head/exists/find/minBy/maxBy/iterator") {
+    assert(people.count == 4 && people.size == 4)
+    assert(people.collectValues.length == 4)
+    assert(people.exists(col("name") === "bob"))
+    assert(!people.exists(col("name") === "zed"))
+    assert(people.find(col("age") === 35).get.getString(0) == "carol")
+    assert(people.minBy(col("age")).getInt(1) == 25)
+    assert(people.maxBy(col("age")).getString(0) == "carol")
+    assert(people.iterator.size == 4)
+  }
+
+  test("multiplex returns reusable handles over one plan") {
+    val Seq(x, y) = people.multiplex(2)
+    assert(x.count == y.count)
+    x.toDF.unpersist()
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Multimodal.attachPayload(
+    Seq((1L, "abc"), (2L, ""), (3L, "0123456789" * 20)).toDF("id", "txt"), "id", "txt")
+
+  test("attachPayload produces binary + format columns") {
+    val s = media.schema
+    assert(s("payload").dataType.typeName == "binary")
+    assert(rows(media).length == 3)
+  }
+
+  test("decode stub computes deterministic byte features incl. empty payload") {
+    val out = Multimodal.decodeFeatures(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_bytes") == 3)
+    assert(out(1L).getAs[Int]("first_byte") == 'a'.toInt)
+    assert(out(1L).getAs[Long]("byte_sum") == ('a' + 'b' + 'c').toLong)
+    assert(out(2L).getAs[Long]("n_bytes") == 0)
+    assert(out(2L).getAs[Int]("first_byte") == -1)
+  }
+
+  test("sampleFrames takes every stride-th fixed-size chunk") {
+    val out = Multimodal.sampleFrames(media.filter(col("media_id") === 3), 64, 2).collect()
+    // 200 bytes -> 4 frames (64,64,64,8) -> stride 2 keeps frames 0 and 2
+    assert(out.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 2))
+    assert(out.map(_.getAs[Int]("frame_bytes")).sorted.toSeq == Seq(64, 64))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.sources._
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft_$name").toString + "/out"
+
+  private def sample = Seq((1, "a", 1.5), (2, "b", -0.5), (3, null, 2.25))
+    .toDF("k", "s", "v")
+
+  test("parquet roundtrip preserves schema and values") {
+    val p = tmp("parquet")
+    ParquetSink(p).write(sample)
+    val back = ParquetSource(p).read(spark)
+    // parquet read-back marks everything nullable; compare names+types
+    assert(back.schema.map(f => (f.name, f.dataType)) == sample.schema.map(f => (f.name, f.dataType)))
+    assert(back.count == 3)
+  }
+
+  test("partitioned parquet sink prunes partitions on read") {
+    val p = tmp("part")
+    ParquetSink(p, partitionCols = Seq("s")).write(sample.na.fill("z"))
+    val pruned = ParquetSource(p).read(spark).filter(col("s") === "a")
+    assert(pruned.count == 1)
+    // partition pruning visible in the scan: only one directory read
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("exchange")) // scan+filter only, no shuffle
+  }
+
+  test("csv roundtrip with delimiter, header and nulls") {
+    val p = tmp("csv")
+    CsvSink(p, header = true, delimiter = ";").write(sample)
+    val schema = StructType(Seq(StructField("k", IntegerType),
+      StructField("s", StringType), StructField("v", DoubleType)))
+    val back = CsvSource(p, header = true, delimiter = ";", nullValue = "", schema = Some(schema)).read(spark)
+    assert(back.count == 3)
+    assert(back.filter(col("s").isNull).count == 1)
+  }
+
+  test("json roundtrip") {
+    val p = tmp("json")
+    JsonSink(p).write(sample)
+    val back = JsonSource(p, schema = Some(sample.schema)).read(spark)
+    assert(back.count == 3)
+    assert(back.filter(col("k") === 2).head().getAs[Double]("v") == -0.5)
+  }
+
+  test("orc roundtrip") {
+    val p = tmp("orc")
+    OrcSink(p).write(sample)
+    assert(OrcSource(p).read(spark).count == 3)
+  }
+
+  test("glob paths read multiple files (FilePattern semantics)") {
+    val base = Files.createTempDirectory("graft_glob").toString
+    ParquetSink(s"$base/d1").write(sample)
+    ParquetSink(s"$base/d2").write(sample)
+    assert(ParquetSource(s"$base/d*").read(spark).count == 6)
+  }
+
+  test("jdbc source/sink construct reader recipes (no driver jar in image)") {
+    val src = JdbcSource("jdbc:h2:mem:x", "SELECT 1", Some("c"), 0, 10, 4)
+    assert(src.numPartitions == 4)
+    assert(DevNullSink != null)
+  }
+
+  test("append mode accumulates") {
+    val p = tmp("append")
+    ParquetSink(p, mode = SaveMode.Append).write(sample)
+    ParquetSink(p, mode = SaveMode.Append).write(sample)
+    assert(ParquetSource(p).read(spark).count == 6)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(Tuple1(text)).toDF("t")
+
+  test("normText lowercases, collapses whitespace, trims") {
+    val r = one("  The   QUICK\tbrown\n fox ").select(T.normText(col("t"))).head.getString(0)
+    assert(r == "the quick brown fox")
+  }
+
+  test("tokenCount and subword estimate") {
+    val r = one("one two  three").select(
+      T.tokenCount(col("t")), T.subwordEstimate(col("t"))).head
+    assert(r.getInt(0) == 3)
+    assert(r.getLong(1) == math.ceil(14 / 4.0).toLong)
+  }
+
+  test("wordOccurrences counts standalone tokens only") {
+    val r = one("the theatre the them THE").select(T.wordOccurrences(col("t"), "the")).head.getInt(0)
+    assert(r == 3) // 'the' x2 lowercase + 'THE' normalized; not theatre/them
+  }
+
+  test("punctCount") {
+    assert(one("a,b.c!?").select(T.punctCount(col("t"))).head.getInt(0) == 4)
+  }
+
+  test("langId picks dominant marker language, und when none") {
+    assert(one("the cat and the dog of the house").select(T.langId(col("t"))).head.getString(0) == "en")
+    assert(one("der hund und die katze und das haus").select(T.langId(col("t"))).head.getString(0) == "de")
+    assert(one("xyzzy plugh 42").select(T.langId(col("t"))).head.getString(0) == "und")
+  }
+
+  test("shingles: k-grams, short doc degenerates to whole text") {
+    val r = one("a b c d").select(T.shingles(col("t"), 3)).head.getSeq[String](0)
+    assert(r == Seq("a b c", "b c d"))
+    val short = one("a b").select(T.shingles(col("t"), 3)).head.getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("fingerprint equal for normalization-equivalent docs") {
+    val df = Seq(("A  B\tC"), ("a b c")).toDF("t").select(T.fingerprint(col("t")).as("f"))
+    assert(df.distinct().count == 1)
+  }
+
+  test("qualityStruct fields are sane") {
+    val r = one("The quick, brown fox!").select(T.qualityStruct(col("t")).as("q"))
+      .select("q.n_chars", "q.n_tokens", "q.punct_ratio", "q.stopword_ratio").head
+    assert(r.getInt(0) == 21)
+    assert(r.getInt(1) == 4)
+    assert(r.getDouble(2) > 0 && r.getDouble(2) < 0.2)
+    assert(r.getDouble(3) == 0.25)
+  }
+}

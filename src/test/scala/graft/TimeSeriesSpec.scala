@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.TimeSeries
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize starts a new session when the gap exceeds threshold") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
+      (1L, ts("2024-01-01 11:30:00")), // 80 min gap -> new session
+      (2L, ts("2024-01-01 10:05:00")),
+    ).toDF("user_id", "t")
+    val out = TimeSeries.sessionize(events, "user_id", "t", gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    assert(out.filter(_._1 == 1L).sortBy(_._2.getTime).map(_._3).toSeq == Seq(1L, 1L, 2L))
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq(1L))
+  }
+
+  test("asofJoin picks most recent right row at or before left ts, per key") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "t1"),
+      (1L, ts("2024-01-01 10:00:20"), "t2"),
+      (2L, ts("2024-01-01 10:00:10"), "t3"),
+    ).toDF("sym", "t", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 99.0),
+      (1L, ts("2024-01-01 10:00:10"), 100.0),
+      (1L, ts("2024-01-01 10:00:20"), 101.0), // exactly at t2 -> matches
+      (2L, ts("2024-01-01 10:00:11"), 55.0),  // after t3 -> no match
+    ).toDF("sym", "qt", "price")
+    val out = TimeSeries.asofJoin(trades, quotes, "sym", "t", "qt", Seq("price"))
+      .collect().map(r => r.getAs[String]("trade") -> Option(r.getAs[java.lang.Double]("price"))).toMap
+    assert(out("t1").contains(99.0))
+    assert(out("t2").contains(101.0))
+    assert(out("t3").isEmpty)
+  }
+
+  test("tumblingAgg buckets by window width") {
+    val events = Seq(
+      (ts("2024-01-01 10:05:00"), "a", 1.0), (ts("2024-01-01 10:55:00"), "a", 2.0),
+      (ts("2024-01-01 11:05:00"), "a", 4.0),
+    ).toDF("t", "event_type", "value")
+    val out = TimeSeries.tumblingAgg(events, "t", 60, Seq("event_type"))
+      .orderBy("window_start").collect()
+    assert(out.length == 2)
+    assert(out.head.getAs[Long]("n_events") == 2)
+    assert(out.last.getAs[Double]("sum_value") == 4.0)
+  }
+}
