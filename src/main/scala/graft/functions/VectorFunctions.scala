@@ -15,13 +15,18 @@ object VectorFunctions {
 
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
+  /** Native codegen'd dot/cosine (VectorExpressions); the `*Hof`
+    * variants keep the pure-built-in formulation for cross-checking. */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
+  def cosine(a: Column, b: Column): Column = VectorExpressions.cosine(a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column =
     sqrt(aggregate(asDouble(a), lit(0.0), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineHof(a: Column, b: Column): Column = dotHof(a, b) / (norm(a) * norm(b))
 
   /** Cosine rounded for stable cross-engine compare / rank ties. */
   def cosineRounded(a: Column, b: Column, decimals: Int = 6): Column =
@@ -33,8 +38,8 @@ object VectorFunctions {
     when(dot(v, planeCol) >= 0, lit(1)).otherwise(lit(0))
   }
 
-  /** Random-hyperplane LSH bucket id: `nBits` sign bits packed into a
-    * long. Deterministic (seeded) plane generation. */
+  /** Single-table `nBits`-bit bucket (HOF reference implementation —
+    * the hot path is [[lshBuckets]]). */
   def lshBucket(v: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
@@ -46,7 +51,8 @@ object VectorFunctions {
   /** Multi-table LSH buckets: `nTables` independent `nBits`-bit hash
     * tables as an array column — a candidate is anything sharing a
     * bucket in ANY table. Standard recall/cost trade (single-table
-    * sign-LSH recall decays as cos^nBits; OR-ing tables recovers it). */
+    * sign-LSH recall decays as cos^nBits; OR-ing tables recovers it).
+    * One native codegen'd pass over the vector for all tables. */
   def lshBuckets(v: Column, dim: Int, nBits: Int, nTables: Int, seed: Long = 42L): Column =
-    array((0 until nTables).map(t => lshBucket(v, dim, nBits, seed + t * 7919L)): _*)
+    VectorExpressions.lshBuckets(v, dim, nBits, nTables, seed)
 }

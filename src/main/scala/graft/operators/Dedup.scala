@@ -65,7 +65,7 @@ object Dedup {
     * at `maxBucketSize` (skew guard — an n-doc bucket yields n²/2
     * pairs; a degenerate all-identical-spam bucket is dropped rather
     * than allowed to explode an executor). */
-  private[operators] def pairsFromBuckets(bucketed: DataFrame, idCol: String,
+  def pairsFromBuckets(bucketed: DataFrame, idCol: String,
                                           bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
     val ids = bucketed.groupBy(bucketCols.map(col): _*)
       .agg(collect_set(col(idCol)).as("__ids"))
@@ -92,16 +92,26 @@ object Dedup {
     val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
       .select(col(idCol), bandHashes(col("sig"), numBands, rowsPerBand).as("bands"))
     val bucketed = sig.select(col(idCol), posexplode(col("bands")).as(Seq("band", "bucket")))
-    val cand = pairsFromBuckets(bucketed, idCol, Seq("band", "bucket"), maxBucketSize)
+    // cache: the candidate set is tiny (~true-dup count) but its lineage
+    // is the whole signature pipeline, and the verify stage consumes it
+    // twice (candidate-id semi-join + the pair join)
+    val cand = pairsFromBuckets(bucketed, idCol, Seq("band", "bucket"), maxBucketSize).cache()
     ngramJaccard(cand, df, idCol, textCol, shingleK)
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Exact n-gram Jaccard on candidate pairs (the verify step). */
+  /** Exact n-gram Jaccard on candidate pairs (the verify step).
+    *
+    * Shingle sets are built ONLY for docs that appear in a candidate
+    * pair (semi-join first): at 100 TB the candidate set is orders of
+    * magnitude smaller than the corpus, so the expensive
+    * shingle-materialize + the two pair-joins touch a tiny relation
+    * instead of scanning the corpus twice. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
                    shingleK: Int): DataFrame = {
-    val sets = docs.select(col(idCol).as("__id"),
-      array_distinct(T.shingles(col(textCol), shingleK)).as("__set"))
+    val candIds = pairs.select(explode(array(col("id_l"), col("id_r"))).as(idCol)).distinct()
+    val sets = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("__id"), array_distinct(T.shingles(col(textCol), shingleK)).as("__set"))
     pairs
       .join(sets.select(col("__id").as("id_l"), col("__set").as("set_l")), "id_l")
       .join(sets.select(col("__id").as("id_r"), col("__set").as("set_r")), "id_r")

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> catalyst Expression bridge.
+  *
+  * Spark 4 made `Column` backend-agnostic; the classic-backend
+  * converters live in `private[sql]` ExpressionUtils. This object sits
+  * inside the sql package purely to re-export those two calls for
+  * graft's native expressions (the same access pattern every
+  * Expression-providing Spark library uses).
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

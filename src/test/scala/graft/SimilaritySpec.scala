@@ -18,6 +18,28 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-6)
   }
 
+  test("native codegen expressions match the HOF reference formulations") {
+    val df = Tables.embeddings(spark, sfDir).limit(200)
+      .select(col("vec_id"), col("embedding").as("a"),
+        reverse(col("embedding")).as("b"))
+    val cmp = df.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("native"),
+      VectorFunctions.cosineHof(col("a"), col("b")).as("hof"),
+      VectorFunctions.dot(col("a"), col("b")).as("ndot"),
+      VectorFunctions.dotHof(col("a"), col("b")).as("hdot"),
+      VectorFunctions.lshBuckets(col("a"), 64, 8, 4).as("buckets"),
+      VectorFunctions.lshBucket(col("a"), 64, 8, 42L).as("t0"),
+      VectorFunctions.lshBucket(col("a"), 64, 8, 42L + 7919L).as("t1"))
+    cmp.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-9)
+      val buckets = r.getSeq[Long](4)
+      assert(buckets.length == 4)
+      assert(buckets(0) == r.getLong(5)) // table 0 == single-table impl, same seed
+      assert(buckets(1) == r.getLong(6)) // table 1 == seed + 7919
+    }
+  }
+
   test("bruteForceTopK ranks by cosine desc with id tiebreak") {
     val corpus = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)), (4L, Seq(-1f, 0f)),
