@@ -256,8 +256,10 @@ object SparkEntry {
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1995-03-15"))
       val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1995-03-15"))
+      // customer scales with the corpus — no forced broadcast; AQE
+      // broadcasts at runtime when the filtered side is actually small
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
@@ -270,8 +272,11 @@ object SparkEntry {
         .join(t(s, dir, "orders").filter(
           col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "supplier")),
+        // customer/supplier scale with the corpus (no forced broadcast;
+        // AQE decides) — only the fixed-cardinality nation/region dims
+        // are unconditionally broadcast
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"),
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))

@@ -83,6 +83,9 @@ final case class Gds(df: DataFrame) {
       else df.columns.filter(_.equalsIgnoreCase(fieldName))
     Gds(df.drop(victims.toSeq: _*))
   }
+  /** eel `dropField`/`removeFieldIfExists` aliases (DataStream.scala:465-480). */
+  def dropField(fieldName: String): Gds = removeField(fieldName)
+  def removeFieldIfExists(fieldName: String): Gds = removeField(fieldName)
   /** eel `removeFields(regex)` (DataStream.scala:482). */
   def removeFields(regex: Regex): Gds =
     Gds(df.drop(df.columns.filter(c => regex.pattern.matcher(c).matches()).toSeq: _*))
@@ -208,13 +211,49 @@ final case class Gds(df: DataFrame) {
     val d = if (cache) df.cache() else df
     Seq.fill(n)(Gds(d))
   }
+  def tee(n: Int): Seq[Gds] = multiplex(n)
+  /** eel `foreach` (DataStream.scala:60): distributed side-effect pass. */
+  def foreach[U](fn: Row => U): Gds = { df.foreach(r => { fn(r); () }); this }
+  /** eel `to(sink)` (DataStream.scala:990): write and return row count.
+    * eel's `parallelism` knob maps to partition count. */
+  def to(sink: graft.sources.Sink): Long = { sink.write(df); df.count() }
+  def to(sink: graft.sources.Sink, parallelism: Int): Long = {
+    sink.write(df.repartition(parallelism)); df.count()
+  }
+  def toVector: Vector[Row] = collect.toVector
+  def toSet: Set[Row] = collect.toSet
+  /** eel `toDataTable` (DataStream.scala:1007): small driver-side table. */
+  def toDataTable: DataTable = DataTable(df.schema, collectValues)
 
   def toDF: DataFrame = df
+}
+
+/** Driver-side materialized table (eel: io/eels/DataTable.scala) —
+  * only for small results; anything big stays a Gds. */
+final case class DataTable(schema: StructType, records: Seq[Seq[Any]]) {
+  def size: Int = records.length
 }
 
 object Gds {
   def apply(spark: SparkSession, parquetPath: String): Gds =
     Gds(spark.read.parquet(parquetPath))
+
+  /** eel constructors (DataStream.scala:1020-1080). Local collections
+    * become parallelized relations; the schema is explicit like eel's. */
+  def fromRows(spark: SparkSession, schema: StructType, rows: Seq[Row]): Gds =
+    Gds(spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava), schema))
+  def fromRows(spark: SparkSession, schema: StructType, first: Row, rest: Row*): Gds =
+    fromRows(spark, schema, first +: rest)
+  def fromIterator(spark: SparkSession, schema: StructType, it: Iterator[Row]): Gds =
+    fromRows(spark, schema, it.toSeq)
+  def fromValues(spark: SparkSession, schema: StructType, values: Seq[Seq[Any]]): Gds =
+    fromRows(spark, schema, values.map(v => org.apache.spark.sql.Row.fromSeq(v)))
+
+  private implicit class SeqAsJava[A](private val s: Seq[A]) extends AnyVal {
+    def asJava: java.util.List[A] = {
+      val l = new java.util.ArrayList[A](s.size); s.foreach(l.add); l
+    }
+  }
 }
 
 /** Spark-native equivalent of eel's `GroupedDataStream`

@@ -145,6 +145,31 @@ class GdsSpec extends SparkSpec {
     assert(people.iterator.size == 4)
   }
 
+  test("constructors: fromValues / fromRows / fromIterator") {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(StructField("a", IntegerType), StructField("b", StringType)))
+    assert(Gds.fromValues(spark, schema, Seq(Seq(1, "x"), Seq(2, "y"))).count == 2)
+    assert(Gds.fromRows(spark, schema, Row(1, "x"), Row(2, "y")).count == 2)
+    assert(Gds.fromIterator(spark, schema, Iterator(Row(3, "z"))).count == 1)
+  }
+
+  test("to(sink) writes and returns count; toDataTable materializes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_to").toString + "/out"
+    assert(people.to(graft.sources.ParquetSink(dir)) == 4)
+    assert(graft.sources.ParquetSource(dir).read(spark).count == 4)
+    val dt = people.toDataTable
+    assert(dt.size == 4 && dt.schema.fieldNames.length == 3)
+  }
+
+  test("predicate DSL builds pushable columns") {
+    import graft.sources.Predicates
+import graft.sources.Predicates._
+    // SQL 3VL: dave's null city makes notEquals null -> dropped
+    assert(people.filter(and(gte("age", 25), notEquals("city", "paris"))).count == 2)
+    assert(people.filter(or(Predicates.equals("name", "bob"), isNull("city"))).count == 2)
+    assert(people.filter(in("age", Seq(25, 35))).count == 3)
+  }
+
   test("multiplex returns reusable handles over one plan") {
     val Seq(x, y) = people.multiplex(2)
     assert(x.count == y.count)
