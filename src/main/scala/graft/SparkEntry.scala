@@ -361,6 +361,15 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("score"), col("rank"))
     }),
 
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 1000 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "qid", "qvec",
+        k = 5, dim = 64, nCentroids = 16, nProbe = 4)
+        .select(col("qid"), col("vec_id"), col("score"), col("rank"))
+    }),
+
     // ---- §2.9 text analysis -------------------------------------------
     "text_tokencount" -> ((s, dir) =>
       t(s, dir, "documents")

@@ -26,12 +26,18 @@ object VectorExpressions {
   private def getter(et: DataType, arr: String, i: String): String = et match {
     case FloatType => s"(double) $arr.getFloat($i)"
     case DoubleType => s"$arr.getDouble($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case LongType => s"(double) $arr.getLong($i)"
+    case d: DecimalType => s"$arr.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
     case other => throw new IllegalArgumentException(s"unsupported element type $other")
   }
 
   private def read(et: DataType, arr: ArrayData, i: Int): Double = et match {
     case FloatType => arr.getFloat(i).toDouble
     case DoubleType => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
     case other => throw new IllegalArgumentException(s"unsupported element type $other")
   }
 
@@ -163,6 +169,85 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** The `nProbe` nearest centroids (by cosine) of the input vector,
+    * as array<int> of centroid ids, nearest first. `centroids` is
+    * flattened [c][dim] row-major. One codegen'd pass computing all C
+    * cosines then a bounded selection — used both for IVF cell
+    * assignment (nProbe=1) and query-side multi-probe. */
+  case class NearestCentroids(child: Expression, centroids: Array[Double],
+                              dim: Int, c: Int, nProbe: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    // shared by eval and the generated code (called reflectively is
+    // messy — generated code calls this static-object method directly)
+    override def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val et = elemType(child)
+      val n = math.min(dim, v.numElements())
+      val vv = new Array[Double](n)
+      var i = 0
+      while (i < n) { vv(i) = read(et, v, i); i += 1 }
+      new GenericArrayData(NearestCentroids.select(vv, centroids, dim, c, nProbe))
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val centroidsRef = ctx.addReferenceObj("centroids", centroids, "double[]")
+        val (vv, i, n) = (ctx.freshName("vv"), ctx.freshName("i"), ctx.freshName("n"))
+        s"""
+           |int $n = java.lang.Math.min($dim, $v.numElements());
+           |double[] $vv = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) { $vv[$i] = ${getter(elemType(child), v, i)}; }
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  graft.functions.VectorExpressions.NearestCentroids$$.MODULE$$.select(
+           |    $vv, $centroidsRef, $dim, $c, $nProbe));
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object NearestCentroids {
+    /** nProbe centroid ids with highest cosine to v, nearest first. */
+    def select(v: Array[Double], centroids: Array[Double], dim: Int, c: Int, nProbe: Int): Array[Int] = {
+      val sims = new Array[Double](c)
+      var vn = 0.0
+      var d = 0
+      while (d < v.length) { vn += v(d) * v(d); d += 1 }
+      var ci = 0
+      while (ci < c) {
+        var dot = 0.0; var cn = 0.0
+        var j = 0
+        val base = ci * dim
+        val n = math.min(dim, v.length)
+        while (j < n) {
+          val cv = centroids(base + j)
+          dot += v(j) * cv; cn += cv * cv; j += 1
+        }
+        sims(ci) = dot / (math.sqrt(vn) * math.sqrt(cn))
+        ci += 1
+      }
+      val k = math.min(nProbe, c)
+      val out = new Array[Int](k)
+      val used = new Array[Boolean](c)
+      var r = 0
+      while (r < k) {
+        var best = -1; var bestSim = Double.NegativeInfinity
+        var x = 0
+        while (x < c) {
+          if (!used(x) && (sims(x) > bestSim || (sims(x) == bestSim && (best == -1 || x < best)))) {
+            best = x; bestSim = sims(x)
+          }
+          x += 1
+        }
+        used(best) = true; out(r) = best; r += 1
+      }
+      out
+    }
+  }
+
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(
       Bridge.expression(a), Bridge.expression(b)))
@@ -170,6 +255,10 @@ object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(
       Bridge.expression(a), Bridge.expression(b)))
+
+  def nearestCentroids(v: Column, centroidsFlat: Array[Double], dim: Int,
+                       c: Int, nProbe: Int): Column =
+    Bridge.column(NearestCentroids(Bridge.expression(v), centroidsFlat, dim, c, nProbe))
 
   def lshBuckets(v: Column, dim: Int, nBits: Int, nTables: Int, seed: Long = 42L): Column = {
     // identical plane generation to VectorFunctions.lshBucket: per-table

@@ -1,24 +1,28 @@
 package graft.operators
 
-import graft.functions.{VectorFunctions => V}
+import graft.functions.{TopKAggregate, VectorExpressions, VectorFunctions => V}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * Scale shape: the query set is small and broadcast; the corpus is
-  * streamed once. Ranking uses (rounded score, id) so ordering is
-  * total and reproducible across engines.
-  *
-  * `bruteForceTopK` currently ranks with a window over qid — at 100 TB
-  * the right physical shape is a bounded-heap partial aggregate per
-  * partition then a k-way merge (TypedImperativeAggregate); planned
-  * upgrade, tracked in SURVEY §7. The LSH variant is the scale path:
-  * it cuts the scored candidate set by ~2^bits/ballpark before any
-  * shuffle.
+  * streamed once; ranking is a bounded-heap partial aggregate
+  * ([[graft.functions.TopKAggregate]]) so each map task emits at most
+  * k rows per query into the shuffle — a window formulation would
+  * shuffle every scored row. Ranking uses (rounded score, id) so
+  * ordering is total and reproducible across engines/partitionings.
   */
 object Similarity {
+
+  /** groupBy(qid) -> bounded-heap topK -> explode to ranked rows. */
+  private def rankTopK(scored: DataFrame, idCol: String, qidCol: String, k: Int): DataFrame =
+    scored
+      .groupBy(col(qidCol))
+      .agg(TopKAggregate.topK(col("score"), col(idCol).cast("long"), k).as("__top"))
+      .select(col(qidCol), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col(qidCol), col("__e.id").as(idCol), col("__e.score").as("score"),
+        (col("__r") + 1).cast("int").as("rank"))
 
   /** Exact top-k by cosine for each query vector. `queries` must be
     * small (broadcast). Output: (qid, vec_id, score, rank). */
@@ -28,8 +32,7 @@ object Similarity {
     val scored = corpus.crossJoin(broadcast(queries))
       .select(col(qidCol), col(idCol),
         V.cosineRounded(col(vecCol), col(qvecCol)).as("score"))
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, idCol, qidCol, k)
   }
 
   /** LSH-bucketed ANN: score only corpus vectors sharing a bucket with
@@ -49,7 +52,46 @@ object Similarity {
       .select(col(qidCol), col(idCol),
         V.cosineRounded(col(vecCol), col(qvecCol)).as("score"))
       .groupBy(col(qidCol), col(idCol)).agg(max(col("score")).as("score"))
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, idCol, qidCol, k)
+  }
+
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nCentroids`
+    * deterministically hash-sampled corpus vectors partitions the
+    * corpus into cells; each query probes its `nProbe` nearest cells
+    * and scores only those vectors — cost ~ nProbe/nCentroids of
+    * brute force.
+    *
+    * Scale shape: centroid selection is one tiny driver collect
+    * (nCentroids vectors); assignment is a codegen'd map-side
+    * expression (no shuffle); the probe is an equi-join on cell id
+    * with the query side broadcast; ranking is the bounded-heap
+    * partial aggregate. The cell relation can be written out
+    * partitioned by `__cell` to make repeated query batches prune
+    * whole files. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, qidCol: String, qvecCol: String,
+              k: Int, dim: Int, nCentroids: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    // deterministic "kmeans-lite": hash-sample nCentroids corpus vectors
+    val sampled = corpus
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(xxhash64(col("__id"), lit(seed)))
+      .limit(nCentroids)
+      .collect()
+    val c = sampled.length
+    val flat = new Array[Double](c * dim)
+    sampled.zipWithIndex.foreach { case (r, ci) =>
+      val v = r.getSeq[Double](1)
+      var d = 0
+      while (d < math.min(dim, v.length)) { flat(ci * dim + d) = v(d); d += 1 }
+    }
+    val cell1 = VectorExpressions.nearestCentroids(col(vecCol), flat, dim, c, 1)
+    val cb = corpus.withColumn("__cell", element_at(cell1, 1))
+    val qb = broadcast(queries.select(col(qidCol), col(qvecCol),
+      explode(VectorExpressions.nearestCentroids(col(qvecCol), flat, dim, c, nProbe)).as("__cell")))
+    val scored = cb.join(qb, "__cell")
+      .select(col(qidCol), col(idCol),
+        V.cosineRounded(col(vecCol), col(qvecCol)).as("score"))
+    rankTopK(scored, idCol, qidCol, k)
   }
 }

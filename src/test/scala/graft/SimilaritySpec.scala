@@ -51,6 +51,55 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getAs[Double]("score") == 1.0)
   }
 
+  test("TopKAggregate matches a window-ranked reference on real embeddings") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosine(col("embedding"), col("qvec")).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id").asc)
+    val ref = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 7)
+      .select("qid", "vec_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val agg = scored.groupBy(col("qid"))
+      .agg(graft.functions.TopKAggregate.topK(col("score"), col("vec_id"), 7).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "e")))
+      .select(col("qid"), col("e.id"), (col("r") + 1).cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(agg == ref)
+  }
+
+  test("TopKAggregate edge cases: fewer rows than k, k boundary eviction") {
+    import graft.functions.TopKAggregate.topK
+    val df = Seq((1L, 0.9, 10L), (1L, 0.9, 5L), (1L, 0.1, 7L), (2L, 0.5, 1L))
+      .toDF("g", "s", "id")
+    val out = df.groupBy(col("g")).agg(topK(col("s"), col("id"), 2).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(e => (e.getDouble(0), e.getLong(1)))).toMap
+    assert(out(1L) == Seq((0.9, 5L), (0.9, 10L))) // tie -> smaller id first
+    assert(out(2L) == Seq((0.5, 1L)))             // fewer than k
+  }
+
+  test("ivfTopK: rank-1 self-match and decent overlap with brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "qid", "qvec",
+      k = 5, dim = 64, nCentroids = 16, nProbe = 8)
+    val out = ivf.collect()
+    // the query vector itself lives in a probed cell (its own nearest cell) -> rank 1, score 1.0
+    out.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(r.getAs[Long]("vec_id") == r.getAs[Long]("qid"))
+      assert(r.getAs[Double]("score") == 1.0)
+    }
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", "qid", "qvec", k = 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val ivfSet = out.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    // nProbe=8 of 16 cells -> expect at least ~40% overlap with exact top-5
+    assert(ivfSet.intersect(bf).size.toDouble / bf.size > 0.4)
+  }
+
   test("lshTopK returns the exact match in its candidates") {
     val dim = 16
     val corpus = (1 to 200).map { i =>

@@ -13,6 +13,22 @@ class SqlContextSpec extends SparkSpec {
     assert(out.collect.map(r => (r.getInt(0), r.getLong(1))).toSet == Set((1, 1L), (2, 2L)))
   }
 
+  test("graft extension functions are callable from SQL") {
+    GraftSqlContext.withTables(spark, sfDir)
+    val cos = spark.sql(
+      "SELECT graft_cosine(embedding, embedding) AS c, graft_dot(embedding, embedding) AS d FROM embeddings LIMIT 5")
+      .collect()
+    cos.foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+      assert(r.getDouble(1) > 0)
+    }
+    val topk = spark.sql(
+      """SELECT label, graft_topk(graft_cosine(embedding, array(1.0,2.0,3.0)), vec_id, 3) AS top
+         FROM embeddings GROUP BY label""").collect()
+    assert(topk.nonEmpty)
+    topk.foreach(r => assert(r.getSeq[org.apache.spark.sql.Row](1).length <= 3))
+  }
+
   test("withTables registers the whole corpus") {
     GraftSqlContext.withTables(spark, sfDir)
     assert(spark.sql("SELECT count(*) FROM region").head.getLong(0) == 5)

@@ -6,6 +6,37 @@ import org.apache.spark.sql.functions._
 
 class StreamingSpec extends SparkSpec {
 
+  test("streaming sessionization closes sessions on gap, matches batch boundaries") {
+    val events = Tables.events(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString + "/events"
+    // order by time so micro-batches replay roughly in event-time order
+    events.orderBy("ts").coalesce(1).write.parquet(dir)
+
+    val stream = StreamOps.parquetStream(spark, dir, events.schema, maxFilesPerTrigger = 1)
+    val closed = StreamOps.sessionizeStream(stream, "user_id", "ts",
+      gapMinutes = 30, watermarkMinutes = 0).toDF()
+    val streamed = StreamOps.runToMemory(closed, "sessions", outputMode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // batch reference: session boundaries from TimeSeries.sessionize
+    val batch = TimeSeries.sessionize(events, "user_id", "ts", 30)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(org.apache.spark.sql.functions.min(col("ts")).as("s"),
+        org.apache.spark.sql.functions.max(col("ts")).as("e"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map { r =>
+        def micros(t: java.sql.Timestamp) = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+        (r.getLong(0), micros(r.getTimestamp(2)), micros(r.getTimestamp(3)), r.getLong(4))
+      }.toSet
+
+    // every streamed closed session must be a batch session; the stream
+    // may hold back the final (still-open) session per user
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+    // with the whole file replayed, most sessions should have closed
+    assert(streamed.size >= batch.size / 2)
+  }
+
   test("streaming windowed agg over file source matches the batch result") {
     val events = Tables.events(spark, sfDir)
     // stage the events as a small directory of parquet files (a replayable stream)
