@@ -317,6 +317,14 @@ object SparkEntry {
           round(col("view_value"), 2).as("view_value"))
     }),
 
+    "evt_props_parse" -> ((s, dir) =>
+      // semi-structured props column: JSON-extract + aggregate
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+          col("event_type"))
+        .groupBy("k_val")
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_type")).as("n_types"))),
+
     // ---- §2.7 dedup ----------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
@@ -617,6 +625,11 @@ object SparkEntry {
          FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
          ASOF LEFT JOIN (SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view') v
            ON c.user_id = v.user_id AND v.ts <= c.ts""",
+
+    "evt_props_parse" ->
+      """SELECT json_extract(props, '$.k')::BIGINT AS k_val,
+                count(*) AS n, count(DISTINCT event_type) AS n_types
+         FROM events GROUP BY 1""",
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies

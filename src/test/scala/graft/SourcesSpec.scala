@@ -65,6 +65,32 @@ class SourcesSpec extends SparkSpec {
     assert(ParquetSource(s"$base/d*").read(spark).count == 6)
   }
 
+  test("sequence file roundtrip with eel layout (header record, all-string fields)") {
+    val p = tmp("seq")
+    SequenceSink(p).write(sample)
+    val back = SequenceSource(p).read(spark)
+    assert(back.schema.fieldNames.toSeq == Seq("k", "s", "v"))
+    assert(back.count == 3)
+    val r2 = back.filter(col("k") === "2").head()
+    assert(r2.getString(1) == "b" && r2.getString(2) == "-0.5")
+  }
+
+  test("sequence csv encoding round-trips commas, quotes, nulls") {
+    val vals = Seq("plain", "with,comma", "with\"quote", null, "multi\nline")
+    assert(SequenceSupport.decode(SequenceSupport.encode(vals)).toSeq ==
+      Seq("plain", "with,comma", "with\"quote", "", "multi\nline"))
+  }
+
+  test("avro roundtrip preserves types and values") {
+    val p = tmp("avro")
+    AvroSink(p).write(sample)
+    val back = AvroSource(p).read(spark)
+    assert(back.schema.map(f => (f.name, f.dataType)) == sample.schema.map(f => (f.name, f.dataType)))
+    assert(back.count == 3)
+    assert(back.filter(col("k") === 2).head().getAs[Double]("v") == -0.5)
+    assert(back.filter(col("s").isNull).count == 1)
+  }
+
   test("jdbc source/sink construct reader recipes (no driver jar in image)") {
     val src = JdbcSource("jdbc:h2:mem:x", "SELECT 1", Some("c"), 0, 10, 4)
     assert(src.numPartitions == 4)
