@@ -280,4 +280,12 @@ final case class GroupedGds(df: DataFrame, keys: Seq[Column], aggs: Seq[Column] 
   def toDF: DataFrame =
     if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+
+  /** Multi-dimensional variants (Spark-first extras over eel's
+    * GroupedDataStream): same accumulated aggs over rollup/cube
+    * grouping sets or a pivoted key. */
+  def toRollup: Gds = Gds(df.rollup(keys: _*).agg(aggs.head, aggs.tail: _*))
+  def toCube: Gds = Gds(df.cube(keys: _*).agg(aggs.head, aggs.tail: _*))
+  def pivotOn(pivotCol: String, values: Seq[Any]): Gds =
+    Gds(df.groupBy(keys: _*).pivot(pivotCol, values).agg(aggs.head, aggs.tail: _*))
 }

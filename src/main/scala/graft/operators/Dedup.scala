@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.functions.{TextExpressions => X, TextFunctions => T, VectorFunctions => V}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -45,8 +45,8 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleK: Int): DataFrame = {
     val mins = (0 until numHashes).map(j => min(xxhash64(col("__h"), lit(j))).as(s"__m$j"))
-    df.select(col(idCol), explode(T.shingles(col(textCol), shingleK)).as("__s"))
-      .select(col(idCol), xxhash64(col("__s")).as("__h"))
+    df.select(col(idCol),
+        explode(X.shingleHashes(T.normText(col(textCol)), shingleK)).as("__h"))
       .groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(j => col(s"__m$j")): _*).as("sig"))
@@ -110,8 +110,11 @@ object Dedup {
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
                    shingleK: Int): DataFrame = {
     val candIds = pairs.select(explode(array(col("id_l"), col("id_r"))).as(idCol)).distinct()
+    // sets of shingle HASHES (longs), not strings: same Jaccard modulo
+    // 64-bit collisions (~n²/2^64), far cheaper to intersect
     val sets = docs.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol).as("__id"), array_distinct(T.shingles(col(textCol), shingleK)).as("__set"))
+      .select(col(idCol).as("__id"),
+        array_distinct(X.shingleHashes(T.normText(col(textCol)), shingleK)).as("__set"))
     pairs
       .join(sets.select(col("__id").as("id_l"), col("__set").as("set_l")), "id_l")
       .join(sets.select(col("__id").as("id_r"), col("__set").as("set_r")), "id_r")
