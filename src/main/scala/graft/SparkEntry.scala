@@ -381,14 +381,14 @@ object SparkEntry {
     // ---- §2.9 text analysis -------------------------------------------
     "text_tokencount" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens"),
+        .select(col("doc_id"), T.tokenCount(col("text")).cast("long").as("n_tokens"),
           T.subwordEstimate(col("text")).cast("long").as("est_subwords"))),
 
     "text_quality" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), T.qualityStruct(col("text")).as("q"))
-        .select(col("doc_id"), col("q.n_chars").as("n_chars"),
-          col("q.n_tokens").as("n_tokens"), col("q.mean_token_len").as("mean_token_len"),
+        .select(col("doc_id"), col("q.n_chars").cast("long").as("n_chars"),
+          col("q.n_tokens").cast("long").as("n_tokens"), col("q.mean_token_len").as("mean_token_len"),
           col("q.punct_ratio").as("punct_ratio"), col("q.stopword_ratio").as("stopword_ratio"))),
 
     "text_langid" -> ((s, dir) =>
@@ -409,7 +409,8 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, dir) => {
       val media = Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
-        .select(col("media_id"), col("frame_idx"), col("frame_bytes"))
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_bytes").cast("long").as("frame_bytes"))
     }),
   )
 
@@ -424,7 +425,42 @@ object SparkEntry {
   // DuckDB oracle SQL — identical column names & rounding as above.
   // Tables are registered by the driver from the same parquet files.
   // -------------------------------------------------------------------
+
+  /** SQL fragments generated from the same marker lists as
+    * TextFunctions so both engines compute identical occurrence
+    * arithmetic (plain replace, not regex). */
+  private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+  private def occSql(word: String): String = {
+    val needle = s" $word "
+    s"((length(' ' || $normSql || ' ') - length(replace(' ' || $normSql || ' ', ' $word ', ' '))) // ${needle.length - 1})"
+  }
+  private def langScoreSql(words: Seq[String]): String = words.map(occSql).mkString("(", " + ", ")")
+  private val langIdSql: String = {
+    val scores = graft.functions.TextFunctions.langMarkers.map { case (l, ws) => l -> langScoreSql(ws) }
+    val best = scores.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+    // same fold direction as TextFunctions.langId: first language in
+    // priority order whose score equals the (positive) max wins
+    scores.reverse.foldLeft("'und'") { case (elseC, (lang, s)) =>
+      s"CASE WHEN $s = __best AND __best > 0 THEN '$lang' ELSE $elseC END"
+    }.replace("__best", best)
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "text_langid" ->
+      s"SELECT doc_id, $langIdSql AS lang_pred FROM documents",
+
+    "text_quality" -> {
+      val toks = s"len(string_split($normSql, ' '))"
+      val stop = langScoreSql(graft.functions.TextFunctions.langMarkers.head._2)
+      s"""SELECT doc_id,
+                 length(text) AS n_chars,
+                 $toks AS n_tokens,
+                 round((length($normSql) - ($toks - 1)) / CAST($toks AS DOUBLE), 4) AS mean_token_len,
+                 round((length(text) - length(translate(text, '.,;:!?''"()-', ''))) / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+                 round($stop / CAST(greatest($toks, 1) AS DOUBLE), 6) AS stopword_ratio
+          FROM documents"""
+    },
+
     "ds_projection" ->
       "SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem",
 
@@ -642,7 +678,7 @@ object SparkEntry {
 
     "text_tokencount" ->
       """SELECT doc_id,
-                len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tokens,
+                CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
                 CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_subwords
          FROM documents""",
 
@@ -658,8 +694,25 @@ object SparkEntry {
                 CAST(list_aggregate(list_transform(string_split(text, ''), c -> ascii(c)), 'sum') AS BIGINT) AS byte_sum,
                 'txt' AS format
          FROM documents""",
-    // text_quality / text_langid / dedup_* (lsh) / sim_* / mm_frame_sample:
-    // rows-only checks (word-occurrence + LSH semantics not portably
-    // SQL-expressible in DuckDB) — driver records weaker check.
+    // corpus text is ASCII-only, so char arithmetic == byte arithmetic
+    "mm_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+                CAST(length(substr(text, CAST(f * 64 + 1 AS INT), 64)) AS BIGINT) AS frame_bytes
+         FROM (SELECT doc_id, text,
+                      unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS f
+               FROM documents)
+         WHERE f % 4 = 0""",
+
+    "sim_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 1000 = 0),
+              scored AS (SELECT q.qid, e.vec_id,
+                                round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+                         FROM embeddings e CROSS JOIN q)
+         SELECT qid, vec_id, score, CAST(rnk AS INT) AS rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+               FROM scored)
+         WHERE rnk <= 5""",
+    // dedup_{minhash,simhash,embedding} / sim_{lsh,ivf}_topk: rows-only
+    // (LSH/quantizer internals not portably SQL-expressible in DuckDB).
   )
 }

@@ -27,12 +27,15 @@ object TextFunctions {
   /** Rough BPE token estimate: chars/4, the usual heuristic. */
   def subwordEstimate(c: Column): Column = ceil(length(c) / lit(4.0))
 
-  /** Non-overlapping occurrences of `word` as a standalone token. */
+  /** Non-overlapping occurrences of `word` as a standalone token.
+    * Plain (non-regex) replace so the arithmetic is engine-identical:
+    * replacing " word " with " " eats len(word)+1 chars per hit and
+    * re-exposes the shared space for adjacent repeats. */
   def wordOccurrences(c: Column, word: String): Column = {
     val padded = concat(lit(" "), normText(c), lit(" "))
     val needle = s" $word "
-    // each removal eats len(word)+2 chars
-    ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(needle), " ")))
+    // each replacement " word " -> " " removes len(word)+1 chars
+    ((length(padded) - length(call_function("replace", padded, lit(needle), lit(" "))))
       / lit(needle.length - 1)).cast("int")
   }
 
