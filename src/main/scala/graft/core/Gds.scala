@@ -277,6 +277,9 @@ final case class GroupedGds(df: DataFrame, keys: Seq[Column], aggs: Seq[Column] 
     org.apache.spark.sql.functions.sum(col(field)).as(s"sum_$field")
 
   def toGds: Gds = Gds(toDF)
+  def toDataStream: Gds = toGds // eel naming
+  def collect: Seq[Row] = toGds.collect
+  def size: Long = toGds.count
   def toDF: DataFrame =
     if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)

@@ -91,6 +91,15 @@ object StreamOps {
       })
   }
 
+  /** Streaming exact dedup: drop rows whose `idCols` were already seen
+    * within the watermark horizon — the streaming twin of Dedup.exact.
+    * State is bounded by the watermark (expired keys are evicted), so
+    * this runs indefinitely on an unbounded stream. */
+  def dedupStream(df: DataFrame, idCols: Seq[String], tsCol: String,
+                  watermarkMinutes: Int): DataFrame =
+    df.withWatermark(tsCol, s"$watermarkMinutes minutes")
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Drain a stream synchronously into an in-memory table and return
     * the batch result — test/verify harness helper. */
   def runToMemory(df: DataFrame, queryName: String, outputMode: String = "update"): DataFrame = {

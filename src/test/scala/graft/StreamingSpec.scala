@@ -37,6 +37,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size >= batch.size / 2)
   }
 
+  test("streaming dedup drops repeated ids within the watermark") {
+    val events = Tables.events(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString + "/events"
+    // duplicate every event, then stream with dedup on event_id
+    events.union(events).orderBy("ts").coalesce(2).write.parquet(dir)
+    val stream = StreamOps.parquetStream(spark, dir, events.schema, maxFilesPerTrigger = 1)
+    val deduped = StreamOps.dedupStream(stream, Seq("event_id"), "ts", watermarkMinutes = 60)
+    val out = StreamOps.runToMemory(deduped, "dedup_stream", outputMode = "append")
+    assert(out.count() == events.count())
+    assert(out.select("event_id").distinct().count() == events.count())
+  }
+
   test("streaming windowed agg over file source matches the batch result") {
     val events = Tables.events(spark, sfDir)
     // stage the events as a small directory of parquet files (a replayable stream)
