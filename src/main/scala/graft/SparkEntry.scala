@@ -406,6 +406,19 @@ object SparkEntry {
         .select(col("media_id"), col("n_bytes"), col("first_byte"), col("byte_sum"), col("format"))
     }),
 
+    "mm_resize" -> ((s, dir) => {
+      val media = Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.resizePayload(media, 128)
+        .select(col("media_id"), length(col("payload")).cast("long").as("n_bytes"))
+    }),
+
+    "mm_features" -> ((s, dir) => {
+      val media = Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media, 16)
+        .select(col("media_id"), size(col("embedding")).cast("long").as("dim"),
+          round(graft.functions.VectorFunctions.norm(col("embedding")), 6).as("norm"))
+    }),
+
     "mm_frame_sample" -> ((s, dir) => {
       val media = Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)

@@ -59,6 +59,26 @@ object Multimodal {
     }(Encoders.product[MediaFeatures]).toDF()
   }
 
+  /** "Resize" stub: normalize every payload to exactly `targetBytes`
+    * (truncate or zero-pad). Stands in for image resize — the Spark
+    * plumbing (binary in, fixed-size binary out, schema preserved) is
+    * what a real codec binding would use; only the byte transform is
+    * fake. Pure expressions: substr on binary + rpad. */
+  def resizePayload(media: DataFrame, targetBytes: Int): DataFrame =
+    media.withColumn("payload",
+      rpad(col("payload").substr(1, targetBytes), targetBytes, Array[Byte](0)))
+
+  /** Feature-extract stub: a deterministic `dim`-dim float embedding
+    * from payload bytes (per-slot xxhash folded to [-1, 1]) — the
+    * media→embedding shape that feeds Similarity/Dedup. A real model
+    * would run batch inference in mapPartitions; the output schema,
+    * determinism and downstream compatibility are identical. */
+  def extractFeatures(media: DataFrame, dim: Int): DataFrame =
+    media.select(col("media_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(col("payload"), i), lit(2000001L)) - 1000000L).cast("float") / 1000000.0f)
+        .cast("array<float>").as("embedding"))
+
   /** Deterministic frame/chunk sampling: split the payload into
     * `frameBytes` chunks and keep every `stride`-th, without decoding —
     * pure expressions, no data copy of unsampled frames after pushdown. */

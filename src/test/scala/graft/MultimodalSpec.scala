@@ -25,6 +25,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).getAs[Int]("first_byte") == -1)
   }
 
+  test("resizePayload normalizes every payload to the target size") {
+    val out = Multimodal.resizePayload(media, 16).collect()
+    assert(out.forall(_.getAs[Array[Byte]]("payload").length == 16))
+    // truncation keeps prefix; padding appends zeros
+    val short = out.find(_.getAs[Long]("media_id") == 1L).get.getAs[Array[Byte]]("payload")
+    assert(short.take(3).toSeq == "abc".getBytes.toSeq && short.drop(3).forall(_ == 0))
+  }
+
+  test("extractFeatures: deterministic fixed-dim embedding in [-1,1]") {
+    val f1 = Multimodal.extractFeatures(media, 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val f2 = Multimodal.extractFeatures(media, 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f1 == f2)
+    assert(f1.values.forall(v => v.length == 8 && v.forall(x => x >= -1f && x <= 1f)))
+    // feeds the ANN path
+    val emb = Multimodal.extractFeatures(media, 8)
+    val q = emb.limit(1).select(col("media_id").as("qid"), col("embedding").as("qvec"))
+    val top = graft.operators.Similarity.bruteForceTopK(emb, q,
+      "media_id", "embedding", "qid", "qvec", k = 2).collect()
+    assert(top.length == 2 && top.head.getAs[Double]("score") == 1.0)
+  }
+
   test("sampleFrames takes every stride-th fixed-size chunk") {
     val out = Multimodal.sampleFrames(media.filter(col("media_id") === 3), 64, 2).collect()
     // 200 bytes -> 4 frames (64,64,64,8) -> stride 2 keeps frames 0 and 2
