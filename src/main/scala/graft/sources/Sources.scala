@@ -44,6 +44,25 @@ final case class ParquetSink(path: String,
   }
 }
 
+/** Bucketed managed-table sink: pre-shuffles by `bucketCols` into
+  * `nBuckets` files per partition so later equi-joins/aggregations on
+  * those keys are exchange-free (the 100 TB answer to repeatedly
+  * joining the same fact tables). Spark requires saveAsTable for
+  * bucket metadata — pass a table name, not a path; the warehouse dir
+  * comes from the session. Sort columns make merge-joins zero-sort. */
+final case class BucketedTableSink(table: String,
+                                   nBuckets: Int,
+                                   bucketCols: Seq[String],
+                                   sortCols: Seq[String] = Nil,
+                                   mode: SaveMode = SaveMode.Overwrite) extends Sink {
+  def write(df: DataFrame): Unit = {
+    var w = df.write.mode(mode).format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
+}
+
 /** reference: eel-core .../component/csv/CsvSource.scala (header,
   * delimiter, nullValue options mirror CsvFormat.scala). */
 final case class CsvSource(path: String,

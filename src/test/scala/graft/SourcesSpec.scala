@@ -97,6 +97,27 @@ class SourcesSpec extends SparkSpec {
     assert(DevNullSink != null)
   }
 
+  test("bucketed tables join without an exchange") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    BucketedTableSink("graft_li_b", 4, Seq("l_orderkey")).write(li)
+    BucketedTableSink("graft_ord_b", 4, Seq("o_orderkey")).write(ord)
+    try {
+      // disable auto-broadcast so the join would otherwise shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_li_b")
+        .join(spark.table("graft_ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val exchanges = joined.queryExecution.executedPlan.collect { case e: Exchange => e }
+      assert(exchanges.isEmpty, s"expected exchange-free bucketed join:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() == li.count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_li_b")
+      spark.sql("DROP TABLE IF EXISTS graft_ord_b")
+    }
+  }
+
   test("append mode accumulates") {
     val p = tmp("append")
     ParquetSink(p, mode = SaveMode.Append).write(sample)
