@@ -205,6 +205,25 @@ final case class Gds(df: DataFrame) {
   def iterator: Iterator[Row] = df.toLocalIterator().asInstanceOf[java.util.Iterator[Row]] match {
     case it => new Iterator[Row] { def hasNext = it.hasNext; def next() = it.next() }
   }
+  // ---- sketches (Spark-native; no eel equivalent) ----------------------
+  /** HyperLogLog++ distinct estimate — one pass, mergeable, the scale
+    * substitute for exact countDistinct on high-cardinality keys. */
+  def approxCountDistinct(field: String, rsd: Double = 0.05): Long =
+    df.select(approx_count_distinct(col(field), rsd)).head().getLong(0)
+  /** KLL-style quantile estimates (exact when accuracy >= group size). */
+  def approxQuantiles(field: String, probabilities: Seq[Double],
+                      relativeError: Double = 0.01): Seq[Double] =
+    df.stat.approxQuantile(field, probabilities.toArray, relativeError).toSeq
+  /** Count-min sketch of a column: mergeable frequency estimates. */
+  def countMinSketch(field: String, eps: Double = 0.01, confidence: Double = 0.99,
+                     seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch =
+    df.stat.countMinSketch(field, eps, confidence, seed)
+  /** Bloom filter over a column: probabilistic membership for
+    * broadcast-side pre-filtering of huge joins. */
+  def bloomFilter(field: String, expectedNumItems: Long, fpp: Double)
+      : org.apache.spark.util.sketch.BloomFilter =
+    df.stat.bloomFilter(field, expectedNumItems, fpp)
+
   /** eel `multiplex`/`tee` (DataStream.scala:561,945): in Spark the plan
     * is a value — reuse it; cache() makes the shared scan physical. */
   def multiplex(n: Int, cache: Boolean = true): Seq[Gds] = {

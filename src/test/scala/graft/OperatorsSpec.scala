@@ -38,6 +38,25 @@ class OperatorsSpec extends SparkSpec {
     assert(a.getLong(1) == 1L && a.getLong(2) == 2L)
   }
 
+  test("sketches: HLL distinct, quantiles, count-min, bloom within error bounds") {
+    val li = Gds(Tables.lineitem(spark, sfDir))
+    val exact = li.projection("l_orderkey").distinct().count
+    val approx = li.approxCountDistinct("l_orderkey", rsd = 0.02)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+
+    val Seq(p50) = li.approxQuantiles("l_quantity", Seq(0.5), relativeError = 0.01)
+    assert(p50 >= 20 && p50 <= 30) // quantities are ~uniform 1..50
+
+    val cms = li.countMinSketch("l_returnflag", eps = 0.001, confidence = 0.99)
+    val exactA = li.filter(col("l_returnflag") === "A").count
+    val est = cms.estimateCount("A")
+    assert(est >= exactA && est <= exactA + (0.001 * li.count).toLong + 1)
+
+    val bloom = li.bloomFilter("l_orderkey", expectedNumItems = 2000, fpp = 0.01)
+    assert(bloom.mightContain(li.head.getLong(0)))
+    assert(!(1 to 1000).map(i => bloom.mightContain(-i.toLong)).forall(identity))
+  }
+
   test("FilePattern resolves globs with filename filters") {
     val base = java.nio.file.Files.createTempDirectory("graft_fp").toString
     ParquetSink(s"$base/d_keep").write(Seq(1).toDF("n"))
