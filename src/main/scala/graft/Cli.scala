@@ -1,0 +1,84 @@
+package graft
+
+import graft.core.Gds
+import graft.operators.Compact
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Command-line surface (reference: eel-cli — ShowSchemaMain,
+  * StreamMain, AnalyzeMain). Subcommands:
+  *
+  *   schema  <path> [format]
+  *   analyze <path> [format]            — rows / files / per-column stats
+  *   copy    <in> <informat> <out> <outformat> [projection a,b] [filter expr] [limit n]
+  *   compact <path> <targetFileCount> [format]
+  *
+  * `run` returns the printed output so tests can drive it without a
+  * process boundary; `main` wires a session around it.
+  */
+object Cli {
+
+  private def read(spark: SparkSession, path: String, format: String): DataFrame =
+    format match {
+      case "parquet" => spark.read.parquet(path)
+      case "orc" => spark.read.orc(path)
+      case "json" => spark.read.json(path)
+      case "csv" => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+      case "avro" => graft.sources.AvroSource(path).read(spark)
+      case "sequence" => graft.sources.SequenceSource(path).read(spark)
+      case other => throw new IllegalArgumentException(s"unknown format $other")
+    }
+
+  private def write(df: DataFrame, path: String, format: String): Unit = format match {
+    case "parquet" => graft.sources.ParquetSink(path).write(df)
+    case "orc" => graft.sources.OrcSink(path).write(df)
+    case "json" => graft.sources.JsonSink(path).write(df)
+    case "csv" => graft.sources.CsvSink(path).write(df)
+    case "avro" => graft.sources.AvroSink(path).write(df)
+    case "sequence" => graft.sources.SequenceSink(path).write(df)
+    case other => throw new IllegalArgumentException(s"unknown format $other")
+  }
+
+  def run(spark: SparkSession, args: Seq[String]): String = args.toList match {
+    case "schema" :: path :: rest =>
+      read(spark, path, rest.headOption.getOrElse("parquet")).schema.treeString
+
+    case "analyze" :: path :: rest =>
+      val df = read(spark, path, rest.headOption.getOrElse("parquet"))
+      val n = df.count()
+      val stats = df.schema.fields.map { f =>
+        val nulls = df.filter(col(f.name).isNull).count()
+        s"${f.name} ${f.dataType.simpleString} nulls=$nulls"
+      }
+      (s"rows=$n" +: stats).mkString("\n")
+
+    case "copy" :: in :: inFmt :: out :: outFmt :: rest =>
+      var ds = Gds(read(spark, in, inFmt))
+      rest.grouped(2).foreach {
+        case Seq("projection", fields) => ds = ds.projection(fields.split(',').toSeq)
+        case Seq("filter", e) => ds = Gds(ds.toDF.filter(expr(e)))
+        case Seq("limit", n) => ds = Gds(ds.toDF.limit(n.toInt))
+        case other => throw new IllegalArgumentException(s"unknown option $other")
+      }
+      write(ds.toDF, out, outFmt)
+      s"copied ${read(spark, out, outFmt).count()} rows to $out"
+
+    case "compact" :: path :: target :: rest =>
+      val orig = Compact.compactTo(spark, path, target.toInt, rest.headOption.getOrElse("parquet"))
+      s"compacted $orig files to ${target.toInt}"
+
+    case other =>
+      s"""usage: schema|analyze|copy|compact ... (got: ${other.mkString(" ")})
+         |  schema  <path> [format]
+         |  analyze <path> [format]
+         |  copy    <in> <informat> <out> <outformat> [projection a,b] [filter expr] [limit n]
+         |  compact <path> <targetFileCount> [format]""".stripMargin
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(run(spark, args.toIndexedSeq))
+    spark.stop()
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.sources.{ParquetSink, ParquetSource}
+import org.apache.spark.sql.functions._
+
+class CliSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("schema prints the tree") {
+    val out = Cli.run(spark, Seq("schema", s"$sfDir/region.parquet"))
+    assert(out.contains("r_regionkey") && out.contains("r_name"))
+  }
+
+  test("analyze reports rows and null counts") {
+    val out = Cli.run(spark, Seq("analyze", s"$sfDir/region.parquet"))
+    assert(out.startsWith("rows=5"))
+    assert(out.contains("r_name string nulls=0"))
+  }
+
+  test("copy converts formats with projection, filter, limit") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli").toString + "/csvout"
+    val msg = Cli.run(spark, Seq("copy", s"$sfDir/nation.parquet", "parquet", out, "csv",
+      "projection", "n_nationkey,n_name", "filter", "n_nationkey < 10", "limit", "5"))
+    assert(msg.startsWith("copied 5 rows"))
+    assert(spark.read.option("header", "true").csv(out).columns.toSeq == Seq("n_nationkey", "n_name"))
+  }
+
+  test("compact rewrites a fragmented directory to the target file count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/frag"
+    (1 to 200).toDF("n").repartition(20).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 20)
+    val msg = Cli.run(spark, Seq("compact", dir, "2"))
+    assert(msg.contains("compacted"))
+    val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == 2)
+    assert(ParquetSource(dir).read(spark).count == 200)
+    assert(ParquetSource(dir).read(spark).agg(sum(col("n"))).head.getLong(0) == 200L * 201 / 2)
+  }
+}
