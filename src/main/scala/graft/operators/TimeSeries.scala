@@ -35,16 +35,25 @@ object TimeSeries {
   }
 
   /** As-of join: for each left row, the most recent right row with
-    * `rightTs <= leftTs` within the same key.
+    * `rightTs <= leftTs` within the same key, optionally within
+    * `toleranceSeconds` (older matches are nulled out, like pandas
+    * merge_asof / kdb aj with a window).
     *
     * Physical shape: union both sides tagged, one window pass
     * partitioned by key ordered by (ts, side) carrying the right
     * side's payload forward with last(ignoreNulls) — a single shuffle
     * on the key, no per-row probing, no range-join explosion.
+    *
+    * Why not a custom SparkPlan: a dedicated AsOfJoinExec would also
+    * have to co-partition both sides by key and sort by ts — the exact
+    * exchange+sort this plan already produces; the only delta is the
+    * window operator's state vs a hand-rolled merge, which is not the
+    * bottleneck. Composition wins (see SparkEntry plan checks).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                leftTs: String, rightTs: String,
-               payloadCols: Seq[String]): DataFrame = {
+               payloadCols: Seq[String],
+               toleranceSeconds: Option[Long] = None): DataFrame = {
     val carryLeft = left.columns.filterNot(c => c == keyCol || c == leftTs).toSeq
     val lhs = left.select(
       col(keyCol).as("__key") +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
@@ -56,11 +65,21 @@ object TimeSeries {
           payloadCols.map(col)): _*)
     val w = Window.partitionBy(col("__key")).orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(lhs.unionByName(rhs)) { (df, c) =>
+    val withMatchTs = lhs.unionByName(rhs)
+      .withColumn("__match_ts",
+        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
+    val carried = payloadCols.foldLeft(withMatchTs) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
-    carried.filter(col("__side") === 1)
+    val tolApplied = toleranceSeconds.fold(carried) { tol =>
+      val stale = col("__match_ts").isNull ||
+        (col("__ts").cast("double") - col("__match_ts").cast("double")) > tol
+      payloadCols.foldLeft(carried) { (df, c) =>
+        df.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
+      }
+    }
+    tolApplied.filter(col("__side") === 1)
       .withColumnRenamed("__key", keyCol).withColumnRenamed("__ts", leftTs)
-      .drop("__side")
+      .drop("__side", "__match_ts")
   }
 }

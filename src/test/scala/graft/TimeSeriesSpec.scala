@@ -40,6 +40,17 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out("t3").isEmpty)
   }
 
+  test("asofJoin tolerance nulls out stale matches") {
+    val trades = Seq((1L, ts("2024-01-01 10:10:00"), "t1"),
+                     (1L, ts("2024-01-01 10:00:05"), "t2")).toDF("sym", "t", "trade")
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 99.0)).toDF("sym", "qt", "price")
+    val out = TimeSeries.asofJoin(trades, quotes, "sym", "t", "qt", Seq("price"),
+      toleranceSeconds = Some(60))
+      .collect().map(r => r.getAs[String]("trade") -> Option(r.getAs[java.lang.Double]("price"))).toMap
+    assert(out("t2").contains(99.0)) // 5s old: within tolerance
+    assert(out("t1").isEmpty)        // 600s old: stale
+  }
+
   test("tumblingAgg buckets by window width") {
     val events = Seq(
       (ts("2024-01-01 10:05:00"), "a", 1.0), (ts("2024-01-01 10:55:00"), "a", 2.0),
