@@ -317,6 +317,17 @@ object SparkEntry {
           round(col("view_value"), 2).as("view_value"))
     }),
 
+    "evt_asof_tolerance" -> ((s, dir) => {
+      val clicks = t(s, dir, "events").filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = t(s, dir, "events").filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("value").as("view_value"))
+      TimeSeries.asofJoin(clicks, views, "user_id", "ts", "view_ts", Seq("view_value"),
+        toleranceSeconds = Some(3600))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("view_value"), 2).as("view_value"))
+    }),
+
     "evt_props_parse" -> ((s, dir) =>
       // semi-structured props column: JSON-extract + aggregate
       t(s, dir, "events")
@@ -671,6 +682,14 @@ object SparkEntry {
 
     "evt_asof_join" ->
       """SELECT c.event_id, c.user_id, c.ts, round(v.view_value, 2) AS view_value
+         FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view') v
+           ON c.user_id = v.user_id AND v.ts <= c.ts""",
+
+    "evt_asof_tolerance" ->
+      """SELECT c.event_id, c.user_id, c.ts,
+                CASE WHEN v.ts IS NOT NULL AND c.ts - v.ts <= INTERVAL 3600 SECONDS
+                     THEN round(v.view_value, 2) END AS view_value
          FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
          ASOF LEFT JOIN (SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view') v
            ON c.user_id = v.user_id AND v.ts <= c.ts""",
