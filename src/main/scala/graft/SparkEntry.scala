@@ -362,6 +362,15 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64)),
 
+    "dedup_keeplist" -> ((s, dir) => {
+      // end-to-end: minhash pairs -> connected components -> keep flags
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text")
+        .select(col("id_l"), col("id_r"))
+      Dedup.dedupeKeepList(docs, pairs, "doc_id")
+        .filter(!col("keep")) // the drop list: duplicates + their canonical
+    }),
+
     // ---- §2.8 similarity search ---------------------------------------
     "sim_bruteforce_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

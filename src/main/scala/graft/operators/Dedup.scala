@@ -159,6 +159,51 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: every doc ends up labeled with the smallest id in
+    * its duplicate cluster. Converges in O(log(max component
+    * diameter)) rounds; near-dup components are tiny (pairs, small
+    * clusters), so 2-3 rounds in practice. Each round is one shuffle
+    * join on ids — no driver-side graph. Returns (id, canonical_id)
+    * for every id that appears in a pair. */
+  def canonicalize(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_l").as("src"), col("id_r").as("dst"))
+      .union(pairs.select(col("id_r").as("src"), col("id_l").as("dst")))
+      .distinct().cache()
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("label"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // each node adopts the min label among itself and its neighbors
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nlabel"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nlabel")).as("nmin"))
+      val updated = labels.join(neighborLabels, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      val changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("canonical_id"))
+  }
+
+  /** End-to-end dedup decision: every doc id with the canonical id of
+    * its duplicate cluster (itself when it has no duplicates) and a
+    * keep flag. Compose with any pair generator. */
+  def dedupeKeepList(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val canon = canonicalize(pairs)
+    docs.select(col(idCol).as("id"))
+      .join(canon, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("canonical_id"), col("id")).as("canonical_id"))
+      .withColumn("keep", col("id") === col("canonical_id"))
+  }
+
   /** Embedding near-dup: multi-table random-hyperplane LSH candidate
     * generation (same bucket in any table) then exact cosine verify.
     * Shuffle carries (id, table, bucket) longs — never the vectors. */

@@ -75,6 +75,25 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count == 50L * 49 / 2)
   }
 
+  test("canonicalize: chains collapse to the smallest id") {
+    // 1-2-3-4 chain + isolated pair (10,11) + singleton 20 (no pair)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_l", "id_r")
+    val canon = Dedup.canonicalize(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon(1L) == 1L && canon(2L) == 1L && canon(3L) == 1L && canon(4L) == 1L)
+    assert(canon(10L) == 10L && canon(11L) == 10L)
+    assert(!canon.contains(20L))
+  }
+
+  test("dedupeKeepList keeps exactly one doc per cluster") {
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (2L, 5L), (3L, 6L)).toDF("id_l", "id_r")
+    val keep = Dedup.dedupeKeepList(docs, pairs, "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(keep.filter(_._3).map(_._1).sorted.toSeq == Seq(1L, 3L, 4L)) // 4 has no dups
+    assert(keep.find(_._1 == 5L).get._2 == 1L)
+  }
+
   test("embedding pairs: planted near-duplicate vector is found") {
     val base = Array.tabulate(8)(i => math.sin(i * 1.7).toFloat)
     val near = base.clone(); near(0) = near(0) + 0.01f
