@@ -67,7 +67,18 @@ object Dedup {
     * than allowed to explode an executor). */
   def pairsFromBuckets(bucketed: DataFrame, idCol: String,
                                           bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
-    val ids = bucketed.groupBy(bucketCols.map(col): _*)
+    // Pre-truncate each bucket to cap+1 rows BEFORE collecting: the
+    // row_number window is sort-based (spills gracefully), so a
+    // degenerate 10M-doc bucket never materializes as one in-memory
+    // array — it arrives truncated at cap+1 and the size filter drops
+    // it. The window's hash partitioning is reused by the groupBy (no
+    // second exchange).
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(bucketCols.map(col): _*).orderBy(col(idCol))
+    val truncated = bucketed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucketSize + 1)
+    val ids = truncated.groupBy(bucketCols.map(col): _*)
       .agg(collect_set(col(idCol)).as("__ids"))
       .filter(size(col("__ids")).between(2, maxBucketSize))
       .select(array_sort(col("__ids")).as("__ids"))
@@ -184,6 +195,7 @@ object Dedup {
         .cache()
       val changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
       labels = updated
       converged = changed == 0
       i += 1
