@@ -177,10 +177,37 @@ object Dedup {
     * clusters), so 2-3 rounds in practice. Each round is one shuffle
     * join on ids — no driver-side graph. Returns (id, canonical_id)
     * for every id that appears in a pair. */
-  def canonicalize(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+  def canonicalize(pairs: DataFrame, maxIterations: Int = 10,
+                   driverThreshold: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("id_l").as("src"), col("id_r").as("dst"))
       .union(pairs.select(col("id_r").as("src"), col("id_l").as("dst")))
       .distinct().cache()
+    // hybrid: the pair set is orders of magnitude smaller than the
+    // corpus (it is ~the true-dup count); below the threshold a
+    // driver-side union-find beats log-rounds of shuffle joins. Above
+    // it, fall through to distributed min-label propagation.
+    val nEdges = edges.count()
+    if (nEdges / 2 <= driverThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val allIds = scala.collection.mutable.Set.empty[Long]
+      pairs.select(col("id_l").cast("long"), col("id_r").cast("long")).collect().foreach { row =>
+        allIds += row.getLong(0) += row.getLong(1)
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) { val (lo, hi) = if (a < b) (a, b) else (b, a); parent(hi) = lo }
+      }
+      val out = allIds.toSeq.sorted.map(id => (id, find(id)))
+      edges.unpersist()
+      return out.toDF("id", "canonical_id")
+    }
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("label"))
     var converged = false

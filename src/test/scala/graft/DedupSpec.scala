@@ -83,6 +83,10 @@ class DedupSpec extends SparkSpec {
     assert(canon(1L) == 1L && canon(2L) == 1L && canon(3L) == 1L && canon(4L) == 1L)
     assert(canon(10L) == 10L && canon(11L) == 10L)
     assert(!canon.contains(20L))
+    // distributed min-label propagation path (threshold 0) agrees
+    val dist = Dedup.canonicalize(pairs, driverThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == canon)
   }
 
   test("dedupeKeepList keeps exactly one doc per cluster") {
