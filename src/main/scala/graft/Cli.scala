@@ -45,12 +45,14 @@ object Cli {
 
     case "analyze" :: path :: rest =>
       val df = read(spark, path, rest.headOption.getOrElse("parquet"))
-      val n = df.count()
-      val stats = df.schema.fields.map { f =>
-        val nulls = df.filter(col(f.name).isNull).count()
-        s"${f.name} ${f.dataType.simpleString} nulls=$nulls"
+      // one aggregate pass: total count + a null count per column
+      val aggs = count(lit(1)).as("__n") +:
+        df.schema.fields.map(f => count(when(col(f.name).isNull, 1)).as(s"__null_${f.name}"))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val stats = df.schema.fields.zipWithIndex.map { case (f, i) =>
+        s"${f.name} ${f.dataType.simpleString} nulls=${row.getLong(i + 1)}"
       }
-      (s"rows=$n" +: stats).mkString("\n")
+      (s"rows=${row.getLong(0)}" +: stats).mkString("\n")
 
     case "copy" :: in :: inFmt :: out :: outFmt :: rest =>
       var ds = Gds(read(spark, in, inFmt))

@@ -44,7 +44,10 @@ object SparkEntry {
     "ds_map" -> ((s, dir) =>
       Gds(t(s, dir, "part"))
         .mapField("p_name", upper _)
-        .mapField("p_retailprice", c => round(c * 1.1, 2))
+        // *2 is exact in binary floating point — a round(c*1.1, 2) here
+        // would sit on .xx5 half-boundaries that Spark and DuckDB round
+        // differently (see CLAUDE.md float rules)
+        .mapField("p_retailprice", c => c * 2)
         .projection("p_partkey", "p_name", "p_retailprice").toDF),
 
     "ds_addfield" -> ((s, dir) =>
@@ -503,7 +506,7 @@ object SparkEntry {
          WHERE l_quantity > 30 AND NOT l_returnflag = 'A' AND l_discount <= 0.05""",
 
     "ds_map" ->
-      "SELECT p_partkey, upper(p_name) AS p_name, round(p_retailprice * 1.1, 2) AS p_retailprice FROM part",
+      "SELECT p_partkey, upper(p_name) AS p_name, p_retailprice * 2 AS p_retailprice FROM part",
 
     "ds_addfield" ->
       """SELECT l_orderkey, l_linenumber,

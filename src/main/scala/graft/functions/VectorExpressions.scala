@@ -242,6 +242,13 @@ object VectorExpressions {
           }
           x += 1
         }
+        if (best == -1) {
+          // all remaining sims are NaN (zero/empty vector): fall back to
+          // centroid index order instead of crashing the task
+          var y = 0
+          while (y < c && used(y)) y += 1
+          best = y
+        }
         used(best) = true; out(r) = best; r += 1
       }
       out

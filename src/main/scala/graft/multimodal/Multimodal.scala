@@ -85,6 +85,9 @@ object Multimodal {
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
     val nFrames = ceil(length(col("payload")).cast("double") / frameBytes).cast("int")
     media
+      // empty payloads have no frames — and sequence(0, -1) would emit
+      // a phantom [0, -1] (Spark flips the step when start > stop)
+      .filter(length(col("payload")) > 0)
       .select(col("media_id"), col("payload"), posexplode(sequence(lit(0), nFrames - 1)).as(Seq("frame_idx", "frame_no")))
       .filter(col("frame_idx") % stride === 0)
       .select(col("media_id"), col("frame_idx"),

@@ -7,9 +7,12 @@ import org.apache.spark.sql.SparkSession
   * eel-hive/src/main/scala/io/eels/component/hive/Compactor.scala —
   * read table, rewrite with target parallelism, delete originals).
   *
-  * Spark-first: read the directory, `repartition(targetFileCount)`
-  * (or AQE-coalesced when a partition-count target isn't given), write
-  * to a sibling temp dir, then atomically swap. The long-tail of tiny
+  * Spark-first: read the directory, `repartition(targetFileCount)`,
+  * write to a sibling temp dir, then swap via two renames — the
+  * original data is never deleted until the compacted copy is in
+  * place (a crash mid-swap leaves either the original or both, never
+  * neither; rename is atomic per directory on HDFS-like filesystems
+  * but the two-step swap as a whole is not). The long-tail of tiny
   * files is THE chronic 100 TB ingest problem — compaction keeps scan
   * task counts sane and parquet row groups full. Returns the original
   * file count. */
@@ -25,8 +28,14 @@ object Compact {
     spark.read.format(format).load(path)
       .repartition(targetFileCount)
       .write.format(format).save(tmp.toString)
-    fs.delete(hPath, true)
-    require(fs.rename(tmp, hPath), s"compaction swap failed for $path")
+    val old = new Path(hPath.getParent, hPath.getName + "__precompact")
+    fs.delete(old, true)
+    require(fs.rename(hPath, old), s"compaction: could not set aside original $path")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(old, hPath) // restore the original before failing
+      throw new IllegalStateException(s"compaction swap failed for $path; original restored")
+    }
+    fs.delete(old, true)
     originals.length
   }
 }

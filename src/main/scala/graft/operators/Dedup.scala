@@ -170,13 +170,14 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Connected components over near-dup pairs by iterative min-label
-    * propagation: every doc ends up labeled with the smallest id in
-    * its duplicate cluster. Converges in O(log(max component
-    * diameter)) rounds; near-dup components are tiny (pairs, small
-    * clusters), so 2-3 rounds in practice. Each round is one shuffle
-    * join on ids — no driver-side graph. Returns (id, canonical_id)
-    * for every id that appears in a pair. */
+  /** Connected components over near-dup pairs: every doc ends up
+    * labeled with the smallest id in its duplicate cluster. Each
+    * distributed round propagates labels one hop (O(max component
+    * diameter) rounds; throws rather than return split clusters if
+    * maxIterations is hit); near-dup components are tiny, so 2-3
+    * rounds in practice, and below `driverThreshold` edges a
+    * path-compressed union-find on the driver skips the rounds
+    * entirely. Returns (id, canonical_id) for every id in a pair. */
   def canonicalize(pairs: DataFrame, maxIterations: Int = 10,
                    driverThreshold: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("id_l").as("src"), col("id_r").as("dst"))
@@ -227,6 +228,11 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"canonicalize did not converge in $maxIterations rounds — a duplicate " +
+          s"chain longer than $maxIterations hops exists; raise maxIterations " +
+          "(propagation is one hop per round)")
     edges.unpersist()
     labels.select(col("id"), col("label").as("canonical_id"))
   }

@@ -15,14 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** groupBy(qid) -> bounded-heap topK -> explode to ranked rows. */
-  private def rankTopK(scored: DataFrame, idCol: String, qidCol: String, k: Int): DataFrame =
+  /** groupBy(qid) -> bounded-heap topK -> explode to ranked rows.
+    * Ids must be integral (the heap stores longs) — a silent cast of
+    * string ids to null would drop every row, so reject up front. */
+  private def rankTopK(scored: DataFrame, idCol: String, qidCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = scored.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"top-k ranking requires an integral id column, $idCol is $idType")
     scored
       .groupBy(col(qidCol))
       .agg(TopKAggregate.topK(col("score"), col(idCol).cast("long"), k).as("__top"))
       .select(col(qidCol), posexplode(col("__top")).as(Seq("__r", "__e")))
-      .select(col(qidCol), col("__e.id").as(idCol), col("__e.score").as("score"),
+      .select(col(qidCol), col("__e.id").cast(idType).as(idCol), col("__e.score").as("score"),
         (col("__r") + 1).cast("int").as("rank"))
+  }
 
   /** Exact top-k by cosine for each query vector. `queries` must be
     * small (broadcast). Output: (qid, vec_id, score, rank). */

@@ -22,6 +22,11 @@ object SkewJoin {
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
                  factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor > 0, "salt factor must be positive")
+    // right/full outer would surface each unmatched replicated-side row
+    // `factor` times — reject rather than silently multiply rows
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(normalized),
+      s"saltedJoin supports inner/left/left_semi/left_anti joins, got $joinType")
     val salted = skewed.withColumn("__salt", (rand(42) * factor).cast("int"))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))

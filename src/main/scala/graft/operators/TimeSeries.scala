@@ -65,21 +65,25 @@ object TimeSeries {
           payloadCols.map(col)): _*)
     val w = Window.partitionBy(col("__key")).orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withMatchTs = lhs.unionByName(rhs)
-      .withColumn("__match_ts",
-        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
-    val carried = payloadCols.foldLeft(withMatchTs) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    val tolApplied = toleranceSeconds.fold(carried) { tol =>
+    // carry ts+payloads as ONE struct so a matched row whose payload is
+    // legitimately NULL yields null (a bare last(payload, ignoreNulls)
+    // would skip past it to an older row's value)
+    val rightStruct = when(col("__side") === 0,
+      struct(col("__ts").as("__mts") +: payloadCols.map(col): _*))
+    val carried = lhs.unionByName(rhs)
+      .withColumn("__m", last(rightStruct, ignoreNulls = true).over(w))
+    val extracted = payloadCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(c, col("__m")(c))
+    }.withColumn("__match_ts", col("__m")("__mts"))
+    val tolApplied = toleranceSeconds.fold(extracted) { tol =>
       val stale = col("__match_ts").isNull ||
         (col("__ts").cast("double") - col("__match_ts").cast("double")) > tol
-      payloadCols.foldLeft(carried) { (df, c) =>
+      payloadCols.foldLeft(extracted) { (df, c) =>
         df.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
       }
     }
     tolApplied.filter(col("__side") === 1)
       .withColumnRenamed("__key", keyCol).withColumnRenamed("__ts", leftTs)
-      .drop("__side", "__match_ts")
+      .drop("__side", "__match_ts", "__m")
   }
 }

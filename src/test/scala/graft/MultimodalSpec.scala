@@ -48,6 +48,11 @@ class MultimodalSpec extends SparkSpec {
     assert(top.length == 2 && top.head.getAs[Double]("score") == 1.0)
   }
 
+  test("sampleFrames: empty payload yields no frames (no phantom sequence(0,-1))") {
+    val out = Multimodal.sampleFrames(media.filter(col("media_id") === 2), 64, 1)
+    assert(out.count() == 0)
+  }
+
   test("sampleFrames takes every stride-th fixed-size chunk") {
     val out = Multimodal.sampleFrames(media.filter(col("media_id") === 3), 64, 2).collect()
     // 200 bytes -> 4 frames (64,64,64,8) -> stride 2 keeps frames 0 and 2

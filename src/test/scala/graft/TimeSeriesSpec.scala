@@ -40,6 +40,16 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out("t3").isEmpty)
   }
 
+  test("asofJoin: a matched row with NULL payload yields null, not an older value") {
+    val trades = Seq((1L, ts("2024-01-01 10:00:15"), "t1")).toDF("sym", "t", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(99.0)),
+      (1L, ts("2024-01-01 10:00:10"), None), // most recent match, null price
+    ).toDF("sym", "qt", "price")
+    val out = TimeSeries.asofJoin(trades, quotes, "sym", "t", "qt", Seq("price")).head()
+    assert(out.isNullAt(out.fieldIndex("price")))
+  }
+
   test("asofJoin tolerance nulls out stale matches") {
     val trades = Seq((1L, ts("2024-01-01 10:10:00"), "t1"),
                      (1L, ts("2024-01-01 10:00:05"), "t2")).toDF("sym", "t", "trade")

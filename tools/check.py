@@ -17,7 +17,11 @@ for f in glob.glob(f"{sf_dir}/*.parquet"):
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 ok = fail = 0
 dumped = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
-for missing in sorted(set(oracle) - dumped):
+expected = set(oracle)
+qlist = os.path.join(out_dir, "queries.json")
+if os.path.exists(qlist):  # includes rows-only queries
+    expected |= set(json.load(open(qlist)))
+for missing in sorted(expected - dumped):
     print(f"{missing:24s} *** NO SPARK DUMP (query failed in Verify) ***")
     fail += 1
 for name in sorted(os.listdir(out_dir)):
