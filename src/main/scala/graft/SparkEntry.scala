@@ -287,6 +287,41 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),
 
+    "q7_nation_trade" -> ((s, dir) => {
+      // TPC-H Q7 adaptation: trade volume between two nation pairs by year
+      val n1 = broadcast(t(s, dir, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation").select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+                (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    "q9_nation_profit" -> ((s, dir) =>
+      // TPC-H Q9 adaptation (no partsupp table): profit by supplier nation and year
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("profit"))),
+
+    "q10_returned_items" -> ((s, dir) =>
+      // TPC-H Q10 adaptation: top 20 customers by returned-item revenue
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)),
+
     "q_window_topn" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderstatus"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -664,6 +699,40 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY n_name""",
+
+    "q7_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS INT) AS l_year,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         GROUP BY 1, 2, 3""",
+
+    "q9_nation_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1, 2""",
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE l_returnflag = 'R'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, c_custkey ASC
+         LIMIT 20""",
 
     "q_window_topn" ->
       """SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rk
