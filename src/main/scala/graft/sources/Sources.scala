@@ -32,14 +32,25 @@ final case class ParquetSource(paths: String*) extends Source {
 }
 
 /** reference: eel-core .../component/parquet/ParquetSink.scala.
-  * `partitionBy` gives hive-style directory partitioning — the scale
-  * path for selective reads (partition pruning at 100 TB). */
+  * `partitionCols` gives hive-style directory partitioning (partition
+  * pruning); `rangeClusterCols` additionally range-repartitions and
+  * sorts within partitions so each output file covers a disjoint key
+  * range — parquet row-group min/max stats then prune file reads for
+  * range predicates (the poor man's Z-order, exact for one key). */
 final case class ParquetSink(path: String,
                              mode: SaveMode = SaveMode.Overwrite,
                              partitionCols: Seq[String] = Nil,
+                             rangeClusterCols: Seq[String] = Nil,
+                             rangePartitions: Option[Int] = None,
                              compression: String = "zstd") extends Sink {
   def write(df: DataFrame): Unit = {
-    val w = df.write.mode(mode).option("compression", compression)
+    val rangeCols = rangeClusterCols.map(org.apache.spark.sql.functions.col)
+    val clustered =
+      if (rangeClusterCols.isEmpty) df
+      else rangePartitions.fold(df.repartitionByRange(rangeCols: _*))(
+          n => df.repartitionByRange(n, rangeCols: _*))
+        .sortWithinPartitions(rangeCols: _*)
+    val w = clustered.write.mode(mode).option("compression", compression)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 }

@@ -97,6 +97,26 @@ class SourcesSpec extends SparkSpec {
     assert(DevNullSink != null)
   }
 
+  test("range-clustered parquet: each file covers a disjoint key range") {
+    val p = tmp("rangecluster")
+    val df = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    ParquetSink(p, rangeClusterCols = Seq("o_orderkey"), rangePartitions = Some(4))
+      .write(df.repartition(8))
+    // per-file min/max must not overlap if range clustering worked
+    val files = new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1)
+    val ranges = files.map { f =>
+      val stats = spark.read.parquet(f.getPath)
+        .agg(org.apache.spark.sql.functions.min("o_orderkey"),
+          org.apache.spark.sql.functions.max("o_orderkey")).head()
+      (stats.getLong(0), stats.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, s"overlapping file ranges")
+      case _ =>
+    }
+  }
+
   test("bucketed tables join without an exchange") {
     import org.apache.spark.sql.execution.exchange.Exchange
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")

@@ -37,6 +37,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size >= batch.size / 2)
   }
 
+  test("stream-static join enriches events with a dimension table") {
+    val events = Tables.events(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString + "/events"
+    events.coalesce(1).write.parquet(dir)
+    val userDim = events.select(col("user_id")).distinct()
+      .withColumn("user_tier", (col("user_id") % 3).cast("int"))
+    val stream = StreamOps.parquetStream(spark, dir, events.schema)
+    val enriched = stream.join(userDim, Seq("user_id")) // static side broadcast per micro-batch
+      .groupBy("user_tier").count()
+    val out = StreamOps.runToMemory(enriched, "ssj", outputMode = "complete")
+    assert(out.count() == 3)
+    assert(out.agg(sum(col("count"))).head.getLong(0) == events.count())
+  }
+
   test("streaming dedup drops repeated ids within the watermark") {
     val events = Tables.events(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString + "/events"
