@@ -29,6 +29,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Order-independent money sum: per-row cast to decimal (exact,
+    * deterministic on both engines for non-boundary doubles), exact
+    * decimal addition, then round — float sums differ across partition
+    * orders by ~n·ulp, which occasionally lands a .xx5 boundary on one
+    * engine only. SQL twin: [[dsumSql]]. */
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(sum(c.cast(DecimalType(18, 6))), 2).cast("double")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.1 DataStream transforms -----------------------------------
     "ds_projection" -> ((s, dir) =>
@@ -185,7 +193,7 @@ object SparkEntry {
 
     "gds_aggregated" -> ((s, dir) =>
       Gds(t(s, dir, "lineitem")).aggregated()
-        .agg(round(sum(col("l_extendedprice")), 2).as("total_price"),
+        .agg(dsum(col("l_extendedprice")).as("total_price"),
              count(lit(1)).as("n_rows"),
              round(avg(col("l_quantity")), 6).as("avg_qty")).toDF),
 
@@ -235,7 +243,7 @@ object SparkEntry {
 
     "sql_context" -> ((s, dir) => {
       val ctx = GraftSqlContext.withTables(s, dir)
-      ctx.sql("""SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+      ctx.sql("""SELECT n_name, count(*) AS n_cust, CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
                  FROM customer JOIN nation ON c_nationkey = n_nationkey
                  GROUP BY n_name""").toDF
     }),
@@ -247,9 +255,9 @@ object SparkEntry {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
           round(avg(col("l_quantity")), 6).as("avg_qty"),
           round(avg(col("l_extendedprice")), 6).as("avg_price"),
           round(avg(col("l_discount")), 6).as("avg_disc"),
@@ -264,7 +272,7 @@ object SparkEntry {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
@@ -284,7 +292,7 @@ object SparkEntry {
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       joined.groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
     }),
 
     "q7_nation_trade" -> ((s, dir) => {
@@ -300,7 +308,7 @@ object SparkEntry {
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
                 (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
     }),
 
     "q9_nation_profit" -> ((s, dir) =>
@@ -310,7 +318,7 @@ object SparkEntry {
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("profit"))),
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("profit"))),
 
     "q10_returned_items" -> ((s, dir) =>
       // TPC-H Q10 adaptation: top 20 customers by returned-item revenue
@@ -318,7 +326,7 @@ object SparkEntry {
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)),
 
@@ -632,7 +640,7 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag""",
 
     "gds_aggregated" ->
-      """SELECT round(sum(l_extendedprice), 2) AS total_price,
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
                 count(*) AS n_rows,
                 round(avg(l_quantity), 6) AS avg_qty
          FROM lineitem""",
@@ -658,16 +666,16 @@ object SparkEntry {
       "SELECT c_custkey, c_name, c_nationkey FROM customer",
 
     "sql_context" ->
-      """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+      """SELECT n_name, count(*) AS n_cust, CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name""",
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 2) AS sum_qty,
-                round(sum(l_extendedprice), 2) AS sum_base_price,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
                 round(avg(l_quantity), 6) AS avg_qty,
                 round(avg(l_extendedprice), 6) AS avg_price,
                 round(avg(l_discount), 6) AS avg_disc,
@@ -678,7 +686,7 @@ object SparkEntry {
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
          FROM customer, orders, lineitem
          WHERE c_mktsegment = 'BUILDING'
            AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -690,7 +698,7 @@ object SparkEntry {
 
     "q5_nation_revenue" ->
       """SELECT n_name,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
          FROM customer, orders, lineitem, supplier, nation, region
          WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
            AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -703,7 +711,7 @@ object SparkEntry {
     "q7_nation_trade" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                 CAST(year(l_shipdate) AS INT) AS l_year,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
          FROM lineitem
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN orders ON l_orderkey = o_orderkey
@@ -716,7 +724,7 @@ object SparkEntry {
 
     "q9_nation_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS profit
          FROM lineitem
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN orders ON l_orderkey = o_orderkey
@@ -725,7 +733,7 @@ object SparkEntry {
 
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, c_mktsegment,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -748,7 +756,8 @@ object SparkEntry {
 
     "evt_window_agg" ->
       """SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start, event_type,
-                count(*) AS n_events, round(sum(value), 2) AS sum_value
+                count(*) AS n_events,
+                CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
 
     "evt_sessionize" ->

@@ -18,7 +18,9 @@ object TimeSeries {
     val bucket = (floor(col(tsCol).cast("double") / (widthMinutes * 60)) * (widthMinutes * 60))
       .cast("timestamp").as("window_start")
     events.groupBy(bucket +: groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        // decimal accumulation: order-independent, oracle-stable
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"))
   }
 
   /** Gap-based sessionization: a new session starts when the gap to the

@@ -30,7 +30,8 @@ object StreamOps {
     events
       .withWatermark(tsCol, s"$watermarkMinutes minutes")
       .groupBy(window(col(tsCol), s"$widthMinutes minutes") +: groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
 
   /** One sessionization event: key + event time (the watermarked
     * column must survive into the grouped Dataset, hence a real

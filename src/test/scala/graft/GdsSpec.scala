@@ -121,6 +121,17 @@ class GdsSpec extends SparkSpec {
     assert(z.map(row => (row.getString(0), row.getInt(1))).toSet == Set(("a", 3), ("b", 2), ("c", 1)))
   }
 
+  test("mapRows / explodeRows closure escape hatches") {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(StructField("name", StringType), StructField("age", IntegerType)))
+    val mapped = people.projection("name", "age")
+      .mapRows(r => Row(r.getString(0).toUpperCase, r.getInt(1) + 1), schema)
+    assert(mapped.find(col("name") === "ALICE").get.getInt(1) == 31)
+    val exploded = people.projection("name", "age")
+      .explodeRows(r => Seq.fill(2)(r), schema)
+    assert(exploded.count == 8)
+  }
+
   test("explodeCol flattens arrays") {
     val df = Gds(Seq((1, Seq("x", "y"))).toDF("id", "arr"))
     assert(df.explodeCol(col("arr"), "el").count == 2)

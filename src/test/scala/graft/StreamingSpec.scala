@@ -37,6 +37,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size >= batch.size / 2)
   }
 
+  test("toParquetSink writes a checkpointed stream to parquet") {
+    val events = Tables.events(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_psink").toString
+    events.coalesce(1).write.parquet(s"$base/in")
+    val stream = StreamOps.parquetStream(spark, s"$base/in", events.schema)
+    val q = StreamOps.toParquetSink(stream.select("event_id", "event_type"),
+      s"$base/out", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$base/out").count() == events.count())
+    assert(new java.io.File(s"$base/ckpt").exists()) // exactly-once bookkeeping
+  }
+
   test("stream-static join enriches events with a dimension table") {
     val events = Tables.events(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString + "/events"
@@ -74,7 +87,7 @@ class StreamingSpec extends SparkSpec {
       watermarkMinutes = 120, groupCols = Seq("event_type"))
     val streamed = StreamOps.runToMemory(agg, "win_agg", outputMode = "complete")
       .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+        col("n_events"), round(col("sum_value"), 2).cast("double").as("sum_value"))
 
     val batch = TimeSeries.tumblingAgg(events, "ts", 60, Seq("event_type"))
 
