@@ -67,6 +67,24 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 5L)) == 0.0)
   }
 
+  test("duplicate-heavy corpus: 10-clone clusters fully collapse to one keeper") {
+    // every sf0.001 document cloned 10x under distinct ids
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val clones = (0 until 10).map(i =>
+      base.select((col("doc_id") * 10 + i).as("doc_id"), col("text"))).reduce(_ union _)
+    val n = base.count()
+    val pairs = Dedup.minhashPairs(clones, "doc_id", "text", maxBucketSize = 5000)
+      .select("id_l", "id_r")
+    val keep = Dedup.dedupeKeepList(clones, pairs, "doc_id")
+    val kept = keep.filter(col("keep")).count()
+    // exact clones always collide in every band -> each 10-cluster keeps
+    // exactly 1; cross-document near-dups can merge clusters further
+    assert(kept <= n)
+    assert(kept >= n / 2)
+    val clusterSizes = keep.groupBy("canonical_id").count()
+    assert(clusterSizes.filter(col("count") >= 10).count() >= n / 2)
+  }
+
   test("bucket cap drops degenerate buckets instead of exploding") {
     val spam = (1L to 50L).map(i => (i, "same spam text every time")).toDF("id", "text")
     val capped = Dedup.minhashPairs(spam, "id", "text", maxBucketSize = 10)
