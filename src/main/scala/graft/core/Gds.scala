@@ -166,14 +166,20 @@ final case class Gds(df: DataFrame) {
     Gds(df.join(rhs, Seq(key)))
   }
   /** eel `concat` (DataStream.scala:380) zips two streams positionally.
-    * Distributed form: row_number over an explicit order on each side,
-    * then an equi-join on that ordinal. */
+    * Distributed form: global ordinals from range-partition + in-
+    * partition sort + `zipWithIndex` (one small count job for partition
+    * offsets), then an equi-join on the ordinal — NOT a row_number over
+    * an unpartitioned window, which Spark executes as a single-
+    * partition sort and would bottleneck at scale. */
   def zip(other: Gds, leftOrder: Column, rightOrder: Column): Gds = {
-    import org.apache.spark.sql.expressions.Window
-    val l = df.withColumn("__rn", row_number().over(Window.orderBy(leftOrder)))
-    val rightCols = other.df.columns
-    val r = other.df.withColumn("__rn", row_number().over(Window.orderBy(rightOrder)))
-    Gds(l.join(r, Seq("__rn"), "inner").drop("__rn"))
+    def ordinal(d: DataFrame, order: Column): DataFrame = {
+      val sorted = d.repartitionByRange(order).sortWithinPartitions(order)
+      val schema = sorted.schema.add("__rn", org.apache.spark.sql.types.LongType, nullable = false)
+      sorted.sparkSession.createDataFrame(
+        sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }, schema)
+    }
+    Gds(ordinal(df, leftOrder).join(ordinal(other.df, rightOrder), Seq("__rn"), "inner")
+      .drop("__rn"))
   }
 
   // ---- explode ---------------------------------------------------------
