@@ -160,11 +160,16 @@ object Dedup {
     val banded = sigs.select(col(idCol), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bucket")))
+    // cache: consumed by the candidate-id semi-join AND the pair join;
+    // without it the whole signature pipeline re-executes per branch
     val cand = pairsFromBuckets(banded.select(idCol, "band", "bucket"), idCol,
-      Seq("band", "bucket"), maxBucketSize)
+      Seq("band", "bucket"), maxBucketSize).cache()
+    // recompute signatures only for docs in a candidate pair (tiny)
+    val candIds = cand.select(explode(array(col("id_l"), col("id_r"))).as(idCol)).distinct()
+    val candSigs = simhashSignatures(df.join(candIds, Seq(idCol), "left_semi"), idCol, textCol)
     cand
-      .join(sigs.select(col(idCol).as("id_l"), col("sig").as("sig_l")), "id_l")
-      .join(sigs.select(col(idCol).as("id_r"), col("sig").as("sig_r")), "id_r")
+      .join(candSigs.select(col(idCol).as("id_l"), col("sig").as("sig_l")), "id_l")
+      .join(candSigs.select(col(idCol).as("id_r"), col("sig").as("sig_r")), "id_r")
       .select(col("id_l"), col("id_r"),
         bit_count(col("sig_l").bitwiseXOR(col("sig_r"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
