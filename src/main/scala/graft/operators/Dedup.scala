@@ -205,7 +205,10 @@ object Dedup {
         r
       }
       val allIds = scala.collection.mutable.Set.empty[Long]
-      pairs.select(col("id_l").cast("long"), col("id_r").cast("long")).collect().foreach { row =>
+      // collect from the cached edges relation (one direction) so the
+      // upstream pair pipeline is not re-executed
+      edges.filter(col("src") < col("dst"))
+        .select(col("src").cast("long"), col("dst").cast("long")).collect().foreach { row =>
         allIds += row.getLong(0) += row.getLong(1)
         val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
         if (a != b) { val (lo, hi) = if (a < b) (a, b) else (b, a); parent(hi) = lo }
