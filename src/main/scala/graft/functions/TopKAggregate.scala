@@ -77,6 +77,7 @@ final class TopKBuffer(val k: Int) {
     s1 < s2 || (s1 == s2 && i1 > i2)
 
   def add(s: Double, i: Long): Unit = {
+    if (s.isNaN) return // undefined score (e.g. cosine with a zero vector)
     if (n < k) {
       scores(n) = s; ids(n) = i; n += 1
       var c = n - 1

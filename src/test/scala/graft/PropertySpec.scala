@@ -67,6 +67,21 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("NearestCentroids.select: k distinct in-range ids, zero vector safe") {
+    val centroids = Array.tabulate(4 * 8)(i => math.sin(i * 1.3)) // 4 centroids, dim 8
+    check(Prop.forAll(Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0)), Gen.chooseNum(1, 6)) { (v, np) =>
+      val out = graft.functions.VectorExpressions.NearestCentroids
+        .select(v.toArray, centroids, 8, 4, np)
+      out.length == math.min(np, 4) && out.distinct.length == out.length &&
+        out.forall(i => i >= 0 && i < 4)
+    })
+    // all-NaN similarity path (zero vector) must not crash and must
+    // still return distinct ids
+    val z = graft.functions.VectorExpressions.NearestCentroids
+      .select(Array.fill(8)(0.0), centroids, 8, 4, 3)
+    assert(z.toSeq == Seq(0, 1, 2))
+  }
+
   test("sequence CSV codec roundtrips arbitrary strings (null -> empty)") {
     val field = Gen.oneOf(Gen.const(null: String),
       Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(',', '"', '\n', ' '))).map(_.mkString))

@@ -100,6 +100,19 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfSet.intersect(bf).size.toDouble / bf.size > 0.4)
   }
 
+  test("ivfTopK survives zero vectors in corpus and queries") {
+    val corpus = Seq(
+      (1L, Seq.fill(8)(0f)), // zero vector: NaN cosine everywhere
+      (2L, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)),
+    ).toDF("id", "v")
+    val queries = Seq((10L, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))).toDF("qid", "qv")
+    val out = Similarity.ivfTopK(corpus, queries, "id", "v", "qid", "qv",
+      k = 2, dim = 8, nCentroids = 2, nProbe = 2)
+    // must not crash; the unit query must find its identical corpus vector
+    assert(out.filter(col("rank") === 1).head().getAs[Long]("id") == 2L)
+  }
+
   test("lshTopK returns the exact match in its candidates") {
     val dim = 16
     val corpus = (1 to 200).map { i =>
