@@ -26,9 +26,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach { name => // warm-up: compile codegen classes off the clock
-      try SparkEntry.queries(name)(spark, warmDir).count()
-      catch { case _: Throwable => () }
+    // warm-up 1: tiny SF compiles every generated codegen class
+    // warm-up 2: target SF warms shuffle/file-handle/page-cache paths —
+    // the measured pass then reports steady-state execution, which is
+    // what a long-lived cluster observes
+    Seq(warmDir, sfDir).foreach { dir =>
+      names.foreach { name =>
+        try SparkEntry.queries(name)(spark, dir).count()
+        catch { case _: Throwable => () }
+      }
+      // drop caches accumulated by operators' internal .cache() calls —
+      // three passes' worth would otherwise squeeze execution memory
+      spark.catalog.clearCache()
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
