@@ -33,20 +33,33 @@ object Bench {
     Seq(warmDir, sfDir).foreach { dir =>
       names.foreach { name =>
         try SparkEntry.queries(name)(spark, dir).count()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          // warm-up failures are not fatal (the measured pass decides)
+          // but never silent: name the query and the error
+          System.err.println(s"[bench-warmup] $name failed at $dir: " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
       }
       // drop caches accumulated by operators' internal .cache() calls —
       // three passes' worth would otherwise squeeze execution memory
       spark.catalog.clearCache()
     }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { SparkEntry.queries(name)(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED at $sfDir: " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
 }
