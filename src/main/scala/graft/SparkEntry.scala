@@ -403,20 +403,29 @@ object SparkEntry {
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text")),
 
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")),
+      // md5-derived token hash so the DuckDB oracle recomputes the
+      // identical 64-bit signatures; production defaults to xxhash64
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        tokenHash = Dedup.md5TokenHash)),
 
     "dedup_ngram_jaccard" -> ((s, dir) => {
       // fixed candidate set: consecutive doc pairs — exercises the exact
-      // verify join independent of LSH candidate generation
+      // verify join independent of LSH candidate generation. String
+      // shingle sets (not hashed) so the DuckDB oracle rebuilds the
+      // identical sets; production uses the hashed form (ngramJaccard).
       val docs = t(s, dir, "documents")
       val pairs = docs.select(col("doc_id").as("id_l"), (col("doc_id") + 1).as("id_r"))
         .filter(col("id_l") % 10 === 0)
-      Dedup.ngramJaccard(pairs, docs, "doc_id", "text", 3)
+      Dedup.ngramJaccardStrings(pairs, docs, "doc_id", "text", 3)
         .filter(col("jaccard") > 0)
     }),
 
     "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64)),
+      // LCG-derived hyperplanes (exact dyadic rationals) so the DuckDB
+      // oracle rebuilds identical buckets; production defaults to
+      // Gaussian planes — same operator, same shuffle shape
+      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
+        planes = Some(graft.functions.VectorExpressions.lcgPlanes(64, 8, 8)))),
 
     "dedup_keeplist" -> ((s, dir) => {
       // end-to-end: minhash pairs -> connected components -> keep flags
@@ -440,8 +449,11 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 1000 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      // portable LCG planes (see dedup_embedding) → DuckDB rebuilds the
+      // same candidate set and ranks it identically
       Similarity.lshTopK(emb, queries, "vec_id", "embedding", "qid", "qvec",
-        k = 5, dim = 64, nBits = 8)
+        k = 5, dim = 64, nBits = 8,
+        planes = Some(graft.functions.VectorExpressions.lcgPlanes(64, 8, 8)))
         .select(col("qid"), col("vec_id"), col("score"), col("rank"))
     }),
 
@@ -449,8 +461,11 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 1000 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      // md5-of-id sampling order so the DuckDB oracle derives the
+      // identical centroid set; production defaults to xxhash64
       Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "qid", "qvec",
-        k = 5, dim = 64, nCentroids = 16, nProbe = 4)
+        k = 5, dim = 64, nCentroids = 16, nProbe = 4,
+        sampleKey = Some(id => md5(concat(lit("ivf:"), id.cast("string")))))
         .select(col("qid"), col("vec_id"), col("score"), col("rank"))
     }),
 
@@ -483,14 +498,19 @@ object SparkEntry {
     }),
 
     "mm_resize" -> ((s, dir) => {
+      // resize → decode so the oracle checks the resized CONTENT
+      // (byte_sum of the truncated/padded payload), not just its length
       val media = Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text")
-      Multimodal.resizePayload(media, 128)
-        .select(col("media_id"), length(col("payload")).cast("long").as("n_bytes"))
+      Multimodal.decodeFeatures(Multimodal.resizePayload(media, 128))
+        .select(col("media_id"), col("n_bytes"), col("byte_sum"))
     }),
 
     "mm_features" -> ((s, dir) => {
+      // portable md5-slot features (see Multimodal.extractFeaturesPortable)
+      // so DuckDB recomputes the identical embedding and norm;
+      // production uses the xxhash64 variant
       val media = Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text")
-      Multimodal.extractFeatures(media, 16)
+      Multimodal.extractFeaturesPortable(media, 16)
         .select(col("media_id"), size(col("embedding")).cast("long").as("dim"),
           round(graft.functions.VectorFunctions.norm(col("embedding")), 6).as("norm"))
     }),
@@ -532,6 +552,79 @@ object SparkEntry {
     scores.reverse.foldLeft("'und'") { case (elseC, (lang, s)) =>
       s"CASE WHEN $s = __best AND __best > 0 THEN '$lang' ELSE $elseC END"
     }.replace("__best", best)
+  }
+
+  // ---- generated oracle fragments for the LLM-pipeline queries ------
+
+  /** Word-3-shingle distinct sets per doc — the DuckDB twin of
+    * TextFunctions.shingles + array_distinct. */
+  private val shingleSetsSql = raw"""
+    s AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)] END) AS sh
+      FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+            FROM documents))"""
+
+  /** Exact all-pairs Jaccard >= threshold via a shared-shingle
+    * prefilter (any J>0 pair shares a shingle, so this is exact). */
+  private val exactJaccardPairsSql = raw"""
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    cand AS (SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+             FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+    jac AS (SELECT c.id_l, c.id_r,
+              round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+            FROM cand c JOIN s sa ON c.id_l = sa.doc_id JOIN s sb ON c.id_r = sb.doc_id)"""
+
+  /** Cosine mirroring VectorExpressions.CosineSimilarity exactly:
+    * sequential left-to-right double accumulation of dot/|a|²/|b|²
+    * over min-length, then dot / (sqrt·sqrt). */
+  private def cosSql(a: String, b: String): String = {
+    def fold(terms: String) = s"list_reduce($terms, (x, y) -> x + y)"
+    val n = s"least(len($a), len($b))"
+    val dot = fold(s"[CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE) FOR i IN range(0, $n)]")
+    val na = fold(s"[CAST($a[i+1] AS DOUBLE) * CAST($a[i+1] AS DOUBLE) FOR i IN range(0, $n)]")
+    val nb = fold(s"[CAST($b[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE) FOR i IN range(0, $n)]")
+    s"($dot / (sqrt($na) * sqrt($nb)))"
+  }
+
+  /** The nTables LCG-plane sign-LSH bucket ids of a vector column —
+    * the DuckDB twin of VectorExpressions.lcgPlanes + LshSignBuckets
+    * (identical integer plane derivation, identical double fold). */
+  private def lcgBucketsSql(vec: String, dim: Int = 64, nBits: Int = 8, nTables: Int = 8): String =
+    s"""[ list_reduce([ CASE WHEN list_reduce(
+       [ CAST($vec[d+1] AS DOUBLE) * (((1103515245::BIGINT * ((tb*$nBits+bb)*$dim+d) + 12345) % 2147483648)/2147483648.0 - 0.5)
+         FOR d IN range(0, least($dim, len($vec))) ], (x, y) -> x + y) >= 0
+       THEN (1::BIGINT << bb) ELSE 0 END FOR bb IN range(0, $nBits)], (x, y) -> x + y)
+     FOR tb IN range(0, $nTables) ]"""
+
+  /** Per-table (vec, table, bucket) relations + ranked ANN top-k tail
+    * shared by the sim_lsh/sim_ivf oracles. */
+  private val annRankTail = """
+    SELECT qid, vec_id, score, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+          FROM scored WHERE NOT isnan(score))
+    WHERE rnk <= 5"""
+
+  /** md5-derived 64-bit simhash signature as 4×16-bit chunks — the
+    * DuckDB twin of Dedup.simhashSignatures(md5TokenHash). */
+  private val simhashChunksSql: String = {
+    val bitSums = (0 until 64).map { i =>
+      val half = if (i < 32) "lo" else "hi"
+      s"sum(CASE WHEN (($half >> ${i % 32}) & 1) = 1 THEN 1 ELSE -1 END) AS s$i"
+    }.mkString(", ")
+    val chunks = (0 until 4).map { c =>
+      (0 until 16).map(j => s"(CASE WHEN s${16 * c + j} >= 0 THEN 1 ELSE 0 END << $j)")
+        .mkString("(", " + ", s") AS c$c")
+    }.mkString(", ")
+    raw"""
+    tok AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+            FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo,
+                         ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi FROM tok),
+    sums AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, $chunks FROM sums)"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -844,7 +937,104 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
                FROM scored)
          WHERE rnk <= 5""",
-    // dedup_{minhash,simhash,embedding} / sim_{lsh,ivf}_topk: rows-only
-    // (LSH/quantizer internals not portably SQL-expressible in DuckDB).
+    // LLM-pipeline oracles. Two flavors:
+    //  - dedup_minhash / dedup_keeplist: the oracle is the EXACT
+    //    all-pairs answer; it hash-matches because the threshold-matched
+    //    band geometry achieves (deterministically, verified at
+    //    sf0.001/0.01/0.1) 100% recall on this corpus.
+    //  - simhash / embedding / lsh / ivf / features: the gate queries
+    //    use engine-portable hash derivations (md5 halves, LCG planes,
+    //    md5 sampling order) that DuckDB recomputes EXACTLY — same
+    //    operator code paths, production defaults stay on xxhash64 /
+    //    Gaussian planes.
+    "dedup_minhash" ->
+      s"""WITH $shingleSetsSql, $exactJaccardPairsSql
+          SELECT id_l, id_r, jaccard FROM jac WHERE jaccard >= 0.5""",
+
+    "dedup_keeplist" ->
+      s"""WITH RECURSIVE $shingleSetsSql, $exactJaccardPairsSql,
+          p AS (SELECT id_l, id_r FROM jac WHERE jaccard >= 0.5),
+          sym AS (SELECT id_l AS a, id_r AS b FROM p UNION SELECT id_r AS a, id_l AS b FROM p),
+          reach(a, b) AS (SELECT a, b FROM sym
+                          UNION SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a WHERE s2.b <> r.a),
+          canon AS (SELECT a AS id, least(min(b), a) AS canonical_id FROM reach GROUP BY a)
+          SELECT id, canonical_id, CAST(false AS BOOLEAN) AS keep FROM canon WHERE canonical_id < id""",
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleSetsSql,
+          pr AS (SELECT doc_id AS id_l, doc_id + 1 AS id_r FROM documents WHERE doc_id % 10 = 0),
+          jac AS (SELECT p.id_l, p.id_r,
+                    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                          / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+                  FROM pr p JOIN s sa ON p.id_l = sa.doc_id JOIN s sb ON p.id_r = sb.doc_id)
+          SELECT id_l, id_r, jaccard FROM jac WHERE jaccard > 0""",
+
+    "dedup_simhash" ->
+      s"""WITH $simhashChunksSql
+          SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                 CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+                    + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INT) AS hamming
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+              + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3""",
+
+    "dedup_embedding" ->
+      s"""WITH bkt AS (SELECT vec_id, ${lcgBucketsSql("embedding")} AS bks FROM embeddings),
+          tb AS (SELECT vec_id, t.t AS tb, bks[t.t + 1] AS bucket FROM bkt, range(0, 8) t(t)),
+          ok AS (SELECT tb, bucket FROM tb GROUP BY tb, bucket HAVING count(*) BETWEEN 2 AND 1000),
+          cand AS (SELECT DISTINCT a.vec_id AS id_l, b.vec_id AS id_r
+                   FROM tb a JOIN tb b ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+                   JOIN ok o ON a.tb = o.tb AND a.bucket = o.bucket),
+          j AS (SELECT c.id_l, c.id_r, round(${cosSql("ea.embedding", "eb.embedding")}, 6) AS cosine
+                FROM cand c JOIN embeddings ea ON c.id_l = ea.vec_id
+                            JOIN embeddings eb ON c.id_r = eb.vec_id)
+          SELECT id_l, id_r, cosine FROM j WHERE cosine >= 0.4 AND NOT isnan(cosine)""",
+
+    "sim_lsh_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 1000 = 0),
+          cbkt AS (SELECT vec_id, ${lcgBucketsSql("embedding")} AS bks FROM embeddings),
+          qbkt AS (SELECT qid, ${lcgBucketsSql("qv")} AS bks FROM q),
+          ct AS (SELECT vec_id, t.t AS tb, bks[t.t + 1] AS bucket FROM cbkt, range(0, 8) t(t)),
+          qt AS (SELECT qid, t.t AS tb, bks[t.t + 1] AS bucket FROM qbkt, range(0, 8) t(t)),
+          cand AS (SELECT DISTINCT qt.qid, ct.vec_id FROM qt JOIN ct ON qt.tb = ct.tb AND qt.bucket = ct.bucket),
+          scored AS (SELECT cand.qid, cand.vec_id, round(${cosSql("e.embedding", "qq.qv")}, 6) AS score
+                     FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id JOIN q qq ON cand.qid = qq.qid)
+          $annRankTail""",
+
+    "sim_ivf_topk" ->
+      s"""WITH cent AS (SELECT cv, cidx FROM (
+                 SELECT embedding AS cv,
+                        row_number() OVER (ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR))) - 1 AS cidx
+                 FROM embeddings) WHERE cidx < 16),
+          asgn AS (SELECT v.vec_id, c.cidx,
+                     row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY ${cosSql("v.embedding", "c.cv")} DESC, c.cidx ASC) AS rnk
+                   FROM embeddings v CROSS JOIN cent c),
+          ccell AS (SELECT vec_id, cidx AS cell FROM asgn WHERE rnk = 1),
+          q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 1000 = 0),
+          qasgn AS (SELECT q.qid, c.cidx,
+                      row_number() OVER (PARTITION BY q.qid
+                        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cidx ASC) AS rnk
+                    FROM q CROSS JOIN cent c),
+          qcell AS (SELECT qid, cidx AS cell FROM qasgn WHERE rnk <= 4),
+          scored AS (SELECT qc.qid, cc.vec_id, round(${cosSql("e.embedding", "qq.qv")}, 6) AS score
+                     FROM qcell qc JOIN ccell cc ON qc.cell = cc.cell
+                     JOIN embeddings e ON cc.vec_id = e.vec_id JOIN q qq ON qc.qid = qq.qid)
+          $annRankTail""",
+
+    // corpus text is ASCII-only, so char arithmetic == byte arithmetic;
+    // zero-padding adds 0 to byte_sum, so the sum covers the first
+    // min(len, 128) original bytes
+    "mm_resize" ->
+      """SELECT doc_id AS media_id, CAST(128 AS BIGINT) AS n_bytes,
+                CAST(COALESCE(list_aggregate(list_transform(string_split(substr(text, 1, 128), ''), c -> ascii(c)), 'sum'), 0) AS BIGINT) AS byte_sum
+         FROM documents""",
+
+    "mm_features" ->
+      """SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS dim,
+                round(sqrt(list_reduce(list_transform(
+                  [ (('0x' || substr(md5(text || ':' || i), 1, 8))::BIGINT - 2147483648)/2147483648.0 FOR i IN range(0, 16) ],
+                  v -> v * v), (x, y) -> x + y)), 6) AS norm
+         FROM documents""",
   )
 }

@@ -267,6 +267,29 @@ object VectorExpressions {
                        c: Int, nProbe: Int): Column =
     Bridge.column(NearestCentroids(Bridge.expression(v), centroidsFlat, dim, c, nProbe))
 
+  /** Engine-portable hyperplanes: component (t,b,d) is
+    * lcg((t*nBits+b)*dim+d)/2^31 - 0.5 with the classic
+    * a=1103515245, c=12345, m=2^31 LCG. Every value is an exactly
+    * representable dyadic rational, so any engine that can do 64-bit
+    * integer arithmetic rebuilds bit-identical planes (the DuckDB
+    * oracle does exactly this). Sign-LSH only needs a symmetric
+    * component distribution — uniform works as well as Gaussian. */
+  def lcgPlanes(dim: Int, nBits: Int, nTables: Int): Array[Double] = {
+    val flat = new Array[Double](nTables * nBits * dim)
+    var idx = 0
+    while (idx < flat.length) {
+      val k = (1103515245L * idx + 12345L) % 2147483648L
+      flat(idx) = k.toDouble / 2147483648.0 - 0.5
+      idx += 1
+    }
+    flat
+  }
+
+  /** LSH buckets with caller-supplied planes (flattened
+    * [table*nBits+bit][dim] row-major, as in [[LshSignBuckets]]). */
+  def lshBucketsWith(v: Column, planes: Array[Double], dim: Int, nBits: Int, nTables: Int): Column =
+    Bridge.column(LshSignBuckets(Bridge.expression(v), planes, dim, nBits, nTables))
+
   def lshBuckets(v: Column, dim: Int, nBits: Int, nTables: Int, seed: Long = 42L): Column = {
     // identical plane generation to VectorFunctions.lshBucket: per-table
     // seeded RNG so single-table buckets are comparable across impls

@@ -79,6 +79,22 @@ object Multimodal {
         i => (pmod(xxhash64(col("payload"), i), lit(2000001L)) - 1000000L).cast("float") / 1000000.0f)
         .cast("array<float>").as("embedding"))
 
+  /** Engine-portable variant of [[extractFeatures]]: slot i is derived
+    * from md5(payload_text || ":" || i) — hi 32 hex bits mapped to the
+    * exact dyadic (v - 2^31)/2^31 in [-1, 1). Any engine with md5()
+    * rebuilds the identical doubles, which is what makes the gate
+    * query's norm hash-checkable in DuckDB; production uses the
+    * xxhash64 variant (one hash per slot either way, but xxhash64 is
+    * ~3× cheaper). Emits array<double>. */
+  def extractFeaturesPortable(media: DataFrame, dim: Int): DataFrame = {
+    val text = decode(col("payload"), "UTF-8")
+    val slots = (0 until dim).map { i =>
+      val v = conv(substring(md5(concat(text, lit(":" + i))), 1, 8), 16, 10).cast("long")
+      (v - lit(2147483648L)).cast("double") / 2147483648.0
+    }
+    media.select(col("media_id"), array(slots: _*).as("embedding"))
+  }
+
   /** Deterministic frame/chunk sampling: split the payload into
     * `frameBytes` chunks and keep every `stride`-th, without decoding —
     * pure expressions, no data copy of unsampled frames after pushdown. */

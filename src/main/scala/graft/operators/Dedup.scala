@@ -90,14 +90,19 @@ object Dedup {
   }
 
   /** MinHash+LSH near-duplicate pairs, exact-verified with n-gram
-    * Jaccard >= `threshold`. */
-  /** Band geometry targets true near-dups: with r=8 rows/band the
-    * probability a J-similar pair shares a band is J^8 — ~0.43/band at
-    * J=0.9 (≈90% recall over 4 bands) while weakly-similar pairs from
-    * a shared vocabulary (J≈0.3 → 6.5e-5) never become candidates, so
-    * the exact-verify stage stays ~linear in the true-dup count. */
+    * Jaccard >= `threshold`.
+    *
+    * Band geometry is threshold-matched: the LSH S-curve midpoint is
+    * (1/b)^(1/r), so for the default threshold 0.5 we use b=16 bands of
+    * r=4 rows ((1/16)^(1/4) = 0.5 exactly). A J=0.8 true pair is then
+    * missed with probability (1-0.8^4)^16 ≈ 2e-4, while a J=0.3
+    * vocabulary-overlap pair becomes a candidate (and is rejected by
+    * the exact verify) only ~12% of the time — candidate volume stays
+    * ~linear in the true-dup count. (The earlier r=8 geometry had its
+    * midpoint at 0.84 and demonstrably missed J≈0.8 pairs.) When
+    * targeting a higher threshold, shrink b / grow r to match. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   numHashes: Int = 32, numBands: Int = 4, shingleK: Int = 3,
+                   numHashes: Int = 64, numBands: Int = 16, shingleK: Int = 3,
                    threshold: Double = 0.5, maxBucketSize: Int = 500): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
@@ -134,18 +139,55 @@ object Dedup {
           size(array_union(col("set_l"), col("set_r"))), 6).as("jaccard"))
   }
 
+  /** Exact n-gram Jaccard on candidate pairs over STRING shingle sets
+    * (no hashing). Same semantics as [[ngramJaccard]] minus the
+    * ~n²/2^64 hash-collision term; ~3× the shuffle width because the
+    * sets carry shingle text. Production uses the hashed form — this
+    * variant exists so the DuckDB oracle can rebuild identical sets
+    * from string_split, making the verify join hash-checkable
+    * end-to-end. */
+  def ngramJaccardStrings(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+                          shingleK: Int): DataFrame = {
+    val candIds = pairs.select(explode(array(col("id_l"), col("id_r"))).as(idCol)).distinct()
+    val sets = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("__id"),
+        array_distinct(T.shingles(col(textCol), shingleK)).as("__set"))
+    pairs
+      .join(sets.select(col("__id").as("id_l"), col("__set").as("set_l")), "id_l")
+      .join(sets.select(col("__id").as("id_r"), col("__set").as("set_r")), "id_r")
+      .select(col("id_l"), col("id_r"),
+        round(size(array_intersect(col("set_l"), col("set_r"))).cast("double") /
+          size(array_union(col("set_l"), col("set_r"))), 6).as("jaccard"))
+  }
+
+  /** 64-bit token hash for SimHash: xxhash64 (fast, the production
+    * default). */
+  def xxTokenHash(t: Column): Column = xxhash64(t)
+
+  /** 64-bit token hash derived from md5 (hi/lo 32-bit halves of the
+    * first 16 hex chars). ~3× slower than xxhash64 but recomputable by
+    * any engine with an md5() function — used by the gate query so the
+    * DuckDB oracle can rebuild the identical signatures. */
+  def md5TokenHash(t: Column): Column = {
+    val hex = md5(t)
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
   /** 64-bit SimHash signatures as a relation: (id, sig long).
-    * Per bit i, sum +1/-1 over the i-th bit of each token's xxhash64;
-    * bit set when the sum is non-negative. Same explode→hash-once→
-    * 64 map-side partial-sum aggregates shape as [[minhashSignatures]]
-    * (shuffle carries 64 ints/doc, fully codegen'd). */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * Per bit i, sum +1/-1 over the i-th bit of each token's 64-bit
+    * hash; bit set when the sum is non-negative. Same explode→
+    * hash-once→64 map-side partial-sum aggregates shape as
+    * [[minhashSignatures]] (shuffle carries 64 ints/doc, codegen'd). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        tokenHash: Column => Column = xxTokenHash): DataFrame = {
     val bitSums = (0 until 64).map(i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__b$i"))
     val packed = (0 until 64).map(i =>
       when(col(s"__b$i") >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
     df.select(col(idCol), explode(T.tokens(col(textCol))).as("__t"))
-      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+      .select(col(idCol), tokenHash(col("__t")).as("__h"))
       .groupBy(col(idCol))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol), packed.as("sig"))
@@ -153,10 +195,13 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 64 bits into 4×16-bit chunks
     * (any shared chunk → candidate; catches hamming distance <= 3 by
-    * pigeonhole), verify with exact hamming via bit_count(xor). */
+    * pigeonhole, i.e. candidate generation is EXACT for the default
+    * maxHamming=3 as long as no bucket exceeds `maxBucketSize`),
+    * verify with exact hamming via bit_count(xor). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol)
+                   maxHamming: Int = 3, maxBucketSize: Int = 1000,
+                   tokenHash: Column => Column = xxTokenHash): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, textCol, tokenHash)
     val banded = sigs.select(col(idCol), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bucket")))
@@ -166,7 +211,7 @@ object Dedup {
       Seq("band", "bucket"), maxBucketSize).cache()
     // recompute signatures only for docs in a candidate pair (tiny)
     val candIds = cand.select(explode(array(col("id_l"), col("id_r"))).as(idCol)).distinct()
-    val candSigs = simhashSignatures(df.join(candIds, Seq(idCol), "left_semi"), idCol, textCol)
+    val candSigs = simhashSignatures(df.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, tokenHash)
     cand
       .join(candSigs.select(col(idCol).as("id_l"), col("sig").as("sig_l")), "id_l")
       .join(candSigs.select(col(idCol).as("id_r"), col("sig").as("sig_r")), "id_r")
@@ -259,12 +304,19 @@ object Dedup {
 
   /** Embedding near-dup: multi-table random-hyperplane LSH candidate
     * generation (same bucket in any table) then exact cosine verify.
-    * Shuffle carries (id, table, bucket) longs — never the vectors. */
+    * Shuffle carries (id, table, bucket) longs — never the vectors.
+    * `planes` overrides the default Gaussian hyperplanes (the gate
+    * query passes LCG-derived planes the DuckDB oracle can rebuild). */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                      threshold: Double = 0.4, nBits: Int = 8, nTables: Int = 8,
-                     maxBucketSize: Int = 1000): DataFrame = {
+                     maxBucketSize: Int = 1000,
+                     planes: Option[Array[Double]] = None): DataFrame = {
+    val bucketCol = planes match {
+      case Some(p) => graft.functions.VectorExpressions.lshBucketsWith(col(vecCol), p, dim, nBits, nTables)
+      case None    => V.lshBuckets(col(vecCol), dim, nBits, nTables)
+    }
     val bucketed = df.select(col(idCol),
-        posexplode(V.lshBuckets(col(vecCol), dim, nBits, nTables)).as(Seq("table", "bucket")))
+        posexplode(bucketCol).as(Seq("table", "bucket")))
     val cand = pairsFromBuckets(bucketed, idCol, Seq("table", "bucket"), maxBucketSize)
     val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     cand

@@ -48,11 +48,16 @@ object Similarity {
     * cos^nBits). Cost ~ nTables * corpus/2^nBits per query. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, qidCol: String, qvecCol: String,
-              k: Int, dim: Int, nBits: Int = 8, nTables: Int = 8): DataFrame = {
+              k: Int, dim: Int, nBits: Int = 8, nTables: Int = 8,
+              planes: Option[Array[Double]] = None): DataFrame = {
+    def buckets(v: org.apache.spark.sql.Column) = planes match {
+      case Some(p) => VectorExpressions.lshBucketsWith(v, p, dim, nBits, nTables)
+      case None    => V.lshBuckets(v, dim, nBits, nTables)
+    }
     val cb = corpus.select(col(idCol), col(vecCol),
-      posexplode(V.lshBuckets(col(vecCol), dim, nBits, nTables)).as(Seq("__table", "__bucket")))
+      posexplode(buckets(col(vecCol))).as(Seq("__table", "__bucket")))
     val qb = broadcast(queries.select(col(qidCol), col(qvecCol),
-      posexplode(V.lshBuckets(col(qvecCol), dim, nBits, nTables)).as(Seq("__table", "__bucket"))))
+      posexplode(buckets(col(qvecCol))).as(Seq("__table", "__bucket"))))
     // score in place, then dedup multi-table hits on (qid, id): the
     // dedup shuffle carries 3 scalars, never the vectors
     val scored = cb.join(qb, Seq("__table", "__bucket"))
@@ -78,11 +83,16 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, qidCol: String, qvecCol: String,
               k: Int, dim: Int, nCentroids: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L): DataFrame = {
-    // deterministic "kmeans-lite": hash-sample nCentroids corpus vectors
+              seed: Long = 42L,
+              sampleKey: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None): DataFrame = {
+    // deterministic "kmeans-lite": hash-sample nCentroids corpus
+    // vectors. `sampleKey` overrides the xxhash64 sampling order (the
+    // gate query passes an md5-of-id key so the DuckDB oracle can
+    // derive the identical centroid set).
+    val keyOf = sampleKey.getOrElse((id: org.apache.spark.sql.Column) => xxhash64(id, lit(seed)))
     val sampled = corpus
       .select(col(idCol).cast("long").as("__id"), col(vecCol).cast("array<double>").as("__v"))
-      .orderBy(xxhash64(col("__id"), lit(seed)))
+      .orderBy(keyOf(col("__id")))
       .limit(nCentroids)
       .collect()
     val c = sampled.length
