@@ -197,10 +197,44 @@ final case class Gds(df: DataFrame) {
   /** eel `aggregated()` (DataStream.scala:241): whole-stream aggregation. */
   def aggregated(): GroupedGds = GroupedGds(df, Seq.empty)
 
+  // ---- listener (eel io/eels/Listener.scala) ---------------------------
+  /** eel's `Listener` gets a callback per ROW as the push engine moves
+    * it — meaningless in a distributed engine where rows never pass
+    * through one observer. The Spark-native mapping: listeners are
+    * notified per ACTION with the rows processed and wall time, backed
+    * by a QueryExecutionListener scoped to the action (bus drained, so
+    * callbacks have fired before the action returns). */
+  def withListener(l: GdsListener): Gds = { gdsListeners = l :: gdsListeners; this }
+
+  private var gdsListeners: List[GdsListener] = Nil
+
+  private def notifying[T](action: String)(body: => T)(rows: T => Long): T = {
+    if (gdsListeners.isEmpty) body
+    else {
+      import org.apache.spark.sql.execution.QueryExecution
+      import org.apache.spark.sql.util.QueryExecutionListener
+      val t0 = System.nanoTime()
+      val sawSuccess = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val qel = new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+          sawSuccess.set(true)
+        override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
+          gdsListeners.foreach(_.onError(action, e))
+      }
+      spark.listenerManager.register(qel)
+      try {
+        val result = body
+        org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext)
+        gdsListeners.foreach(_.onComplete(action, rows(result), System.nanoTime() - t0))
+        result
+      } finally spark.listenerManager.unregister(qel)
+    }
+  }
+
   // ---- actions (eel DataStream.scala:894-1010) -------------------------
-  def collect: Seq[Row] = df.collect().toSeq
+  def collect: Seq[Row] = notifying("collect")(df.collect().toSeq)(_.length.toLong)
   def collectValues: Seq[Seq[Any]] = collect.map(_.toSeq)
-  def count: Long = df.count()
+  def count: Long = notifying("count")(df.count())(identity)
   def size: Long = count
   def head: Row = df.head()
   def exists(p: Column): Boolean = !df.filter(p).isEmpty
@@ -237,13 +271,47 @@ final case class Gds(df: DataFrame) {
     Seq.fill(n)(Gds(d))
   }
   def tee(n: Int): Seq[Gds] = multiplex(n)
-  /** eel `foreach` (DataStream.scala:60): distributed side-effect pass. */
-  def foreach[U](fn: Row => U): Gds = { df.foreach(r => { fn(r); () }); this }
+  /** eel `foreach` (DataStream.scala:60): distributed side-effect pass.
+    * Rows-processed for the listener comes from an accumulator — the
+    * side-effecting pass has no countable result. */
+  def foreach[U](fn: Row => U): Gds = {
+    if (gdsListeners.isEmpty) { df.foreach(r => { fn(r); () }); this }
+    else {
+      val acc = spark.sparkContext.longAccumulator("graft.foreach.rows")
+      notifying("foreach")(df.foreach { r => fn(r); acc.add(1L) })(_ => acc.value)
+      this
+    }
+  }
   /** eel `to(sink)` (DataStream.scala:990): write and return row count.
-    * eel's `parallelism` knob maps to partition count. */
-  def to(sink: graft.sources.Sink): Long = { sink.write(df); df.count() }
-  def to(sink: graft.sources.Sink, parallelism: Int): Long = {
-    sink.write(df.repartition(parallelism)); df.count()
+    * eel's `parallelism` knob maps to partition count.
+    *
+    * Single pass: the count comes from the write job's own
+    * `numOutputRows` metric (read via a QueryExecutionListener, bus
+    * drained so the read is synchronous) — at 100 TB a second
+    * count() scan of the input would double the job. Falls back to
+    * count() only if the sink's plan exposes no write metric (never
+    * the case for the file-format sinks). */
+  def to(sink: graft.sources.Sink): Long =
+    notifying("to")(writeCounted(df, sink))(identity)
+  def to(sink: graft.sources.Sink, parallelism: Int): Long =
+    notifying("to")(writeCounted(df.repartition(parallelism), sink))(identity)
+
+  private def writeCounted(out: DataFrame, sink: graft.sources.Sink): Long = {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val counted = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.executedPlan.metrics.get("numOutputRows").foreach(m => counted.set(m.value))
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      sink.write(out)
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext)
+    } finally spark.listenerManager.unregister(listener)
+    val n = counted.get
+    if (n >= 0) n else out.count()
   }
   def toVector: Vector[Row] = collect.toVector
   def toSet: Set[Row] = collect.toSet
@@ -257,6 +325,15 @@ final case class Gds(df: DataFrame) {
   * only for small results; anything big stays a Gds. */
 final case class DataTable(schema: StructType, records: Seq[Seq[Any]]) {
   def size: Int = records.length
+}
+
+/** Action-level progress listener — the Spark-native reshaping of
+  * eel's per-row `Listener` (reference: io/eels/Listener.scala).
+  * Registered via [[Gds.withListener]]; `onComplete` fires after the
+  * action's QueryExecutionListener events have been drained. */
+trait GdsListener {
+  def onComplete(action: String, rowsProcessed: Long, durationNs: Long): Unit
+  def onError(action: String, e: Throwable): Unit = ()
 }
 
 object Gds {

@@ -133,29 +133,38 @@ final case class OrcSink(path: String, mode: SaveMode = SaveMode.Overwrite) exte
 }
 
 /** reference: eel-core .../component/jdbc/JdbcSource.scala.
-  * eel's Range/Hash/Bucket partition strategies
-  * (JdbcPartitionStrategy.scala) map onto Spark's built-in
-  * partitionColumn/lowerBound/upperBound/numPartitions parallel read —
-  * each executor opens its own connection for its slice.
-  * (No JDBC driver jar ships in this image; exercised via unit-level
-  * construction only.) */
+  * eel's partition strategies (JdbcPartitionStrategy.scala) map onto
+  * Spark's built-in parallel-read modes — each executor opens its own
+  * connection for its slice:
+  *  - RangePartitionStrategy → partitionColumn/lowerBound/upperBound/
+  *    numPartitions (stride ranges);
+  *  - HashPartitionStrategy / BucketPartitionStrategy → `predicates`
+  *    (one WHERE clause per partition, e.g. MOD(k, n) = i).
+  * Spark requires `dbtable` (not `query`) for both parallel modes, so
+  * the query is pushed down as a subquery alias.
+  * Exercised end-to-end against embedded Derby (ships in
+  * /opt/spark/jars) in JdbcSpec. */
 final case class JdbcSource(url: String,
                             query: String,
                             partitionColumn: Option[String] = None,
                             lowerBound: Long = 0L,
                             upperBound: Long = 0L,
-                            numPartitions: Int = 1) extends Source {
-  def read(spark: SparkSession): DataFrame = {
-    var r = spark.read.format("jdbc")
-      .option("url", url)
-      .option("query", query)
-    partitionColumn.foreach { c =>
-      r = r.option("partitionColumn", c)
+                            numPartitions: Int = 1,
+                            predicates: Seq[String] = Nil) extends Source {
+  private def asTable = s"($query) g"
+  def read(spark: SparkSession): DataFrame =
+    if (predicates.nonEmpty) {
+      spark.read.jdbc(url, asTable, predicates.toArray, new java.util.Properties())
+    } else if (partitionColumn.isDefined) {
+      spark.read.format("jdbc")
+        .option("url", url).option("dbtable", asTable)
+        .option("partitionColumn", partitionColumn.get)
         .option("lowerBound", lowerBound).option("upperBound", upperBound)
         .option("numPartitions", numPartitions)
+        .load()
+    } else {
+      spark.read.format("jdbc").option("url", url).option("query", query).load()
     }
-    r.load()
-  }
 }
 
 /** reference: eel-core .../component/jdbc/JdbcSink.scala */

@@ -15,4 +15,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Drain the shared listener bus so QueryExecutionListener callbacks
+    * registered by graft (write-metrics row counts, Gds.withListener)
+    * have observed every event from the just-finished action.
+    * `LiveListenerBus.waitUntilEmpty` is private[spark]; this re-export
+    * is the only sanctioned way to make listener-derived results
+    * synchronously readable. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
