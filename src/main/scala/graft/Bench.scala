@@ -3,17 +3,39 @@ import org.apache.spark.sql.SparkSession
 
 /** Headline benchmark. Prints ONE JSON line: total seconds + per-query.
   *
-  * Each query is first executed once at sf0.001 (negligible data) so
-  * janino/JIT compilation of the generated whole-stage-codegen classes
-  * is not attributed to the measured run — we report steady-state
-  * execution time at the target scale factor, which is what would be
-  * observed on a long-lived cluster.
+  * Noise discipline:
+  *   - Each query is warmed twice (sf0.001 compiles every generated
+  *     whole-stage-codegen class; the target SF warms shuffle /
+  *     file-handle / page-cache paths), then measured
+  *     `SPARK_GRAFT_PASSES` (default 3) times; the reported figure is
+  *     the MEDIAN pass. A single measured pass cannot defend a 2×
+  *     budget — BENCH_r02's 31.7 s vs an identical-code 24.0 s re-run
+  *     was pure host noise.
+  *   - `spark.catalog.clearCache()` before every measured pass, so
+  *     operator-internal `.cache()` calls (minhash candidate set,
+  *     simhash signatures) can neither bleed warm data into a later
+  *     query's timing nor accumulate across passes and squeeze
+  *     execution memory.
+  *
+  * Besides the 62 gate queries, the production-mode perf twins
+  * (`SparkEntry.perfQueries`: xxhash64 / Gaussian planes / hashed
+  * shingles) are timed identically and reported under "prod" — the
+  * headline "value" stays the gate-query total for round-over-round
+  * comparability.
   */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
@@ -25,14 +47,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    // warm-up 1: tiny SF compiles every generated codegen class
-    // warm-up 2: target SF warms shuffle/file-handle/page-cache paths —
-    // the measured pass then reports steady-state execution, which is
-    // what a long-lived cluster observes
+    val gateNames = SparkEntry.queries.keys.toSeq.sorted
+    val prodNames = SparkEntry.perfQueries.keys.toSeq.sorted
+    def run(name: String, dir: String): Unit =
+      SparkEntry.queries.getOrElse(name, SparkEntry.perfQueries(name))(spark, dir).count()
+    val all = gateNames ++ prodNames
     Seq(warmDir, sfDir).foreach { dir =>
-      names.foreach { name =>
-        try SparkEntry.queries(name)(spark, dir).count()
+      all.foreach { name =>
+        try run(name, dir)
         catch { case e: Throwable =>
           // warm-up failures are not fatal (the measured pass decides)
           // but never silent: name the query and the error
@@ -40,25 +62,36 @@ object Bench {
             s"${e.getClass.getSimpleName}: ${e.getMessage}")
         }
       }
-      // drop caches accumulated by operators' internal .cache() calls —
-      // three passes' worth would otherwise squeeze execution memory
       spark.catalog.clearCache()
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name FAILED at $sfDir: " +
-            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    def measure(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var ok = true
+      var p = 0
+      while (p < passes && ok) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try run(name, sfDir) catch {
+          case e: Throwable =>
+            ok = false
+            failed += name
+            System.err.println(s"[bench] $name FAILED at $sfDir: " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+        times += (System.nanoTime() - t0) / 1e9
+        p += 1
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> median(times.toSeq)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val gate = measure(gateNames)
+    val prod = measure(prodNames)
+    def toJson(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = gate.map(_._2).sum
+    val prodTotal = prod.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":${toJson(gate)},"prod":${toJson(prod)},"prod_total":$prodTotal,"failed":$failedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

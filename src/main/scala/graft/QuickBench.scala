@@ -1,13 +1,24 @@
 package graft
+
+/** Targeted timing: warm once, report the median of 3 measured passes
+  * per query (same discipline as Bench, without the full set). Looks
+  * up gate queries first, then the production perf twins. */
 object QuickBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val spark = GraftSession.builder(master = "local[8]", shufflePartitions = 8).getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = GraftSession.builder(master = s"local[$cpus]", shufflePartitions = cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.drop(1).foreach { name =>
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"QB $name%-24s ${(System.nanoTime()-t0)/1e9}%8.2f s  n=$n")
+      val q = SparkEntry.queries.getOrElse(name, SparkEntry.perfQueries(name))
+      var n = 0L
+      val times = (0 until 4).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        n = q(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.drop(1).sorted // pass 0 = warm-up
+      println(f"QB $name%-24s ${times(times.length / 2)}%8.3f s  n=$n")
     }
     spark.stop()
   }

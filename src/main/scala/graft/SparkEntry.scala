@@ -523,6 +523,60 @@ object SparkEntry {
     }),
   )
 
+  /** Perf-only PRODUCTION-mode twins of the gate queries whose
+    * `queries` entry swaps in an engine-portable derivation (md5 /
+    * LCG planes / string shingles) purely so the DuckDB oracle can
+    * rebuild the result. These run the production defaults
+    * (xxhash64 token hashes, Gaussian hyperplanes, hashed shingle
+    * sets) through the SAME operator code paths. No oracle — they are
+    * timing entries only, benched so the production path keeps a perf
+    * signal (the gate variants carry an oracle-portability tax: md5 is
+    * ~3× xxhash64, string shingle sets ~3× hashed). Not part of the
+    * driver's `queries` contract, so CORRECTNESS stays 100%
+    * hash-checked. */
+  def perfQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_simhash_prod" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_ngram_jaccard_prod" -> ((s, dir) => {
+      // identical candidate pairs to the gate entry; hashed shingle
+      // sets (longs) instead of strings — the scale-safe verify join
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("id_l"), (col("doc_id") + 1).as("id_r"))
+        .filter(col("id_l") % 10 === 0)
+      Dedup.ngramJaccard(pairs, docs, "doc_id", "text", 3)
+        .filter(col("jaccard") > 0)
+    }),
+
+    "dedup_embedding_prod" -> ((s, dir) =>
+      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64)),
+
+    "sim_lsh_topk_prod" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 1000 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", "qid", "qvec",
+        k = 5, dim = 64, nBits = 8)
+        .select(col("qid"), col("vec_id"), col("score"), col("rank"))
+    }),
+
+    "sim_ivf_topk_prod" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 1000 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "qid", "qvec",
+        k = 5, dim = 64, nCentroids = 16, nProbe = 4)
+        .select(col("qid"), col("vec_id"), col("score"), col("rank"))
+    }),
+
+    "mm_features_prod" -> ((s, dir) => {
+      val media = Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media, 16)
+        .select(col("media_id"), size(col("embedding")).cast("long").as("dim"),
+          round(graft.functions.VectorFunctions.norm(col("embedding")), 6).as("norm"))
+    }),
+  )
+
   /** Per-query scratch dir for sink roundtrips (driver may run Verify
     * with a read-only CWD, so use java.io.tmpdir). */
   private def scratch(s: SparkSession, dir: String, name: String): String = {

@@ -27,27 +27,48 @@ object TextExpressions {
     override def nullIntolerant: Boolean = true
 
     override def nullSafeEval(a: Any): Any =
-      new GenericArrayData(ShingleHashes.compute(a.asInstanceOf[UTF8String].toString, k))
+      new GenericArrayData(ShingleHashImpl.compute(a.asInstanceOf[UTF8String].toString, k))
 
+    // NOTE: must target the TOP-LEVEL ShingleHashImpl object — a
+    // top-level Scala object gets Java static forwarders, so janino
+    // sees a plain static call. A nested object's Java name
+    // (`TextExpressions$ShingleHashes$`) is not resolvable by janino's
+    // source-name lookup and silently killed whole-stage codegen for
+    // every stage containing this expression.
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, v =>
         s"""
            |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-           |  graft.functions.TextExpressions.ShingleHashes$$.MODULE$$.compute($v.toString(), $k));
+           |  graft.functions.ShingleHashImpl.compute($v.toString(), $k));
          """.stripMargin)
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
 
+  /** Delegator kept for source compatibility (specs reference
+    * `TextExpressions.ShingleHashes.compute`); the implementation
+    * lives in the top-level [[ShingleHashImpl]] so generated code can
+    * reach it as a plain static call. */
   object ShingleHashes {
-    private final val FnvOffset = 0xcbf29ce484222325L
-    private final val FnvPrime = 0x100000001b3L
-    private final val Mix = 0x9e3779b97f4a7c15L
+    def compute(s: String, k: Int): Array[Long] = ShingleHashImpl.compute(s, k)
+  }
 
-    /** token FNV-1a over UTF-16 chars; shingle = ordered mix of the
-      * last k token hashes. */
-    def compute(s: String, k: Int): Array[Long] = {
+  /** Column API: shingle hashes of the normalized text. */
+  def shingleHashes(normalizedText: Column, k: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(normalizedText), k))
+}
+
+/** Top-level so whole-stage codegen can call the Java static
+  * forwarder `graft.functions.ShingleHashImpl.compute` directly. */
+object ShingleHashImpl {
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+  private final val Mix = 0x9e3779b97f4a7c15L
+
+  /** token FNV-1a over UTF-16 chars; shingle = ordered mix of the
+    * last k token hashes. */
+  def compute(s: String, k: Int): Array[Long] = {
       val tokenHashes = new scala.collection.mutable.ArrayBuffer[Long](32)
       var h = FnvOffset
       var inTok = false
@@ -81,10 +102,5 @@ object TextExpressions {
         start += 1
       }
       out
-    }
   }
-
-  /** Column API: shingle hashes of the normalized text. */
-  def shingleHashes(normalizedText: Column, k: Int): Column =
-    Bridge.column(ShingleHashes(Bridge.expression(normalizedText), k))
 }

@@ -188,9 +188,14 @@ object VectorExpressions {
       val vv = new Array[Double](n)
       var i = 0
       while (i < n) { vv(i) = read(et, v, i); i += 1 }
-      new GenericArrayData(NearestCentroids.select(vv, centroids, dim, c, nProbe))
+      new GenericArrayData(NearestCentroidsImpl.select(vv, centroids, dim, c, nProbe))
     }
 
+    // NOTE: targets the TOP-LEVEL NearestCentroidsImpl object so the
+    // call is a plain Java static-forwarder invocation. The nested
+    // object's Java name (`VectorExpressions$NearestCentroids$`) is not
+    // resolvable by janino and silently killed whole-stage codegen for
+    // every stage containing this expression.
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, v => {
         val centroidsRef = ctx.addReferenceObj("centroids", centroids, "double[]")
@@ -200,7 +205,7 @@ object VectorExpressions {
            |double[] $vv = new double[$n];
            |for (int $i = 0; $i < $n; $i++) { $vv[$i] = ${getter(elemType(child), v, i)}; }
            |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-           |  graft.functions.VectorExpressions.NearestCentroids$$.MODULE$$.select(
+           |  graft.functions.NearestCentroidsImpl.select(
            |    $vv, $centroidsRef, $dim, $c, $nProbe));
          """.stripMargin
       })
@@ -209,50 +214,12 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Delegator kept for source compatibility (specs reference
+    * `VectorExpressions.NearestCentroids.select`); implementation in
+    * top-level [[NearestCentroidsImpl]] for codegen reachability. */
   object NearestCentroids {
-    /** nProbe centroid ids with highest cosine to v, nearest first. */
-    def select(v: Array[Double], centroids: Array[Double], dim: Int, c: Int, nProbe: Int): Array[Int] = {
-      val sims = new Array[Double](c)
-      var vn = 0.0
-      var d = 0
-      while (d < v.length) { vn += v(d) * v(d); d += 1 }
-      var ci = 0
-      while (ci < c) {
-        var dot = 0.0; var cn = 0.0
-        var j = 0
-        val base = ci * dim
-        val n = math.min(dim, v.length)
-        while (j < n) {
-          val cv = centroids(base + j)
-          dot += v(j) * cv; cn += cv * cv; j += 1
-        }
-        sims(ci) = dot / (math.sqrt(vn) * math.sqrt(cn))
-        ci += 1
-      }
-      val k = math.min(nProbe, c)
-      val out = new Array[Int](k)
-      val used = new Array[Boolean](c)
-      var r = 0
-      while (r < k) {
-        var best = -1; var bestSim = Double.NegativeInfinity
-        var x = 0
-        while (x < c) {
-          if (!used(x) && (sims(x) > bestSim || (sims(x) == bestSim && (best == -1 || x < best)))) {
-            best = x; bestSim = sims(x)
-          }
-          x += 1
-        }
-        if (best == -1) {
-          // all remaining sims are NaN (zero/empty vector): fall back to
-          // centroid index order instead of crashing the task
-          var y = 0
-          while (y < c && used(y)) y += 1
-          best = y
-        }
-        used(best) = true; out(r) = best; r += 1
-      }
-      out
-    }
+    def select(v: Array[Double], centroids: Array[Double], dim: Int, c: Int, nProbe: Int): Array[Int] =
+      NearestCentroidsImpl.select(v, centroids, dim, c, nProbe)
   }
 
   def cosine(a: Column, b: Column): Column =
@@ -300,5 +267,53 @@ object VectorExpressions {
         flat((t * nBits + b) * dim + d) = rnd.nextGaussian()
     }
     Bridge.column(LshSignBuckets(Bridge.expression(v), flat, dim, nBits, nTables))
+  }
+}
+
+/** Top-level so whole-stage codegen can call the Java static
+  * forwarder `graft.functions.NearestCentroidsImpl.select` directly. */
+object NearestCentroidsImpl {
+  /** nProbe centroid ids with highest cosine to v, nearest first. */
+  def select(v: Array[Double], centroids: Array[Double], dim: Int, c: Int, nProbe: Int): Array[Int] = {
+      val sims = new Array[Double](c)
+      var vn = 0.0
+      var d = 0
+      while (d < v.length) { vn += v(d) * v(d); d += 1 }
+      var ci = 0
+      while (ci < c) {
+        var dot = 0.0; var cn = 0.0
+        var j = 0
+        val base = ci * dim
+        val n = math.min(dim, v.length)
+        while (j < n) {
+          val cv = centroids(base + j)
+          dot += v(j) * cv; cn += cv * cv; j += 1
+        }
+        sims(ci) = dot / (math.sqrt(vn) * math.sqrt(cn))
+        ci += 1
+      }
+      val k = math.min(nProbe, c)
+      val out = new Array[Int](k)
+      val used = new Array[Boolean](c)
+      var r = 0
+      while (r < k) {
+        var best = -1; var bestSim = Double.NegativeInfinity
+        var x = 0
+        while (x < c) {
+          if (!used(x) && (sims(x) > bestSim || (sims(x) == bestSim && (best == -1 || x < best)))) {
+            best = x; bestSim = sims(x)
+          }
+          x += 1
+        }
+        if (best == -1) {
+          // all remaining sims are NaN (zero/empty vector): fall back to
+          // centroid index order instead of crashing the task
+          var y = 0
+          while (y < c && used(y)) y += 1
+          best = y
+        }
+        used(best) = true; out(r) = best; r += 1
+      }
+      out
   }
 }

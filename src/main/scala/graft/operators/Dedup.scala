@@ -110,7 +110,10 @@ object Dedup {
     val bucketed = sig.select(col(idCol), posexplode(col("bands")).as(Seq("band", "bucket")))
     // cache: the candidate set is tiny (~true-dup count) but its lineage
     // is the whole signature pipeline, and the verify stage consumes it
-    // twice (candidate-id semi-join + the pair join)
+    // twice (candidate-id semi-join + the pair join). The cache cannot
+    // be unpersisted here — the returned plan consumes it lazily;
+    // sessions running many dedup jobs should clearCache() between
+    // them (Bench does, before every measured pass).
     val cand = pairsFromBuckets(bucketed, idCol, Seq("band", "bucket"), maxBucketSize).cache()
     ngramJaccard(cand, df, idCol, textCol, shingleK)
       .filter(col("jaccard") >= threshold)
@@ -208,6 +211,8 @@ object Dedup {
     // cached-sig join is ~2× faster and the cached relation is far
     // smaller than the banded relation we shuffle anyway, so it holds
     // at 100 TB (signatures, never text, per the shuffle invariant).
+    // Not unpersisted here (returned plan consumes it lazily) —
+    // long-lived sessions should clearCache() between dedup jobs.
     val sigs = simhashSignatures(df, idCol, textCol, tokenHash).cache()
     val banded = sigs.select(col(idCol), col("sig"),
       posexplode(array((0 until 4).map(b =>

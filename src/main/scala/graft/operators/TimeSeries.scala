@@ -65,7 +65,16 @@ object TimeSeries {
       col(keyCol).as("__key") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
         (carryLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
           payloadCols.map(col)): _*)
-    val w = Window.partitionBy(col("__key")).orderBy(col("__ts").asc, col("__side").asc)
+    // Deterministic tie-break: two right rows with identical (key, ts)
+    // would otherwise leave last() picking a partition-order-dependent
+    // winner — guaranteed to occur at scale. xxhash64 over the payload
+    // makes the winner a pure function of row content (greatest hash
+    // wins), identical across engines, partitionings and reruns. Left
+    // rows get a constant: their relative order among themselves never
+    // affects the frame they see (all right rows with ts <= theirs
+    // sort before them via __side).
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // carry ts+payloads as ONE struct so a matched row whose payload is
     // legitimately NULL yields null (a bare last(payload, ignoreNulls)
@@ -73,6 +82,8 @@ object TimeSeries {
     val rightStruct = when(col("__side") === 0,
       struct(col("__ts").as("__mts") +: payloadCols.map(col): _*))
     val carried = lhs.unionByName(rhs)
+      .withColumn("__tb",
+        when(col("__side") === 0, xxhash64(payloadCols.map(col): _*)).otherwise(lit(0L)))
       .withColumn("__m", last(rightStruct, ignoreNulls = true).over(w))
     val extracted = payloadCols.foldLeft(carried) { (df, c) =>
       df.withColumn(c, col("__m")(c))
@@ -86,6 +97,6 @@ object TimeSeries {
     }
     tolApplied.filter(col("__side") === 1)
       .withColumnRenamed("__key", keyCol).withColumnRenamed("__ts", leftTs)
-      .drop("__side", "__match_ts", "__m")
+      .drop("__side", "__match_ts", "__m", "__tb")
   }
 }

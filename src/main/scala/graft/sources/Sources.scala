@@ -36,12 +36,21 @@ final case class ParquetSource(paths: String*) extends Source {
   * pruning); `rangeClusterCols` additionally range-repartitions and
   * sorts within partitions so each output file covers a disjoint key
   * range — parquet row-group min/max stats then prune file reads for
-  * range predicates (the poor man's Z-order, exact for one key). */
+  * range predicates (the poor man's Z-order, exact for one key).
+  *
+  * `maxRecordsPerFile` maps eel's RollingParquetWriter (reference:
+  * eel-core .../component/parquet/RollingParquetWriter.scala:1-81 —
+  * roll to file _N+1 when the current file reaches the record
+  * threshold): Spark's task writers roll per-file at exactly this
+  * count, distributed instead of single-writer. eel's byte-size
+  * trigger (`maxFileSize`) has no task-level Spark equivalent; the
+  * record count is the stable proxy (records × avg row width). */
 final case class ParquetSink(path: String,
                              mode: SaveMode = SaveMode.Overwrite,
                              partitionCols: Seq[String] = Nil,
                              rangeClusterCols: Seq[String] = Nil,
                              rangePartitions: Option[Int] = None,
+                             maxRecordsPerFile: Option[Long] = None,
                              compression: String = "zstd") extends Sink {
   def write(df: DataFrame): Unit = {
     val rangeCols = rangeClusterCols.map(org.apache.spark.sql.functions.col)
@@ -50,7 +59,8 @@ final case class ParquetSink(path: String,
       else rangePartitions.fold(df.repartitionByRange(rangeCols: _*))(
           n => df.repartitionByRange(n, rangeCols: _*))
         .sortWithinPartitions(rangeCols: _*)
-    val w = clustered.write.mode(mode).option("compression", compression)
+    var w = clustered.write.mode(mode).option("compression", compression)
+    maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 }
@@ -75,21 +85,28 @@ final case class BucketedTableSink(table: String,
 }
 
 /** reference: eel-core .../component/csv/CsvSource.scala (header,
-  * delimiter, nullValue options mirror CsvFormat.scala). */
+  * delimiter, nullValue options mirror CsvFormat.scala). Schema
+  * resolution precedence: explicit `schema` > rule-driven `inferrer`
+  * (header-name regex rules, one metadata-scale read — see
+  * [[SchemaInferrer]]) > value-sampling `inferSchema` (extra data
+  * scan) > all-strings. */
 final case class CsvSource(path: String,
                            header: Boolean = true,
                            delimiter: String = ",",
                            nullValue: String = "",
                            schema: Option[StructType] = None,
-                           inferSchema: Boolean = false) extends Source {
+                           inferSchema: Boolean = false,
+                           inferrer: Option[SchemaInferrer] = None) extends Source {
   def read(spark: SparkSession): DataFrame = {
     var r = spark.read
       .option("header", header.toString)
       .option("sep", delimiter)
       .option("nullValue", nullValue)
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-    schema.foreach(s => r = r.schema(s))
-    if (schema.isEmpty && inferSchema) r = r.option("inferSchema", "true")
+    val resolved = schema.orElse(
+      inferrer.map(inf => SchemaInferrer.schemaFor(spark, inf, path, delimiter)))
+    resolved.foreach(s => r = r.schema(s))
+    if (resolved.isEmpty && inferSchema) r = r.option("inferSchema", "true")
     r.csv(path)
   }
 }

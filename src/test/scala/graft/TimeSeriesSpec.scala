@@ -50,6 +50,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.isNullAt(out.fieldIndex("price")))
   }
 
+  test("asofJoin ties on (key, ts): winner is deterministic across partitionings") {
+    // two right rows with IDENTICAL (key, ts) — without a content
+    // tie-break last() picks a partition-order-dependent winner
+    val trades = Seq((1L, ts("2024-01-01 10:00:15"), "t1")).toDF("sym", "t", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:10"), 100.0),
+      (1L, ts("2024-01-01 10:00:10"), 200.0), // tie!
+    ).toDF("sym", "qt", "price")
+    // the winner must be the same whatever the input partitioning /
+    // row order — run across several layouts and demand one answer
+    val winners = (1 to 8).flatMap { n =>
+      Seq(quotes.repartition(n), quotes.repartition(n).orderBy(desc("price"))).map { q =>
+        TimeSeries.asofJoin(trades, q, "sym", "t", "qt", Seq("price"))
+          .head().getAs[Double]("price")
+      }
+    }
+    assert(winners.distinct.length == 1, s"nondeterministic tie winner: $winners")
+  }
+
   test("asofJoin tolerance nulls out stale matches") {
     val trades = Seq((1L, ts("2024-01-01 10:10:00"), "t1"),
                      (1L, ts("2024-01-01 10:00:05"), "t2")).toDF("sym", "t", "trade")

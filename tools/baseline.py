@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Produce the numeric baseline: time the headline oracle SQL in DuckDB
+(the reference-grade single-node engine available in this image) over
+the same parquet tables graft reads, same host, same core count.
+
+Usage: python3 tools/baseline.py <sfDir> <oracle_sql.json> [passes]
+Prints one JSON line; paste/format into BASELINE.md.
+"""
+import sys, glob, os, json, time, statistics
+import duckdb
+
+HEADLINE = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
+    "q7_nation_trade", "q9_nation_profit", "q10_returned_items",
+    "q_window_topn", "q_rollup",
+]
+
+sf_dir, oracle_path = sys.argv[1], sys.argv[2]
+passes = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+
+con = duckdb.connect()
+con.execute(f"SET threads TO {os.cpu_count()}")
+for f in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(f).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+
+oracle = json.load(open(oracle_path))
+out = {}
+for q in HEADLINE:
+    sql = oracle[q]
+    con.execute(sql).fetchall()  # warm (page cache, plan)
+    times = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        times.append(time.perf_counter() - t0)
+    out[q] = round(statistics.median(times), 4)
+
+print(json.dumps({
+    "engine": "duckdb", "version": duckdb.__version__,
+    "threads": os.cpu_count(), "sf": sf_dir, "passes": passes,
+    "unit": "sec", "queries": out, "total": round(sum(out.values()), 4),
+}))
