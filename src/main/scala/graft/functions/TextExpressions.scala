@@ -54,9 +54,104 @@ object TextExpressions {
     def compute(s: String, k: Int): Array[Long] = ShingleHashImpl.compute(s, k)
   }
 
+  /** The COMPLETE `numHashes`-wide MinHash signature of a text in one
+    * per-row pass: shingle hashes as in [[ShingleHashes]], then for
+    * each shingle the per-seed family h_j = xxh64_int(j, xxh64_long(h,
+    * 42)) — bit-identical to the composable
+    * `min(xxhash64(shingle_hash, lit(j)))` aggregation pipeline
+    * (Spark's XxHash64 folds children left-to-right from seed 42), but
+    * with ZERO exchange: the explode→groupBy(id) round the pipeline
+    * pays per corpus (shuffling 64 partial minima per doc) disappears
+    * — the signature is a map-side scalar. At 100 TB that removes the
+    * only corpus-wide shuffle in signature building. */
+  case class MinHashSignature(child: Expression, k: Int, numHashes: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(a: Any): Any =
+      new GenericArrayData(
+        MinHashImpl.signature(a.asInstanceOf[UTF8String].toString, k, numHashes))
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"""
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  graft.functions.MinHashImpl.signature($v.toString(), $k, $numHashes));
+         """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** text → LSH BAND hashes in one pass: the [[MinHashSignature]]
+    * fold immediately reduced to `numBands` band hashes
+    * (xxh64-chain over each r-row slice, matching the composable
+    * `xxhash64(b, slice(sig, b*r+1, r))` bit-for-bit). Exists because
+    * banding is a higher-order `transform` lambda in the composable
+    * form: with the signature a plain scalar expression,
+    * CollapseProject inlines the ENTIRE signature computation into
+    * every band's lambda (numBands× recompute — the round-1 "never
+    * nest expensive expressions in HOF lambdas" lesson). Fusing the
+    * reduction into the expression keeps it computed once, still with
+    * zero exchange. */
+  case class MinHashBandHashes(child: Expression, k: Int, numHashes: Int,
+                               numBands: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(a: Any): Any =
+      new GenericArrayData(
+        MinHashImpl.bands(a.asInstanceOf[UTF8String].toString, k, numHashes, numBands))
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"""
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  graft.functions.MinHashImpl.bands($v.toString(), $k, $numHashes, $numBands));
+         """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash of a (pre-normalized) text in one per-row pass:
+    * tokenize on single spaces, hash each token (xx = Spark's
+    * xxhash64-on-string bit-for-bit via XXH64.hashUTF8String; md5 =
+    * the portable hi/lo-of-md5 derivation the gate oracle rebuilds),
+    * accumulate the 64 ±1 bit counts, pack (bit set when count >= 0).
+    * Replaces the explode-tokens→groupBy(id) pipeline and its
+    * corpus-wide exchange of 64 partial sums per doc with a map-side
+    * scalar — zero shuffle, same bits (pinned by spec). */
+  case class SimHashSignature(child: Expression, useMd5: Boolean) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(a: Any): Any =
+      SimHashImpl.signature(a.asInstanceOf[UTF8String].toString, useMd5)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.SimHashImpl.signature($v.toString(), $useMd5);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Column API: shingle hashes of the normalized text. */
   def shingleHashes(normalizedText: Column, k: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(normalizedText), k))
+
+  /** Column API: 64-bit SimHash of the normalized text. */
+  def simhashSignature(normalizedText: Column, useMd5: Boolean): Column =
+    Bridge.column(SimHashSignature(Bridge.expression(normalizedText), useMd5))
+
+  /** Column API: full MinHash signature of the normalized text. */
+  def minhashSignature(normalizedText: Column, k: Int, numHashes: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(normalizedText), k, numHashes))
+
+  /** Column API: LSH band hashes of the normalized text. */
+  def minhashBands(normalizedText: Column, k: Int, numHashes: Int, numBands: Int): Column =
+    Bridge.column(MinHashBandHashes(Bridge.expression(normalizedText), k, numHashes, numBands))
 }
 
 /** Top-level so whole-stage codegen can call the Java static
@@ -102,5 +197,97 @@ object ShingleHashImpl {
         start += 1
       }
       out
+  }
+}
+
+/** Top-level (Java static forwarders, codegen-reachable) MinHash
+  * signature math. Per-seed hash family matches Spark's
+  * `xxhash64(longCol, lit(intSeed))` exactly:
+  * XXH64.hashInt(seed_j, XXH64.hashLong(shingle_hash, 42L)). */
+object MinHashImpl {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  def signature(s: String, k: Int, numHashes: Int): Array[Long] = {
+    val hs = ShingleHashImpl.compute(s, k)
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val base = XXH64.hashLong(hs(i), 42L)
+      var j = 0
+      while (j < numHashes) {
+        val v = XXH64.hashInt(j, base)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  private[graft] def tokenize(s: String): Array[String] =
+    if (s.isEmpty) Array("") else s.split(' ')
+
+  /** Band hashes of [[signature]]: band b = xxh64 chain seeded with
+    * hashInt(b, 42) folded over rows [b*r, b*r+r) — identical to
+    * Spark's `xxhash64(lit(b), slice(sig, b*r+1, r))`. */
+  def bands(s: String, k: Int, numHashes: Int, numBands: Int): Array[Long] = {
+    val sig = signature(s, k, numHashes)
+    val r = numHashes / numBands
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var h = XXH64.hashInt(b, 42L)
+      var j = b * r
+      while (j < b * r + r) { h = XXH64.hashLong(sig(j), h); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+}
+
+/** Top-level (Java static forwarders, codegen-reachable) SimHash math.
+  * Token hashes are pinned to the composable forms they replace:
+  *  - xx: `xxhash64(stringCol)` = XXH64.hashUTF8String(tok, 42)
+  *  - md5: hi/lo 32-bit halves of the first 16 md5-hex chars =
+  *    the first 8 digest bytes big-endian (what
+  *    `shiftleft(conv(substring(md5,1,8),16,10), 32) | conv(...9,8...)`
+  *    computes — and what the DuckDB oracle rebuilds). */
+object SimHashImpl {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def tokenHash(tok: String, useMd5: Boolean): Long =
+    if (useMd5) {
+      val d = md5Digest.get()
+      d.reset()
+      val bytes = d.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.ByteBuffer.wrap(bytes).getLong // first 8 bytes, big-endian
+    } else {
+      XXH64.hashUTF8String(UTF8String.fromString(tok), 42L)
+    }
+
+  def signature(s: String, useMd5: Boolean): Long = {
+    val toks = MinHashImpl.tokenize(s)
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = tokenHash(toks(t), useMd5)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) >= 0) sig |= (1L << i); i += 1 }
+    sig
   }
 }

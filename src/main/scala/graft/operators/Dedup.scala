@@ -34,23 +34,23 @@ object Dedup {
 
   /** MinHash signatures as a relation: (id, sig array<long>).
     *
-    * Shape chosen for codegen + scale: explode to (id, shingle), hash
-    * each shingle string ONCE, derive the `numHashes` per-seed hashes
-    * by re-mixing the 64-bit value (xxhash64 of long+seed — cheap),
-    * and take them as `min` aggregates. The groupBy(id) shuffles only
-    * the partial per-doc minima (numHashes longs/doc after map-side
-    * combine), never shingle text. A nested higher-order-function
-    * formulation is ~50× slower: Catalyst inlines the shingle-array
-    * construction into every per-seed lambda and interprets it. */
+    * One map-side codegen'd pass per doc (MinHashSignature expression):
+    * shingle-hash the text and fold all `numHashes` per-seed minima in
+    * a tight loop — ZERO exchange. The per-seed family is bit-identical
+    * to the composable explode→`min(xxhash64(h, lit(j)))`→groupBy
+    * pipeline this replaces (XXH64.hashInt(j, XXH64.hashLong(h, 42))),
+    * which paid one corpus-wide shuffle of 64 partial minima per doc
+    * plus per-(row,seed) Catalyst expression overhead — measured ~2×
+    * slower at sf0.1 and strictly worse at 100 TB (an exchange over
+    * the whole corpus vs none). A nested higher-order-function
+    * formulation is ~50× slower still: Catalyst inlines the
+    * shingle-array construction into every per-seed lambda and
+    * interprets it. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int, shingleK: Int): DataFrame = {
-    val mins = (0 until numHashes).map(j => min(xxhash64(col("__h"), lit(j))).as(s"__m$j"))
-    df.select(col(idCol),
-        explode(X.shingleHashes(T.normText(col(textCol)), shingleK)).as("__h"))
-      .groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(j => col(s"__m$j")): _*).as("sig"))
-  }
+                        numHashes: Int, shingleK: Int): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        X.minhashSignature(T.normText(col(textCol)), shingleK, numHashes).as("sig"))
 
   /** LSH banding: signature → `numBands` band hashes. Docs sharing any
     * band hash are near-dup candidates. */
@@ -104,10 +104,13 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, numBands: Int = 16, shingleK: Int = 3,
                    threshold: Double = 0.5, maxBucketSize: Int = 500): DataFrame = {
-    val rowsPerBand = numHashes / numBands
-    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
-      .select(col(idCol), bandHashes(col("sig"), numBands, rowsPerBand).as("bands"))
-    val bucketed = sig.select(col(idCol), posexplode(col("bands")).as(Seq("band", "bucket")))
+    // one fused map-side expression: text → band hashes (signature
+    // never materialized as a column — see MinHashBandHashes for why
+    // the composable slice/transform form recomputes it per band)
+    val bucketed = df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(X.minhashBands(T.normText(col(textCol)), shingleK, numHashes, numBands))
+          .as(Seq("band", "bucket")))
     // cache: the candidate set is tiny (~true-dup count) but its lineage
     // is the whole signature pipeline, and the verify stage consumes it
     // twice (candidate-id semi-join + the pair join). The cache cannot
@@ -163,38 +166,45 @@ object Dedup {
           size(array_union(col("set_l"), col("set_r"))), 6).as("jaccard"))
   }
 
-  /** 64-bit token hash for SimHash: xxhash64 (fast, the production
-    * default). */
-  def xxTokenHash(t: Column): Column = xxhash64(t)
+  /** Token-hash choice for SimHash, usable both as a Column function
+    * (`md5TokenHash(c)`) and as the `tokenHash =` argument. */
+  sealed trait TokenHash {
+    def apply(t: Column): Column
+    private[graft] def useMd5: Boolean
+  }
+
+  /** xxhash64 (fast, the production default). */
+  case object xxTokenHash extends TokenHash {
+    def apply(t: Column): Column = xxhash64(t)
+    private[graft] def useMd5 = false
+  }
 
   /** 64-bit token hash derived from md5 (hi/lo 32-bit halves of the
     * first 16 hex chars). ~3× slower than xxhash64 but recomputable by
     * any engine with an md5() function — used by the gate query so the
     * DuckDB oracle can rebuild the identical signatures. */
-  def md5TokenHash(t: Column): Column = {
-    val hex = md5(t)
-    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
-    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
-    shiftleft(hi, 32).bitwiseOR(lo)
+  case object md5TokenHash extends TokenHash {
+    def apply(t: Column): Column = {
+      val hex = md5(t)
+      val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+      val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+      shiftleft(hi, 32).bitwiseOR(lo)
+    }
+    private[graft] def useMd5 = true
   }
 
   /** 64-bit SimHash signatures as a relation: (id, sig long).
     * Per bit i, sum +1/-1 over the i-th bit of each token's 64-bit
-    * hash; bit set when the sum is non-negative. Same explode→
-    * hash-once→64 map-side partial-sum aggregates shape as
-    * [[minhashSignatures]] (shuffle carries 64 ints/doc, codegen'd). */
+    * hash; bit set when the sum is non-negative. One map-side
+    * codegen'd pass per doc (SimHashSignature expression) — ZERO
+    * exchange; the bits are pinned by spec to the composable
+    * explode→hash→64-partial-sums pipeline this replaces, which paid
+    * a corpus-wide shuffle of 64 ints per doc. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        tokenHash: Column => Column = xxTokenHash): DataFrame = {
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("__h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__b$i"))
-    val packed = (0 until 64).map(i =>
-      when(col(s"__b$i") >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    df.select(col(idCol), explode(T.tokens(col(textCol))).as("__t"))
-      .select(col(idCol), tokenHash(col("__t")).as("__h"))
-      .groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol), packed.as("sig"))
-  }
+                        tokenHash: TokenHash = xxTokenHash): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        X.simhashSignature(T.normText(col(textCol)), tokenHash.useMd5).as("sig"))
 
   /** SimHash near-dup pairs: band the 64 bits into 4×16-bit chunks
     * (any shared chunk → candidate; catches hamming distance <= 3 by
@@ -203,7 +213,7 @@ object Dedup {
     * verify with exact hamming via bit_count(xor). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucketSize: Int = 1000,
-                   tokenHash: Column => Column = xxTokenHash): DataFrame = {
+                   tokenHash: TokenHash = xxTokenHash): DataFrame = {
     // cache the (id, sig) relation — 16 bytes/doc — and reuse it for
     // BOTH banding and the verify join. The alternative (recompute
     // signatures for the semi-joined candidate set) re-runs the

@@ -40,6 +40,54 @@ class DedupSpec extends SparkSpec {
     assert(farShare < 4 && farShare < nearShare)
   }
 
+  test("MinHashSignature expression is bit-identical to the explode+min(xxhash64) pipeline") {
+    import graft.functions.{TextExpressions => X, TextFunctions => T}
+    val numHashes = 16; val k = 3
+    // the composable pipeline the one-pass expression replaced
+    val mins = (0 until numHashes).map(j => min(xxhash64(col("__h"), lit(j))).as(s"__m$j"))
+    val viaPipeline = corpus
+      .select(col("id"), explode(X.shingleHashes(T.normText(col("text")), k)).as("__h"))
+      .groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(j => col(s"__m$j")): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaExpr = Dedup.minhashSignatures(corpus, "id", "text", numHashes, k)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaExpr == viaPipeline)
+  }
+
+  test("SimHashSignature expression is bit-identical to the explode+bit-sums pipeline, both hashes") {
+    import graft.functions.{TextFunctions => T}
+    for (th <- Seq(Dedup.xxTokenHash, Dedup.md5TokenHash)) {
+      // the composable pipeline the one-pass expression replaced
+      val bitSums = (0 until 64).map(i =>
+        sum(when(shiftright(col("__h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__b$i"))
+      val packed = (0 until 64).map(i =>
+        when(col(s"__b$i") >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+      val viaPipeline = corpus
+        .select(col("id"), explode(T.tokens(col("text"))).as("__t"))
+        .select(col("id"), th(col("__t")).as("__h"))
+        .groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+        .select(col("id"), packed.as("sig"))
+        .as[(Long, Long)].collect().toMap
+      val viaExpr = Dedup.simhashSignatures(corpus, "id", "text", th)
+        .as[(Long, Long)].collect().toMap
+      assert(viaExpr == viaPipeline, s"mismatch for $th")
+    }
+  }
+
+  test("MinHashBandHashes is bit-identical to xxhash64(b, slice(sig)) banding") {
+    import graft.functions.{TextExpressions => X, TextFunctions => T}
+    val numHashes = 16; val numBands = 4; val k = 3
+    val viaComposable = Dedup.minhashSignatures(corpus, "id", "text", numHashes, k)
+      .select(col("id"), Dedup.bandHashes(col("sig"), numBands, numHashes / numBands).as("bands"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaExpr = corpus
+      .select(col("id"), X.minhashBands(T.normText(col("text")), k, numHashes, numBands).as("bands"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaExpr == viaComposable)
+  }
+
   test("minhashPairs finds exact+near dups and reports jaccard") {
     val pairs = Dedup.minhashPairs(corpus, "id", "text", threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
