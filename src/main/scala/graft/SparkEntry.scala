@@ -490,6 +490,16 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))),
 
+    "text_repetition" -> ((s, dir) => {
+      // within-doc duplicate-3-gram fraction (Gopher/C4 repetition
+      // filter signal) over the native shingle pass
+      val sh = T.shingles(col("text"), 3)
+      t(s, dir, "documents").select(col("doc_id"),
+        size(sh).cast("long").as("n_ngrams"),
+        size(array_distinct(sh)).cast("long").as("n_distinct"),
+        T.repetitionRatio(col("text"), 3).as("rep_ratio"))
+    }),
+
     // ---- §2.10 multimodal ---------------------------------------------
     "mm_binary_meta" -> ((s, dir) => {
       val media = Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text")
@@ -964,6 +974,20 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
          FROM documents""",
+
+    // same shingle construction as the dedup_ngram_jaccard oracle;
+    // note multiset semantics: n_ngrams counts ALL shingles, distinct
+    // only collapses for the ratio
+    "text_repetition" ->
+      """SELECT doc_id,
+                CAST(len(sh) AS BIGINT) AS n_ngrams,
+                CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+                round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) AS rep_ratio
+         FROM (SELECT doc_id,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)] END AS sh
+               FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+                     FROM documents))""",
 
     // corpus text is ASCII-only (verified), so codepoint == UTF-8 byte
     "mm_binary_meta" ->

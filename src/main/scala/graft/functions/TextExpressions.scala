@@ -145,6 +145,33 @@ object TextExpressions {
   def simhashSignature(normalizedText: Column, useMd5: Boolean): Column =
     Bridge.column(SimHashSignature(Bridge.expression(normalizedText), useMd5))
 
+  /** Word k-shingles of a (pre-normalized) text as STRINGS, one pass,
+    * each shingle a zero-copy substring slice between token
+    * boundaries. Matches the composable
+    * `transform(idx, i => concat_ws(" ", slice(tokens, i+1, k)))` form
+    * bit-for-bit (incl. the fewer-than-k-tokens degenerate case =
+    * whole text), but that form evaluates interpreted lambdas and
+    * re-materializes every shingle through concat_ws — ~3× slower in
+    * the ngram-verify bench entry. */
+  case class StringShingles(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(a: Any): Any =
+      StringShinglesImpl.compute(a.asInstanceOf[UTF8String], k)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.StringShinglesImpl.compute($v, $k);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API: string word-shingles of the normalized text. */
+  def stringShingles(normalizedText: Column, k: Int): Column =
+    Bridge.column(StringShingles(Bridge.expression(normalizedText), k))
+
   /** Column API: full MinHash signature of the normalized text. */
   def minhashSignature(normalizedText: Column, k: Int, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(normalizedText), k, numHashes))
@@ -244,6 +271,42 @@ object MinHashImpl {
       b += 1
     }
     out
+  }
+}
+
+/** Top-level (Java static forwarders, codegen-reachable) string
+  * shingling. Byte-level scan: 0x20 never occurs inside a UTF-8
+  * multibyte sequence, so token boundaries are exact without
+  * decoding; each shingle is one UTF8String.fromBytes slice. */
+object StringShinglesImpl {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def compute(s: UTF8String, k: Int): GenericArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // token start offsets (single-space-separated normalized text)
+    var numToks = 1
+    var i = 0
+    while (i < n) { if (bytes(i) == 0x20) numToks += 1; i += 1 }
+    if (numToks < k)
+      return new GenericArrayData(Array[Any](UTF8String.fromBytes(bytes)))
+    val starts = new Array[Int](numToks)
+    val ends = new Array[Int](numToks)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < n) {
+      if (bytes(i) == 0x20) { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = n
+    val out = new Array[Any](numToks - k + 1)
+    var j = 0
+    while (j <= numToks - k) {
+      out(j) = UTF8String.fromBytes(bytes, starts(j), ends(j + k - 1) - starts(j))
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

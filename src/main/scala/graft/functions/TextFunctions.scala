@@ -92,11 +92,20 @@ object TextFunctions {
     * DuckDB). */
   def fingerprint(c: Column): Column = md5(normText(c))
 
-  /** Word k-shingles of the normalized text (for MinHash). */
-  def shingles(c: Column, k: Int): Column = {
-    val t = tokens(c)
-    val idx = sequence(lit(0), greatest(size(t) - k, lit(0)))
-    when(size(t) < k, array(concat_ws(" ", t)))
-      .otherwise(transform(idx, i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+  /** Duplicate-n-gram fraction (the Gopher/C4-style within-doc
+    * repetition signal): 1 - distinct(kgrams)/kgrams. 0 = no repeated
+    * k-gram, → 1 for highly templated/looped text. Uses the native
+    * [[shingles]] pass; rounded 6dp for cross-engine stability. */
+  def repetitionRatio(c: Column, k: Int = 3): Column = {
+    val sh = shingles(c, k)
+    round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 6)
   }
+
+  /** Word k-shingles of the normalized text (for MinHash / Jaccard
+    * verify). Native one-pass expression; bit-identical to the
+    * composable `transform(idx, i => concat_ws(" ", slice(tokens,
+    * i+1, k)))` form (pinned by spec), which evaluates interpreted
+    * lambdas per shingle. */
+  def shingles(c: Column, k: Int): Column =
+    TextExpressions.stringShingles(normText(c), k)
 }

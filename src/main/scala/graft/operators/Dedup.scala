@@ -101,15 +101,28 @@ object Dedup {
     * ~linear in the true-dup count. (The earlier r=8 geometry had its
     * midpoint at 0.84 and demonstrably missed J≈0.8 pairs.) When
     * targeting a higher threshold, shrink b / grow r to match. */
+  /** Band geometry for an LSH target threshold: the (numBands,
+    * rowsPerBand) factorization of `numHashes` whose S-curve midpoint
+    * (1/b)^(1/r) is closest to `threshold`. For the defaults
+    * (0.5, 64) this is (16, 4) — midpoint exactly 0.5. */
+  def bandGeometry(threshold: Double, numHashes: Int = 64): (Int, Int) = {
+    val options = for { r <- 1 to numHashes if numHashes % r == 0 } yield (numHashes / r, r)
+    options.minBy { case (b, r) => math.abs(math.pow(1.0 / b, 1.0 / r) - threshold) }
+  }
+
+  /** `numBands <= 0` (the default) auto-selects the geometry from
+    * `threshold` via [[bandGeometry]] — pass it explicitly only to
+    * trade recall for candidate volume deliberately. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   numHashes: Int = 64, numBands: Int = 16, shingleK: Int = 3,
+                   numHashes: Int = 64, numBands: Int = 0, shingleK: Int = 3,
                    threshold: Double = 0.5, maxBucketSize: Int = 500): DataFrame = {
+    val bands = if (numBands > 0) numBands else bandGeometry(threshold, numHashes)._1
     // one fused map-side expression: text → band hashes (signature
     // never materialized as a column — see MinHashBandHashes for why
     // the composable slice/transform form recomputes it per band)
     val bucketed = df.filter(col(textCol).isNotNull)
       .select(col(idCol),
-        posexplode(X.minhashBands(T.normText(col(textCol)), shingleK, numHashes, numBands))
+        posexplode(X.minhashBands(T.normText(col(textCol)), shingleK, numHashes, bands))
           .as(Seq("band", "bucket")))
     // cache: the candidate set is tiny (~true-dup count) but its lineage
     // is the whole signature pipeline, and the verify stage consumes it

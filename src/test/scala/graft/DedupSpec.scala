@@ -88,6 +88,16 @@ class DedupSpec extends SparkSpec {
     assert(viaExpr == viaComposable)
   }
 
+  test("bandGeometry: threshold-matched factorizations, default reproduces (16,4)") {
+    assert(Dedup.bandGeometry(0.5, 64) == (16, 4)) // midpoint exactly 0.5
+    val (b8, r8) = Dedup.bandGeometry(0.8, 64)
+    assert(math.abs(math.pow(1.0 / b8, 1.0 / r8) - 0.8) < 0.15)
+    // higher threshold -> fewer bands / longer rows (stricter candidates)
+    assert(b8 < 16 && r8 > 4)
+    val (b2, _) = Dedup.bandGeometry(0.2, 64)
+    assert(b2 > 16)
+  }
+
   test("minhashPairs finds exact+near dups and reports jaccard") {
     val pairs = Dedup.minhashPairs(corpus, "id", "text", threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -42,6 +42,31 @@ class TextFunctionsSpec extends SparkSpec {
     assert(short == Seq("a b"))
   }
 
+  test("StringShingles expression is bit-identical to the transform/slice/concat_ws form") {
+    val texts = Seq("a b c d e", "a b", "", "Héllo wörld again naïve test",
+      "  Mixed   CASE\twith\nodd   spacing  ", "single")
+    val df = texts.toDF("t")
+    for (k <- Seq(2, 3, 5)) {
+      val t = T.tokens(col("t"))
+      val idx = sequence(lit(0), greatest(size(t) - k, lit(0)))
+      val composable = when(size(t) < k, array(concat_ws(" ", t)))
+        .otherwise(transform(idx, i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+      val both = df.select(T.shingles(col("t"), k).as("native"), composable.as("ref"))
+        .as[(Seq[String], Seq[String])].collect()
+      both.foreach { case (n, r) => assert(n == r, s"k=$k") }
+    }
+  }
+
+  test("repetitionRatio: 0 for unique text, high for templated text") {
+    val unique = one("one two three four five six").select(T.repetitionRatio(col("t"))).head.getDouble(0)
+    assert(unique == 0.0)
+    val looped = one(Seq.fill(10)("spam ham eggs").mkString(" "))
+      .select(T.repetitionRatio(col("t"))).head.getDouble(0)
+    assert(looped > 0.85) // 28 3-grams, only 3 distinct
+    val short = one("a b").select(T.repetitionRatio(col("t"))).head.getDouble(0)
+    assert(short == 0.0) // degenerate single whole-text shingle
+  }
+
   test("fingerprint equal for normalization-equivalent docs") {
     val df = Seq(("A  B\tC"), ("a b c")).toDF("t").select(T.fingerprint(col("t")).as("f"))
     assert(df.distinct().count == 1)
