@@ -29,6 +29,28 @@ class SqlContextSpec extends SparkSpec {
     topk.foreach(r => assert(r.getSeq[org.apache.spark.sql.Row](1).length <= 3))
   }
 
+  test("text extension functions match their Column-API twins from SQL") {
+    GraftSqlContext.withTables(spark, sfDir)
+    import graft.functions.{TextExpressions => X, TextFunctions => T}
+    import org.apache.spark.sql.functions._
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+                graft_shingles(trim(regexp_replace(lower(text), '\\s+', ' ')), 3) AS sh,
+                graft_minhash_bands(trim(regexp_replace(lower(text), '\\s+', ' ')), 3, 64, 16) AS bands,
+                graft_simhash(trim(regexp_replace(lower(text), '\\s+', ' '))) AS sim
+         FROM documents ORDER BY doc_id LIMIT 20""").collect()
+    val viaApi = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), T.shingles(col("text"), 3).as("sh"),
+        X.minhashBands(T.normText(col("text")), 3, 64, 16).as("bands"),
+        X.simhashSignature(T.normText(col("text")), useMd5 = false).as("sim"))
+      .orderBy("doc_id").limit(20).collect()
+    viaSql.zip(viaApi).foreach { case (a, b) =>
+      assert(a.getSeq[String](1) == b.getSeq[String](1))
+      assert(a.getSeq[Long](2) == b.getSeq[Long](2))
+      assert(a.getLong(3) == b.getLong(3))
+    }
+  }
+
   test("withTables registers the whole corpus") {
     GraftSqlContext.withTables(spark, sfDir)
     assert(spark.sql("SELECT count(*) FROM region").head.getLong(0) == 5)
