@@ -101,6 +101,93 @@ object StreamOps {
     df.withWatermark(tsCol, s"$watermarkMinutes minutes")
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** One banded doc observation: state key is (band << 16 | bucket). */
+  final case class BucketDoc(bucketKey: Long, id: Long, sig: Long,
+                             eventTime: java.sql.Timestamp, tsMillis: Long)
+  /** Per-bucket membership carried between micro-batches. */
+  final case class BucketState(ids: Array[Long], sigs: Array[Long])
+  /** An emitted near-duplicate match (id_l < id_r). */
+  final case class NearDupMatch(id_l: Long, id_r: Long, hamming: Int,
+                                eventTime: java.sql.Timestamp)
+
+  /** Streaming NEAR-duplicate detection — the streaming twin of
+    * Dedup.simhashPairs, built on the same one-pass SimHashSignature
+    * expression and 4×16-bit banding (hamming ≤ 3 exact by
+    * pigeonhole).
+    *
+    * Shape: signature+banding are stateless map-side expressions; the
+    * only state is per-(band,bucket) membership — at most
+    * `maxBucketSize` (id, sig) pairs of 16 bytes each, keyed by a
+    * 2^18-value space, evicted wholesale when the event-time watermark
+    * passes a bucket's last activity (a doc can only pair with docs
+    * inside the watermark horizon — same contract as [[dedupStream]]).
+    * A doc landing in a full bucket still pairs against the stored
+    * members but is not added (cap = the batch skew guard).
+    *
+    * Match emission is AT-LEAST-ONCE: a pair colliding in k>1 bands is
+    * reported once per band (buckets are independent state keys; a
+    * second stateful dedup stage downstream of
+    * flatMapGroupsWithState is rejected by Spark's watermark
+    * correctness checker, and rightly — emitted matches can trail the
+    * global watermark). Exactly-once is one `dropDuplicates(id_l,
+    * id_r)` in the consumer's `foreachBatch` sink — batch-local,
+    * stateless, and cheap because double-reports only occur for pairs
+    * already similar enough to collide twice. */
+  def nearDupStream(df: DataFrame, idCol: String, textCol: String, tsCol: String,
+                    watermarkMinutes: Int, maxHamming: Int = 3,
+                    maxBucketSize: Int = 1000): DataFrame = {
+    import graft.functions.{TextExpressions => X, TextFunctions => T}
+    implicit val docEnc = Encoders.product[BucketDoc]
+    implicit val stateEnc = Encoders.product[BucketState]
+    implicit val outEnc = Encoders.product[NearDupMatch]
+    implicit val longEnc = Encoders.scalaLong
+    val horizonMs = watermarkMinutes * 60000L
+    val banded = df
+      .select(col(idCol).cast("long").as("id"),
+        X.simhashSignature(T.normText(col(textCol)), useMd5 = false).as("sig"),
+        col(tsCol).cast("timestamp").as("eventTime"))
+      .select(col("id"), col("sig"), col("eventTime"),
+        unix_millis(col("eventTime")).as("tsMillis"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bucket")))
+      .select((col("band").cast("long") * 65536L + col("bucket")).as("bucketKey"),
+        col("id"), col("sig"), col("eventTime"), col("tsMillis"))
+      .withWatermark("eventTime", s"$watermarkMinutes minutes")
+      .as[BucketDoc]
+      .groupByKey(_.bucketKey)
+    val matches = banded.flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+      (_: Long, it: Iterator[BucketDoc], state: GroupState[BucketState]) => {
+        if (it.isEmpty && state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val prev = state.getOption
+          val ids = scala.collection.mutable.ArrayBuffer.from(prev.fold(Array.empty[Long])(_.ids))
+          val sigs = scala.collection.mutable.ArrayBuffer.from(prev.fold(Array.empty[Long])(_.sigs))
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupMatch]
+          var maxTs = 0L
+          it.toSeq.sortBy(d => (d.tsMillis, d.id)).foreach { d =>
+            if (!ids.contains(d.id)) {
+              var i = 0
+              while (i < ids.length) {
+                val h = java.lang.Long.bitCount(d.sig ^ sigs(i))
+                if (h <= maxHamming) {
+                  val (l, r) = if (ids(i) < d.id) (ids(i), d.id) else (d.id, ids(i))
+                  out += NearDupMatch(l, r, h, d.eventTime)
+                }
+                i += 1
+              }
+              if (ids.length < maxBucketSize) { ids += d.id; sigs += d.sig }
+            }
+            maxTs = math.max(maxTs, d.tsMillis)
+          }
+          state.update(BucketState(ids.toArray, sigs.toArray))
+          state.setTimeoutTimestamp(maxTs + horizonMs + 1)
+          out.iterator
+        }
+      })
+    matches.toDF().drop("eventTime")
+  }
+
   /** Drain a stream synchronously into an in-memory table and return
     * the batch result — test/verify harness helper. */
   def runToMemory(df: DataFrame, queryName: String, outputMode: String = "update"): DataFrame = {

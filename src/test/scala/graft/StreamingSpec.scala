@@ -76,6 +76,27 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == events.count())
   }
 
+  test("streaming near-dup (simhash) matches the batch pair set") {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .withColumn("ts",
+        timestamp_seconds(lit(1704067200L) + col("doc_id"))) // 2024-01-01 + doc_id sec
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndup").toString + "/docs"
+    docs.orderBy("doc_id").coalesce(4).write.parquet(dir)
+
+    val stream = StreamOps.parquetStream(spark, dir, docs.schema, maxFilesPerTrigger = 1)
+    val streamed = StreamOps.runToMemory(
+      StreamOps.nearDupStream(stream, "doc_id", "text", "ts", watermarkMinutes = 600),
+      "neardup", outputMode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val batch = graft.operators.Dedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"streamed-only=${streamed -- batch}, batch-only=${batch -- streamed}")
+  }
+
   test("streaming windowed agg over file source matches the batch result") {
     val events = Tables.events(spark, sfDir)
     // stage the events as a small directory of parquet files (a replayable stream)
