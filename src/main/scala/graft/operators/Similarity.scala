@@ -80,35 +80,92 @@ object Similarity {
     * partial aggregate. The cell relation can be written out
     * partitioned by `__cell` to make repeated query batches prune
     * whole files. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, qidCol: String, qvecCol: String,
-              k: Int, dim: Int, nCentroids: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L,
-              sampleKey: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None): DataFrame = {
-    // deterministic "kmeans-lite": hash-sample nCentroids corpus
-    // vectors. `sampleKey` overrides the xxhash64 sampling order (the
-    // gate query passes an md5-of-id key so the DuckDB oracle can
-    // derive the identical centroid set).
+  /** Deterministic "kmeans-lite" coarse quantizer: hash-sample
+    * `nCentroids` corpus vectors (one tiny driver collect — the
+    * sanctioned exception). `sampleKey` overrides the xxhash64
+    * sampling order (the gate query passes an md5-of-id key so the
+    * DuckDB oracle can derive the identical centroid set). Returns the
+    * centroids flattened [c][dim] row-major. */
+  def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, nCentroids: Int, seed: Long = 42L,
+                      sampleKey: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None): Array[Double] = {
     val keyOf = sampleKey.getOrElse((id: org.apache.spark.sql.Column) => xxhash64(id, lit(seed)))
     val sampled = corpus
       .select(col(idCol).cast("long").as("__id"), col(vecCol).cast("array<double>").as("__v"))
       .orderBy(keyOf(col("__id")))
       .limit(nCentroids)
       .collect()
-    val c = sampled.length
-    val flat = new Array[Double](c * dim)
+    val flat = new Array[Double](sampled.length * dim)
     sampled.zipWithIndex.foreach { case (r, ci) =>
       val v = r.getSeq[Double](1)
       var d = 0
       while (d < math.min(dim, v.length)) { flat(ci * dim + d) = v(d); d += 1 }
     }
+    flat
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, qidCol: String, qvecCol: String,
+              k: Int, dim: Int, nCentroids: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L,
+              sampleKey: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None): DataFrame = {
+    val flat = sampleCentroids(corpus, idCol, vecCol, dim, nCentroids, seed, sampleKey)
+    val c = flat.length / dim
     val cell1 = VectorExpressions.nearestCentroids(col(vecCol), flat, dim, c, 1)
     val cb = corpus.withColumn("__cell", element_at(cell1, 1))
+    val scored = probeCells(cb, queries, idCol, vecCol, qidCol, qvecCol, flat, dim, nProbe)
+    rankTopK(scored, idCol, qidCol, k)
+  }
+
+  private def probeCells(cells: DataFrame, queries: DataFrame, idCol: String,
+                         vecCol: String, qidCol: String, qvecCol: String,
+                         centroidsFlat: Array[Double], dim: Int, nProbe: Int): DataFrame = {
+    val c = centroidsFlat.length / dim
     val qb = broadcast(queries.select(col(qidCol), col(qvecCol),
-      explode(VectorExpressions.nearestCentroids(col(qvecCol), flat, dim, c, nProbe)).as("__cell")))
-    val scored = cb.join(qb, "__cell")
+      explode(VectorExpressions.nearestCentroids(col(qvecCol), centroidsFlat, dim, c, nProbe)).as("__cell")))
+    cells.join(qb, "__cell")
       .select(col(qidCol), col(idCol),
         V.cosineRounded(col(vecCol), col(qvecCol)).as("score"))
+  }
+
+  /** Materialize the IVF index as parquet PARTITIONED BY cell id:
+    * at 100 TB the corpus is assigned once (map-side codegen'd
+    * expression, no shuffle) and every later query batch reads ONLY
+    * its probed cells — the broadcast cell join plants a dynamic
+    * partition-pruning filter on the scan, so ~nProbe/nCentroids of
+    * the files are touched (proven via the scan's numFiles metric in
+    * SimilaritySpec). Returns the flattened centroids; persist them
+    * next to the index for query-time reuse. */
+  def buildIvfIndex(corpus: DataFrame, path: String, idCol: String, vecCol: String,
+                    dim: Int, nCentroids: Int = 16, seed: Long = 42L): Array[Double] = {
+    val flat = sampleCentroids(corpus, idCol, vecCol, dim, nCentroids, seed)
+    val c = flat.length / dim
+    val cell1 = VectorExpressions.nearestCentroids(col(vecCol), flat, dim, c, 1)
+    corpus.withColumn("__cell", element_at(cell1, 1))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__cell").parquet(path)
+    flat
+  }
+
+  /** Query a persisted IVF index (see [[buildIvfIndex]]). The probed
+    * cell set (≤ nQueries × nProbe values — tiny by the small-query-
+    * batch contract, one driver collect like the centroids) is applied
+    * as a STATIC partition filter on the index scan, so only those
+    * cells' files are read (`PartitionFilters` in the plan — proven
+    * via numFiles in the spec). Static beats relying on dynamic
+    * partition pruning here: DPP's cost heuristic can decline exactly
+    * when the batch is small, which is the common case. */
+  def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    centroidsFlat: Array[Double], queries: DataFrame,
+                    idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+                    k: Int, dim: Int, nProbe: Int = 4): DataFrame = {
+    val c = centroidsFlat.length / dim
+    val probed = queries
+      .select(explode(VectorExpressions.nearestCentroids(col(qvecCol), centroidsFlat, dim, c, nProbe)).as("__cell"))
+      .distinct().collect().map(_.getInt(0))
+    val cells = spark.read.parquet(path).filter(col("__cell").isin(probed.map(Int.box): _*))
+    val scored = probeCells(cells, queries, idCol, vecCol, qidCol, qvecCol,
+      centroidsFlat, dim, nProbe)
     rankTopK(scored, idCol, qidCol, k)
   }
 }

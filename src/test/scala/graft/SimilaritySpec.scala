@@ -113,6 +113,54 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(col("rank") === 1).head().getAs[Long]("id") == 2L)
   }
 
+  test("persisted IVF index: identical results to in-memory ivfTopK, scan prunes to probed cells") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 1000 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/index"
+    val centroids = Similarity.buildIvfIndex(emb, path, "vec_id", "embedding",
+      dim = 64, nCentroids = 16)
+
+    val fromIndex = Similarity.queryIvfIndex(spark, path, centroids, queries,
+      "vec_id", "embedding", "qid", "qvec", k = 5, dim = 64, nProbe = 4)
+    val inMemory = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 5, dim = 64, nCentroids = 16, nProbe = 4)
+    assert(fromIndex.collect().map(_.toSeq).toSet == inMemory.collect().map(_.toSeq).toSet)
+
+    // pruning: the index scan must touch only the probed cells'
+    // partitions, not all 16 (dynamic partition pruning from the
+    // broadcast cell join, or static after AQE folds the broadcast)
+    def indexFilesScanned(df: DataFrame): Long = {
+      df.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      // materialized AQE stages are leaf nodes hiding their subtree —
+      // recurse through them to reach the file scans
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.flatMap {
+        case s: FileSourceScanExec => Seq(s)
+        case q: QueryStageExec => scans(q.plan)
+        case _ => Nil
+      }
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val indexScans = scans(finalPlan)
+        .filter(_.metadata.get("Location").exists(_.contains("index")))
+      assert(indexScans.nonEmpty, "expected the index file scan in the plan")
+      indexScans.map(_.metrics("numFiles").value).sum
+    }
+    val allFiles = indexFilesScanned(spark.read.parquet(path))
+    val oneQuery = queries.limit(1)
+    val prunedFiles = indexFilesScanned(Similarity.queryIvfIndex(spark, path, centroids,
+      oneQuery, "vec_id", "embedding", "qid", "qvec", k = 5, dim = 64, nProbe = 4))
+    assert(prunedFiles < allFiles,
+      s"expected pruned scan ($prunedFiles) < full scan ($allFiles)")
+  }
+
   test("lshTopK returns the exact match in its candidates") {
     val dim = 16
     val corpus = (1 to 200).map { i =>
