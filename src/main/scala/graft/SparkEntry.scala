@@ -500,6 +500,19 @@ object SparkEntry {
         T.repetitionRatio(col("text"), 3).as("rep_ratio"))
     }),
 
+    "text_quality_filter" -> ((s, dir) => {
+      // composite keep/drop decision (Gopher-style rule conjunction)
+      // over the quality + repetition signals; thresholds compare the
+      // ROUNDED ratios, which both engines compute bit-identically
+      val q = T.qualityStruct(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), q.as("q"), T.repetitionRatio(col("text"), 3).as("rep"))
+        .select(col("doc_id"),
+          (col("q.n_tokens").between(20, 1000) &&
+            col("q.stopword_ratio") >= 0.05 &&
+            col("rep") < 0.2).as("keep"))
+    }),
+
     // ---- §2.10 multimodal ---------------------------------------------
     "mm_binary_meta" -> ((s, dir) => {
       val media = Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text")
@@ -691,21 +704,44 @@ object SparkEntry {
     sig AS (SELECT doc_id, $chunks FROM sums)"""
   }
 
+  private val qualitySql: String = {
+    val toks = s"len(string_split($normSql, ' '))"
+    val stop = langScoreSql(graft.functions.TextFunctions.langMarkers.head._2)
+    s"""SELECT doc_id,
+               length(text) AS n_chars,
+               $toks AS n_tokens,
+               round((length($normSql) - ($toks - 1)) / CAST($toks AS DOUBLE), 4) AS mean_token_len,
+               round((length(text) - length(translate(text, '.,;:!?''"()-', ''))) / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+               round($stop / CAST(greatest($toks, 1) AS DOUBLE), 6) AS stopword_ratio
+        FROM documents"""
+  }
+
+  // same shingle construction as the dedup_ngram_jaccard oracle;
+  // note multiset semantics: n_ngrams counts ALL shingles, distinct
+  // only collapses for the ratio
+  private val repetitionSql: String =
+    """SELECT doc_id,
+              CAST(len(sh) AS BIGINT) AS n_ngrams,
+              CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+              round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) AS rep_ratio
+       FROM (SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)] END AS sh
+             FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+                   FROM documents))"""
+
   def oracleSql: Map[String, String] = Map(
     "text_langid" ->
       s"SELECT doc_id, $langIdSql AS lang_pred FROM documents",
 
-    "text_quality" -> {
-      val toks = s"len(string_split($normSql, ' '))"
-      val stop = langScoreSql(graft.functions.TextFunctions.langMarkers.head._2)
-      s"""SELECT doc_id,
-                 length(text) AS n_chars,
-                 $toks AS n_tokens,
-                 round((length($normSql) - ($toks - 1)) / CAST($toks AS DOUBLE), 4) AS mean_token_len,
-                 round((length(text) - length(translate(text, '.,;:!?''"()-', ''))) / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
-                 round($stop / CAST(greatest($toks, 1) AS DOUBLE), 6) AS stopword_ratio
-          FROM documents"""
-    },
+    "text_quality" -> qualitySql,
+
+    "text_quality_filter" ->
+      s"""SELECT tq.doc_id,
+                 (tq.n_tokens BETWEEN 20 AND 1000)
+                   AND (tq.stopword_ratio >= 0.05)
+                   AND (tr.rep_ratio < 0.2) AS keep
+          FROM ($qualitySql) tq JOIN ($repetitionSql) tr ON tq.doc_id = tr.doc_id""",
 
     "ds_projection" ->
       "SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem",
@@ -975,19 +1011,7 @@ object SparkEntry {
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
          FROM documents""",
 
-    // same shingle construction as the dedup_ngram_jaccard oracle;
-    // note multiset semantics: n_ngrams counts ALL shingles, distinct
-    // only collapses for the ratio
-    "text_repetition" ->
-      """SELECT doc_id,
-                CAST(len(sh) AS BIGINT) AS n_ngrams,
-                CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
-                round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) AS rep_ratio
-         FROM (SELECT doc_id,
-                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                      ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)] END AS sh
-               FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
-                     FROM documents))""",
+    "text_repetition" -> repetitionSql,
 
     // corpus text is ASCII-only (verified), so codepoint == UTF-8 byte
     "mm_binary_meta" ->
