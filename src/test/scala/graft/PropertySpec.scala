@@ -67,6 +67,46 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("StringShinglesImpl: shingle i is exactly words.slice(i, i+k) joined") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    check(Prop.forAll(Gen.listOf(word), Gen.chooseNum(1, 5)) { (words, k) =>
+      val text = words.mkString(" ")
+      val out = graft.functions.StringShinglesImpl.compute(UTF8String.fromString(text), k)
+        .toArray[AnyRef](org.apache.spark.sql.types.StringType).map(_.toString)
+      val toks = if (text.isEmpty) Array("") else text.split(' ')
+      if (toks.length < k) out.toSeq == Seq(text)
+      else out.toSeq == toks.sliding(k).map(_.mkString(" ")).toSeq
+    })
+  }
+
+  test("MinHashImpl: signature stable under text repetition; bands = grouped signature") {
+    // needs >= k tokens: below that the degenerate whole-text shingle
+    // hash changes entirely under repetition (by design)
+    check(Prop.forAll(Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, Gen.identifier))) { words =>
+      val s = words.mkString(" ")
+      val sig1 = graft.functions.MinHashImpl.signature(s, 3, 16)
+      // repeating the text adds no NEW shingles except at the seam —
+      // check the weaker, always-true property: per-slot minima only
+      // decrease (more shingles can only lower a min)
+      val sig2 = graft.functions.MinHashImpl.signature(s + " " + s, 3, 16)
+      val monotone = sig1.zip(sig2).forall { case (a, b) => b <= a }
+      val bands = graft.functions.MinHashImpl.bands(s, 3, 16, 4)
+      monotone && bands.length == 4
+    })
+  }
+
+  test("SimHashImpl: single-token signature IS the token hash; repetition-invariant") {
+    check(Prop.forAll(Gen.identifier, Gen.chooseNum(2, 5)) { (tok, reps) =>
+      val single = graft.functions.SimHashImpl.signature(tok, useMd5 = false)
+      val hashEq = single == graft.functions.SimHashImpl.tokenHash(tok, useMd5 = false)
+      // k copies of the same text scale every bit count by k — signs
+      // (hence the signature) cannot change
+      val text = List.fill(reps)(tok).mkString(" ")
+      hashEq && graft.functions.SimHashImpl.signature(text, useMd5 = false) == single
+    })
+  }
+
   test("NearestCentroids.select: k distinct in-range ids, zero vector safe") {
     val centroids = Array.tabulate(4 * 8)(i => math.sin(i * 1.3)) // 4 centroids, dim 8
     check(Prop.forAll(Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0)), Gen.chooseNum(1, 6)) { (v, np) =>
