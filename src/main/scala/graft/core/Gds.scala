@@ -83,9 +83,20 @@ final case class Gds(df: DataFrame) {
       else df.columns.filter(_.equalsIgnoreCase(fieldName))
     Gds(df.drop(victims.toSeq: _*))
   }
-  /** eel `dropField`/`removeFieldIfExists` aliases (DataStream.scala:465-480). */
+  /** eel `dropField`/`removeFieldIfExists`/`dropFieldIfExists` aliases
+    * (DataStream.scala:465-494). */
   def dropField(fieldName: String): Gds = removeField(fieldName)
   def removeFieldIfExists(fieldName: String): Gds = removeField(fieldName)
+  def dropFieldIfExists(fieldName: String): Gds = removeField(fieldName)
+  /** eel `addFieldFn(name, Row => Any)` (DataStream.scala:794-832):
+    * computed field from a row closure. Closure escape-hatch like
+    * [[mapRows]] — not codegen-friendly; prefer addField(name, Column). */
+  def addFieldFn(name: String, dataType: org.apache.spark.sql.types.DataType,
+                 fn: Row => Any): Gds = {
+    require(!df.columns.contains(name), s"Field $name already exists")
+    val outSchema = df.schema.add(name, dataType)
+    mapRows(r => Row.fromSeq(r.toSeq :+ fn(r)), outSchema)
+  }
   /** eel `removeFields(regex)` (DataStream.scala:482). */
   def removeFields(regex: Regex): Gds =
     Gds(df.drop(df.columns.filter(c => regex.pattern.matcher(c).matches()).toSeq: _*))

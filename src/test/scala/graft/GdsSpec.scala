@@ -47,6 +47,15 @@ class GdsSpec extends SparkSpec {
     intercept[IllegalArgumentException](people.addField("age", lit(1)))
   }
 
+  test("addFieldFn computes from a row closure; dropFieldIfExists is a no-op on missing") {
+    import org.apache.spark.sql.types.IntegerType
+    val out = people.addFieldFn("name_len", IntegerType, r => r.getAs[String]("name").length)
+    assert(rows(out.toDF).forall(r => r.getInt(r.fieldIndex("name_len")) ==
+      r.getString(r.fieldIndex("name")).length))
+    assert(people.dropFieldIfExists("nope").schema == people.schema)
+    assert(!people.dropFieldIfExists("city").schema.fieldNames.contains("city"))
+  }
+
   test("rename / remove / removeFields regex / case-insensitive remove") {
     assert(people.renameField("name", "nm").schema.fieldNames.contains("nm"))
     assert(!people.removeField("city").schema.fieldNames.contains("city"))
