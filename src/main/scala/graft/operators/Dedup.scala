@@ -250,6 +250,65 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Persist the (id, sig) SimHash signature store for incremental
+    * dedup — 16 bytes/doc, the state a nightly pipeline carries
+    * instead of re-signing the corpus. */
+  def writeSimhashState(df: DataFrame, idCol: String, textCol: String, path: String,
+                        tokenHash: TokenHash = xxTokenHash): Unit =
+    simhashSignatures(df, idCol, textCol, tokenHash)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Incremental SimHash dedup: near-dup pairs of a NEW batch against
+    * itself and the persisted signature store — WITHOUT touching the
+    * old corpus text (the store carries everything the verify needs).
+    *
+    * At 100 TB this is the only sane nightly shape: signature the new
+    * batch (map-side expression), band-join it against the store
+    * (shuffle ∝ |store|+|batch| small tuples), emit only pairs with a
+    * new side. Old-old pairs were reported when THEIR batch arrived —
+    * re-deriving them nightly would be O(corpus²/day) wasted work.
+    * Appends the new signatures to the store (the next night sees
+    * them). Returns (id_l, id_r, hamming) like [[simhashPairs]]. */
+  def incrementalSimhashPairs(newDocs: DataFrame, idCol: String, textCol: String,
+                              statePath: String,
+                              maxHamming: Int = 3, maxBucketSize: Int = 1000,
+                              tokenHash: TokenHash = xxTokenHash): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newSigs = simhashSignatures(newDocs, idCol, textCol, tokenHash).cache()
+    val oldSigs = spark.read.parquet(statePath).select(col(idCol), col("sig"))
+    val newIds = newSigs.select(col(idCol))
+    val all = oldSigs.select(col(idCol), col("sig"), lit(false).as("__new"))
+      .union(newSigs.select(col(idCol), col("sig"), lit(true).as("__new")))
+      // a re-submitted id keeps its STORED signature (min_by on the
+      // boolean: false = old wins — deterministic)
+      .groupBy(col(idCol)).agg(min_by(col("sig"), col("__new")).as("sig"))
+    val banded = all.select(col(idCol), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bucket")))
+    val cand = pairsFromBuckets(banded.select(idCol, "band", "bucket"), idCol,
+      Seq("band", "bucket"), maxBucketSize)
+    val sigs = all.select(col(idCol), col("sig"))
+    val pairs = cand
+      .join(sigs.select(col(idCol).as("id_l"), col("sig").as("sig_l")), "id_l")
+      .join(sigs.select(col(idCol).as("id_r"), col("sig").as("sig_r")), "id_r")
+      .select(col("id_l"), col("id_r"),
+        bit_count(col("sig_l").bitwiseXOR(col("sig_r"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    // only pairs that involve the new batch (old-old already reported)
+    val withNew = pairs
+      .join(newIds.select(col(idCol).as("id_l")), Seq("id_l"), "left_semi")
+      .union(pairs.join(newIds.select(col(idCol).as("id_r")), Seq("id_r"), "left_semi")
+        .select("id_l", "id_r", "hamming"))
+      .distinct()
+    // materialize results BEFORE appending, then grow the store
+    val out = withNew.cache()
+    out.count()
+    newSigs.join(oldSigs.select(col(idCol)), Seq(idCol), "left_anti")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(statePath)
+    newSigs.unpersist()
+    out
+  }
+
   /** Connected components over near-dup pairs: every doc ends up
     * labeled with the smallest id in its duplicate cluster. Each
     * distributed round propagates labels one hop (O(max component
