@@ -54,7 +54,7 @@ object SparkEntry {
         .mapField("p_name", upper _)
         // *2 is exact in binary floating point — a round(c*1.1, 2) here
         // would sit on .xx5 half-boundaries that Spark and DuckDB round
-        // differently (see CLAUDE.md float rules)
+        // differently (see SURVEY §5 float rules)
         .mapField("p_retailprice", c => c * 2)
         .projection("p_partkey", "p_name", "p_retailprice").toDF),
 

@@ -250,6 +250,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Persist the (content_hash, keep_id) store for incremental EXACT
+    * dedup. */
+  def writeExactState(df: DataFrame, idCol: String, textCol: String, path: String): Unit =
+    df.select(md5(col(textCol)).as("content_hash"), col(idCol).as("keep_id"))
+      .groupBy("content_hash").agg(min(col("keep_id")).as("keep_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Incremental exact dedup: each NEW doc is either a duplicate of a
+    * stored hash (dup_of = the stored keeper) or novel (dup_of null);
+    * novel hashes are appended to the store. One hash-join against the
+    * store — no old text touched, the O(batch) nightly shape. */
+  def incrementalExact(newDocs: DataFrame, idCol: String, textCol: String,
+                       statePath: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val state = spark.read.parquet(statePath)
+    val hashed = newDocs.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    // localCheckpoint (not cache): the lineage must be SEVERED from the
+    // store before we append to it — a cached plan can be re-evaluated
+    // against the grown files and flag novel docs as their own dups
+    val out = hashed.join(state, Seq("content_hash"), "left")
+      .select(col(idCol), col("content_hash"), col("keep_id").as("dup_of"))
+      .localCheckpoint(true)
+    // novel hashes enter the store (min id among the new batch wins)
+    out.filter(col("dup_of").isNull)
+      .groupBy("content_hash").agg(min(col(idCol)).as("keep_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(statePath)
+    out
+  }
+
   /** Persist the (id, sig) SimHash signature store for incremental
     * dedup — 16 bytes/doc, the state a nightly pipeline carries
     * instead of re-signing the corpus. */
@@ -300,9 +329,10 @@ object Dedup {
       .union(pairs.join(newIds.select(col(idCol).as("id_r")), Seq("id_r"), "left_semi")
         .select("id_l", "id_r", "hamming"))
       .distinct()
-    // materialize results BEFORE appending, then grow the store
-    val out = withNew.cache()
-    out.count()
+    // localCheckpoint severs the lineage from the store files BEFORE
+    // the append grows them (a cached plan could re-evaluate against
+    // the appended store and change the answer)
+    val out = withNew.localCheckpoint(true)
     newSigs.join(oldSigs.select(col(idCol)), Seq(idCol), "left_anti")
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(statePath)
     newSigs.unpersist()

@@ -165,6 +165,25 @@ class DedupSpec extends SparkSpec {
     assert(dist == canon)
   }
 
+  test("incremental exact: duplicates of stored hashes flagged, novel hashes enter the store") {
+    val statePath = java.nio.file.Files.createTempDirectory("graft_incx").toString + "/hashes"
+    Dedup.writeExactState(corpus, "id", "text", statePath)
+    val batch2 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of stored id 1
+      (11L, "entirely novel content in the second batch"),
+      (12L, "entirely novel content in the second batch"),  // dup within batch2 of 11
+    ).toDF("id", "text")
+    val out = Dedup.incrementalExact(batch2, "id", "text", statePath)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    assert(out(10L).contains(1L))
+    assert(out(11L).isEmpty && out(12L).isEmpty) // both novel vs the STORE this run
+    // next run sees batch2's novel hash with keeper 11 (min of 11,12)
+    val next = Dedup.incrementalExact(
+      Seq((20L, "entirely novel content in the second batch")).toDF("id", "text"),
+      "id", "text", statePath)
+    assert(next.head().getLong(2) == 11L)
+  }
+
   test("incremental simhash: new-batch pairs == full-corpus pairs minus already-reported") {
     val docs = Tables.table(spark, sfDir, "documents")
     val batch1 = docs.filter(col("doc_id") < 250)
