@@ -188,6 +188,19 @@ object StreamOps {
     matches.toDF().drop("eventTime")
   }
 
+  /** Exactly-once sink for [[nearDupStream]]: per micro-batch,
+    * collapse the at-least-once multi-band reports (stateless,
+    * batch-local dropDuplicates) and append to parquet. Cross-batch
+    * re-reports cannot occur — a pair is only emitted by the batch
+    * that completes it. */
+  def nearDupSink(matches: DataFrame, path: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    matches.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.dropDuplicates("id_l", "id_r")
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+      }
+
   /** Drain a stream synchronously into an in-memory table and return
     * the batch result — test/verify harness helper. */
   def runToMemory(df: DataFrame, queryName: String, outputMode: String = "update"): DataFrame = {

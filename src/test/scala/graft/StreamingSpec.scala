@@ -97,6 +97,25 @@ class StreamingSpec extends SparkSpec {
       s"streamed-only=${streamed -- batch}, batch-only=${batch -- streamed}")
   }
 
+  test("nearDupSink writes batch-deduped matches exactly-once to parquet") {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+    val base = java.nio.file.Files.createTempDirectory("graft_ndsink").toString
+    docs.orderBy("doc_id").coalesce(2).write.parquet(s"$base/docs")
+    val stream = StreamOps.parquetStream(spark, s"$base/docs", docs.schema, maxFilesPerTrigger = 1)
+    val q = StreamOps.nearDupSink(
+      StreamOps.nearDupStream(stream, "doc_id", "text", "ts", watermarkMinutes = 600),
+      s"$base/out", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val written = spark.read.parquet(s"$base/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = graft.operators.Dedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(written.toSet == batch)
+    assert(written.length == written.distinct.length, "duplicate pair rows in sink output")
+  }
+
   test("streaming windowed agg over file source matches the batch result") {
     val events = Tables.events(spark, sfDir)
     // stage the events as a small directory of parquet files (a replayable stream)
