@@ -86,12 +86,17 @@ object Bench {
     }
     val gate = measure(gateNames)
     val prod = measure(prodNames)
+    // Millisecond precision keeps the whole line comfortably inside the
+    // driver's 2000-char stdout tail window (full-precision doubles for
+    // 64+ queries overflow it and the driver records parsed:null).
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def toJson(rs: Seq[(String, Double)]) =
-      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = gate.map(_._2).sum
     val prodTotal = prod.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":${toJson(gate)},"prod":${toJson(prod)},"prod_total":$prodTotal,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries":${toJson(gate)},"prod":${toJson(prod)},"prod_total":${fmt(prodTotal)},"failed":$failedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Gds
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Dedup, Similarity, TimeSeries}
+import graft.operators.{Dedup, Pipeline, Similarity, TimeSeries}
 import graft.multimodal.Multimodal
 import graft.sql.GraftSqlContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -516,6 +516,29 @@ object SparkEntry {
             col("rep") < 0.2).as("keep"))
     }),
 
+    // ---- §2.11 corpus prep (training-pipeline ops) --------------------
+    "contamination_ngram" -> ((s, dir) => {
+      // benchmark-contamination screen: docs sharing word-3-grams with
+      // the held-out eval slice (doc_id % 50). Gate variant joins on
+      // gram STRINGS so DuckDB rebuilds identical sets; production
+      // (perfQueries twin) joins on xxhash64 longs.
+      val docs = t(s, dir, "documents")
+      Pipeline.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", k = 3, hashGrams = false)
+    }),
+
+    "sample_split_hash" -> ((s, dir) =>
+      // deterministic md5-bucket train/val/test split (80/10/10) —
+      // stable across reruns, row order, partitioning, and engines
+      Pipeline.hashSplit(t(s, dir, "documents"), "doc_id")),
+
+    "dedup_keep_best" -> ((s, dir) =>
+      // keep the highest-quality representative per normalized-content
+      // cluster (score = token count, tie-break doc_id)
+      Pipeline.keepBestByFingerprint(t(s, dir, "documents"), "doc_id", "text",
+        score = T.qualityStruct(col("text")).getField("n_tokens"))),
+
     // ---- §2.10 multimodal ---------------------------------------------
     "mm_binary_meta" -> ((s, dir) => {
       val media = Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text")
@@ -576,6 +599,15 @@ object SparkEntry {
 
     "dedup_embedding_prod" -> ((s, dir) =>
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64)),
+
+    "contamination_ngram_prod" -> ((s, dir) => {
+      // hashed-gram variant: broadcast/build side and join keys are
+      // xxhash64 longs, never shingle text
+      val docs = t(s, dir, "documents")
+      Pipeline.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", k = 3, hashGrams = true)
+    }),
 
     "sim_lsh_topk_prod" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1055,6 +1087,31 @@ object SparkEntry {
     "dedup_minhash" ->
       s"""WITH $shingleSetsSql, $exactJaccardPairsSql
           SELECT id_l, id_r, jaccard FROM jac WHERE jaccard >= 0.5""",
+
+    "contamination_ngram" ->
+      s"""WITH $shingleSetsSql,
+          ex AS (SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS g FROM s),
+          bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % 50 = 0)
+          SELECT e.doc_id, count(*) AS n_shared,
+                 round(CAST(count(*) AS DOUBLE) / e.n_grams, 6) AS contam_ratio
+          FROM ex e JOIN bench b ON e.g = b.g
+          WHERE e.doc_id % 50 <> 0
+          GROUP BY e.doc_id, e.n_grams""",
+
+    "sample_split_hash" ->
+      """SELECT doc_id, bucket,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+               FROM documents)""",
+
+    "dedup_keep_best" ->
+      s"""SELECT doc_id,
+                 (row_number() OVER (PARTITION BY fp ORDER BY nt DESC, doc_id ASC) = 1) AS keep
+          FROM (SELECT doc_id, md5($normSql) AS fp,
+                       len(string_split($normSql, ' ')) AS nt
+                FROM documents)""",
 
     "dedup_keeplist" ->
       s"""WITH RECURSIVE $shingleSetsSql, $exactJaccardPairsSql,
