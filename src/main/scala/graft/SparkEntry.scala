@@ -516,6 +516,15 @@ object SparkEntry {
             col("rep") < 0.2).as("keep"))
     }),
 
+    "ds_schema_merge" -> ((s, dir) => {
+      // eel SchemaMerger/mergedUnion: heterogeneous projections of the
+      // same corpus unioned under the superset schema, null-filled
+      val docs = t(s, dir, "documents")
+      graft.core.SchemaOps.mergedUnion(Seq(
+        docs.select(col("doc_id"), col("lang")),
+        docs.select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))))
+    }),
+
     // ---- §2.11 corpus prep (training-pipeline ops) --------------------
     "contamination_ngram" -> ((s, dir) => {
       // benchmark-contamination screen: docs sharing word-3-grams with
@@ -1087,6 +1096,11 @@ object SparkEntry {
     "dedup_minhash" ->
       s"""WITH $shingleSetsSql, $exactJaccardPairsSql
           SELECT id_l, id_r, jaccard FROM jac WHERE jaccard >= 0.5""",
+
+    "ds_schema_merge" ->
+      """SELECT doc_id, lang, NULL AS n_chars FROM documents
+         UNION ALL
+         SELECT doc_id, NULL AS lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents""",
 
     "contamination_ngram" ->
       s"""WITH $shingleSetsSql,
