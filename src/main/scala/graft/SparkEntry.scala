@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Gds
-import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.functions.{PiiFunctions => P, TextFunctions => T, VectorFunctions => V}
 import graft.operators.{Dedup, Pipeline, Similarity, TimeSeries}
 import graft.multimodal.Multimodal
 import graft.sql.GraftSqlContext
@@ -579,7 +579,84 @@ object SparkEntry {
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
           col("frame_bytes").cast("long").as("frame_bytes"))
     }),
+
+    // ---- §2.12 PII / sampling / mixing / span-dedup / LM quality ------
+    "text_pii" -> ((s, dir) => {
+      // the synthetic corpus carries no natural PII, so the scan runs
+      // over a deterministically derived contact suffix (1 in 3 docs)
+      // — the regex machinery, counts, and scrub are the real operator
+      val contact = piiContact(s, dir)
+      contact.select(col("doc_id"),
+        P.emailCount(col("__txt")).cast("long").as("n_emails"),
+        P.phoneCount(col("__txt")).cast("long").as("n_phones"),
+        P.ipCount(col("__txt")).cast("long").as("n_ips"),
+        md5(P.scrub(col("__txt"))).as("scrub_fp"))
+    }),
+
+    "sample_stratified" -> ((s, dir) =>
+      // downweight over-represented languages: per-stratum keep rate,
+      // pure per-row hash arithmetic (no corpus stats, no shuffle)
+      Pipeline.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        rates = Seq("en" -> 40, "de" -> 70), defaultPct = 100)),
+
+    "corpus_mix" -> ((s, dir) =>
+      // mix sources to target 3:2 ratios (integer-quota, rank-filled);
+      // src15..19 carry no weight -> kept rows flagged keep=false
+      Pipeline.corpusMix(t(s, dir, "documents"), "doc_id", "source", mixWeights)),
+
+    "dedup_spans" -> ((s, dir) =>
+      // cross-doc repeated 5-gram spans (boilerplate/template signal).
+      // Gate variant shuffles gram STRINGS so DuckDB rebuilds the sets;
+      // production (perfQueries twin) shuffles xxhash64 longs.
+      Pipeline.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, minDocs = 2, hashGrams = false)),
+
+    "text_unigram" -> ((s, dir) =>
+      // corpus-unigram-frequency doc scoring (all-integer signals; the
+      // mean-log-prob production variant is benched as text_unigram_prod)
+      Pipeline.unigramScore(t(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_semantic" -> ((s, dir) =>
+      // SemDeDup: cluster-then-verify semantic dedup; md5 sampling
+      // order so DuckDB derives the identical centroid set (production
+      // twin uses the xxhash64 default)
+      Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
+        nCentroids = 16, threshold = 0.4,
+        sampleKey = Some(id => md5(concat(lit("ivf:"), id.cast("string")))))
+        .select(col("vec_id"), col("cell").cast("int").as("cell"), col("keep"))),
+
+    // ---- §2.13 event analytics ----------------------------------------
+    "evt_funnel" -> ((s, dir) =>
+      // view -> click -> purchase with a 1-day conversion window
+      TimeSeries.funnel(t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), withinSeconds = Some(86400L))),
+
+    "evt_retention" -> ((s, dir) =>
+      // daily purchase retention: cohort = first purchase day
+      TimeSeries.retention(t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", "ts", periodDays = 1)),
   )
+
+  /** Deterministic PII-bearing text column: every third doc gets a
+    * contact suffix derived from its id (email + phone + IPv4). The
+    * corpus itself is synthetic word-salad with no natural PII, so
+    * this is what makes the detector/scrubber verifiable end-to-end. */
+  private def piiContact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          (pmod(col("doc_id"), lit(900)) + 100).cast("string"),
+          lit("-0142 at 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit(".7")))
+        .otherwise(col("text")).as("__txt"))
+
+  /** Integer mix weights for corpus_mix — sources src0..9 at weight 3,
+    * src10..14 at weight 2, src15..19 unweighted (dropped). Shared
+    * with the generated oracle VALUES list. */
+  private val mixWeights: Seq[(String, Int)] =
+    (0 until 10).map(i => s"src$i" -> 3) ++ (10 until 15).map(i => s"src$i" -> 2)
 
   /** Perf-only PRODUCTION-mode twins of the gate queries whose
     * `queries` entry swaps in an engine-portable derivation (md5 /
@@ -642,6 +719,27 @@ object SparkEntry {
         .select(col("media_id"), size(col("embedding")).cast("long").as("dim"),
           round(graft.functions.VectorFunctions.norm(col("embedding")), 6).as("norm"))
     }),
+
+    "dedup_spans_prod" -> ((s, dir) =>
+      // hashed-gram variant: the gram shuffle and the shared-gram join
+      // carry xxhash64 longs, never 5-gram text
+      Pipeline.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, minDocs = 2, hashGrams = true)),
+
+    "text_unigram_prod" -> ((s, dir) =>
+      // hashed tokens + the classic mean-log-prob quality score
+      Pipeline.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_semantic_prod" -> ((s, dir) =>
+      // xxhash64 centroid sampling (production default)
+      Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
+        nCentroids = 16, threshold = 0.4)),
+
+    "sample_stratified_prod" -> ((s, dir) =>
+      // xxhash64 bucket (~3x cheaper/row than the md5 gate bucket)
+      Pipeline.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        rates = Seq("en" -> 40, "de" -> 70), defaultPct = 100,
+        bucketOf = Pipeline.xxBucket)),
   )
 
   /** Per-query scratch dir for sink roundtrips (driver may run Verify
@@ -677,15 +775,18 @@ object SparkEntry {
 
   // ---- generated oracle fragments for the LLM-pipeline queries ------
 
-  /** Word-3-shingle distinct sets per doc — the DuckDB twin of
-    * TextFunctions.shingles + array_distinct. */
-  private val shingleSetsSql = raw"""
+  /** Word-k-shingle distinct sets per doc — the DuckDB twin of
+    * TextFunctions.shingles + array_distinct (incl. the <k-token
+    * whole-text case, mirroring StringShinglesImpl). */
+  private def shingleSetsSqlK(k: Int): String = raw"""
     s AS (
       SELECT doc_id,
-        list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-             ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)] END) AS sh
+        list_distinct(CASE WHEN len(toks) < $k THEN [array_to_string(toks, ' ')]
+             ELSE [array_to_string(toks[i:i+${k - 1}], ' ') FOR i IN range(1, len(toks)-${k - 2})] END) AS sh
       FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
             FROM documents))"""
+
+  private val shingleSetsSql = shingleSetsSqlK(3)
 
   /** Exact all-pairs Jaccard >= threshold via a shared-shingle
     * prefilter (any J>0 pair shares a shingle, so this is exact). */
@@ -1212,5 +1313,102 @@ object SparkEntry {
                   [ (('0x' || substr(md5(text || ':' || i), 1, 8))::BIGINT - 2147483648)/2147483648.0 FOR i IN range(0, 16) ],
                   v -> v * v), (x, y) -> x + y)), 6) AS norm
          FROM documents""",
+
+    "text_pii" ->
+      s"""WITH d AS (SELECT doc_id, $piiContactSql AS txt FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(txt, '${P.emailPattern}')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(txt, '${P.phonePattern}')) AS BIGINT) AS n_phones,
+                 CAST(len(regexp_extract_all(txt, '${P.ipPattern}')) AS BIGINT) AS n_ips,
+                 md5(regexp_replace(regexp_replace(regexp_replace(txt,
+                     '${P.emailPattern}', '[EMAIL]', 'g'),
+                     '${P.ipPattern}', '[IP]', 'g'),
+                     '${P.phonePattern}', '[PHONE]', 'g')) AS scrub_fp
+          FROM d""",
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, bucket,
+                bucket < (CASE WHEN lang = 'en' THEN 40 WHEN lang = 'de' THEN 70 ELSE 100 END) AS keep
+         FROM (SELECT doc_id, lang,
+                 ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+               FROM documents)""",
+
+    "corpus_mix" ->
+      s"""WITH wv(source, w) AS (VALUES $mixWeightsSqlValues),
+          cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+          m AS (SELECT min(c // w) AS m FROM cnt JOIN wv USING (source)),
+          r AS (SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+                FROM documents)
+          SELECT r.doc_id, r.source, (r.rn <= COALESCE(wv.w, 0) * m.m) AS keep
+          FROM r LEFT JOIN wv USING (source) CROSS JOIN m""",
+
+    "dedup_spans" ->
+      s"""WITH ${shingleSetsSqlK(5)},
+          ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM s),
+          shd AS (SELECT g FROM ex GROUP BY g HAVING count(*) >= 2)
+          SELECT e.doc_id, count(*) AS n_shared_spans,
+                 round(CAST(count(*) AS DOUBLE) / e.n, 6) AS span_ratio
+          FROM ex e JOIN shd ON e.g = shd.g
+          GROUP BY e.doc_id, e.n""",
+
+    "text_unigram" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS t FROM documents),
+          freq AS (SELECT t, count(*) AS f FROM tok GROUP BY 1)
+          SELECT tok.doc_id, count(*) AS n_tokens,
+                 CAST(sum(f) AS BIGINT) AS freq_sum, min(f) AS min_freq,
+                 round(CAST(sum(f) AS DOUBLE) / count(*), 6) AS avg_freq
+          FROM tok JOIN freq USING (t) GROUP BY tok.doc_id""",
+
+    "dedup_semantic" ->
+      s"""WITH cent AS (SELECT cv, cidx FROM (
+                 SELECT embedding AS cv,
+                        row_number() OVER (ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR))) - 1 AS cidx
+                 FROM embeddings) WHERE cidx < 16),
+          asgn AS (SELECT v.vec_id, c.cidx,
+                     row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY ${cosSql("v.embedding", "c.cv")} DESC, c.cidx ASC) AS rnk
+                   FROM embeddings v CROSS JOIN cent c),
+          ccell AS (SELECT vec_id, cidx AS cell FROM asgn WHERE rnk = 1),
+          pr AS (SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+                   round(${cosSql("ea.embedding", "eb.embedding")}, 6) AS cs
+                 FROM ccell a JOIN ccell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                 JOIN embeddings ea ON a.vec_id = ea.vec_id
+                 JOIN embeddings eb ON b.vec_id = eb.vec_id),
+          dropped AS (SELECT DISTINCT id_r FROM pr WHERE cs >= 0.4 AND NOT isnan(cs))
+          SELECT cc.vec_id, CAST(cc.cell AS INT) AS cell, (d.id_r IS NULL) AS keep
+          FROM ccell cc LEFT JOIN dropped d ON cc.vec_id = d.id_r""",
+
+    "evt_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t
+                  AND epoch_us(e.ts) - epoch_us(s1.t) <= 86400000000 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                  AND epoch_us(e.ts) - epoch_us(s2.t) <= 86400000000 GROUP BY 1)
+         SELECT 1 AS stage_idx, 'view' AS stage, (SELECT count(*) FROM s1) AS n_users
+         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""",
+
+    "evt_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS w
+                     FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT u, min(w) AS cw FROM uw GROUP BY 1)
+         SELECT c.cw AS cohort_week, uw.w - c.cw AS week_offset, count(*) AS n_users
+         FROM uw JOIN c ON uw.u = c.u GROUP BY 1, 2""",
   )
+
+  /** SQL twin of [[piiContact]]'s derived column. */
+  private val piiContactSql: String =
+    """CASE WHEN doc_id % 3 = 0
+            THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com or 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                 || '-0142 at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+            ELSE text END"""
+
+  /** VALUES list twin of [[mixWeights]]. */
+  private def mixWeightsSqlValues: String =
+    mixWeights.map { case (s, w) => s"('$s', $w)" }.mkString(", ")
 }

@@ -444,4 +444,46 @@ object Dedup {
       .select(col("id_l"), col("id_r"), V.cosineRounded(col("v_l"), col("v_r")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup via a coarse
+    * quantizer — cluster the embeddings with the IVF centroid
+    * machinery, generate candidate pairs ONLY within a cluster, verify
+    * with exact cosine, and greedily drop the larger id of every
+    * near-dup pair (keep-min — deterministic, engine-reproducible).
+    * Complement to [[embeddingPairs]]: LSH OR-probing maximizes pair
+    * recall; SemDeDup's single-assignment clustering bounds work at
+    * ~corpus²/nCentroids and is the published recipe for pruning
+    * semantically-redundant web data.
+    *
+    * Scale shape: centroid selection is one tiny driver collect;
+    * assignment is a map-side codegen'd expression (no shuffle);
+    * candidate generation shuffles (id, cell) only — never vectors —
+    * with the per-cell cap bounding a degenerate cluster; the cosine
+    * verify joins vectors for candidate ids only. nCentroids should
+    * grow with the corpus (cells of ~10^4-10^5 docs) — the published
+    * configuration uses 11k clusters for 500M docs.
+    *
+    * Returns every input id: (id, cell, keep). */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+               nCentroids: Int = 16, threshold: Double = 0.4,
+               maxCellSize: Int = 10000, seed: Long = 42L,
+               sampleKey: Option[Column => Column] = None): DataFrame = {
+    val flat = Similarity.sampleCentroids(emb, idCol, vecCol, dim, nCentroids, seed, sampleKey)
+    val c = flat.length / dim
+    val cells = emb.select(col(idCol), col(vecCol).as("__v"),
+      element_at(graft.functions.VectorExpressions.nearestCentroids(col(vecCol), flat, dim, c, 1), 1)
+        .as("cell"))
+    val cand = pairsFromBuckets(cells.select(col(idCol), col("cell")), idCol,
+      Seq("cell"), maxCellSize)
+    val vecs = cells.select(col(idCol).as("__id"), col("__v"))
+    val dropped = cand
+      .join(vecs.select(col("__id").as("id_l"), col("__v").as("v_l")), "id_l")
+      .join(vecs.select(col("__id").as("id_r"), col("__v").as("v_r")), "id_r")
+      .select(col("id_r"), V.cosineRounded(col("v_l"), col("v_r")).as("__cos"))
+      .filter(col("__cos") >= threshold && !isnan(col("__cos")))
+      .select(col("id_r").as(idCol)).distinct()
+    cells.select(col(idCol), col("cell"))
+      .join(dropped.withColumn("__drop", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("__drop").isNull.as("keep"))
+  }
 }

@@ -26,6 +26,23 @@ import graft.functions.{TextFunctions => T}
   */
 object Pipeline {
 
+  /** Deterministic 0..mod-1 bucket from md5 of seed:id — the portable
+    * sampling primitive shared by [[hashSplit]], [[stratifiedSample]]
+    * and [[corpusMix]]: stable across reruns, row order, partitioning,
+    * and engines (DuckDB recomputes it exactly). Production pipelines
+    * that never compare against another engine can swap xxhash64 in
+    * via `bucketOf`. */
+  def md5Bucket(id: Column, seed: String, mod: Int): Column =
+    pmod(
+      conv(substring(md5(concat(lit(s"$seed:"), id.cast("string"))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(mod.toLong))
+
+  /** xxhash64 twin of [[md5Bucket]] — ~3× cheaper per row, same
+    * stability properties, not recomputable by the SQL oracle. */
+  def xxBucket(id: Column, seed: String, mod: Int): Column =
+    pmod(xxhash64(lit(seed), id.cast("string")), lit(mod.toLong))
+
   /** Benchmark-contamination check: for each corpus document, the
     * number (and fraction) of its distinct word-k-grams that appear
     * anywhere in the benchmark set — the standard train/test overlap
@@ -70,10 +87,7 @@ object Pipeline {
                   Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(_._2 > 0), "positive weights")
     val total = fractions.map(_._2).sum
-    val bucket = pmod(
-      conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 8), 16, 10)
-        .cast("long"),
-      lit(total.toLong))
+    val bucket = md5Bucket(col(idCol), seed, total)
     val bounds = fractions.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
     val named = fractions.map(_._1).zip(bounds)
     val split = named.init.reverse.foldLeft(lit(named.last._1): Column) {
@@ -97,5 +111,133 @@ object Pipeline {
       .select(col(idCol), T.fingerprint(col(textCol)).as("__fp"), score.as("__score"))
       .withColumn("keep", row_number().over(w) === 1)
       .select(col(idCol), col("keep"))
+  }
+
+  /** Per-stratum rate sampling: keep `pct`% of each stratum (language,
+    * source, quality band...) — the standard move for downweighting an
+    * over-represented language without touching the rest. Pure per-row
+    * arithmetic (bucket from the id hash, rate from the stratum value)
+    * — no shuffle, no corpus statistics, stable under reruns and
+    * re-partitioning. Strata not listed get `defaultPct`.
+    * Returns (id, stratum, bucket, keep) for every input row.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Seq[(String, Int)], defaultPct: Int = 100,
+                       seed: String = "strat",
+                       bucketOf: (Column, String, Int) => Column = md5Bucket): DataFrame = {
+    require((defaultPct +: rates.map(_._2)).forall(p => p >= 0 && p <= 100), "pct in 0..100")
+    val rate = rates.foldRight(lit(defaultPct): Column) { case ((s, p), els) =>
+      when(col(stratumCol) === s, lit(p)).otherwise(els)
+    }
+    df.select(col(idCol), col(stratumCol), bucketOf(col(idCol), seed, 100).as("bucket"))
+      .withColumn("keep", col("bucket") < rate)
+  }
+
+  /** Mix a corpus to target stratum proportions WITHOUT upsampling:
+    * integer weights define the target ratio; the largest corpus
+    * honoring it keeps quota_s = w_s · m docs of stratum s, where
+    * m = min_s floor(count_s / w_s). Within each stratum the quota is
+    * filled by ascending id-hash rank, so the selection is a uniform,
+    * deterministic, engine-reproducible subsample (all-integer
+    * arithmetic — no floating-point rate can disagree at a boundary).
+    * Strata with no weight are kept in the output with keep=false.
+    *
+    * Scale shape: counts are one partial-aggregated groupBy on the
+    * stratum (tiny result, broadcast back); ranking is one window
+    * partitioned by stratum ordered by the id hash — a sort-based
+    * window that spills gracefully, and strata are the unit of
+    * parallelism (for a corpus where one stratum dominates, pre-salt
+    * the rank: rank within (stratum, salt) and take quota/nSalts per
+    * salt bucket).
+    * Returns (id, stratum, keep). */
+  def corpusMix(df: DataFrame, idCol: String, stratumCol: String,
+                weights: Seq[(String, Int)], seed: String = "mix"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "positive weights")
+    val wcol = weights.foldRight(lit(0): Column) { case ((s, w), els) =>
+      when(col(stratumCol) === s, lit(w)).otherwise(els)
+    }
+    val m = df.select(col(stratumCol)).groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__w", wcol).filter(col("__w") > 0)
+      .select(min(expr("__cnt div __w")).as("__m"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))).asc, col(idCol).asc)
+    df.select(col(idCol), col(stratumCol))
+      .withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(m))
+      .select(col(idCol), col(stratumCol),
+        (col("__rn") <= wcol * col("__m")).as("keep"))
+  }
+
+  /** Cross-document repeated-span detection: for each doc, how many of
+    * its distinct word-k-grams occur in at least `minDocs` documents —
+    * the boilerplate/template signal (site chrome, license headers,
+    * SEO spam) that per-doc repetition and pairwise dedup both miss.
+    *
+    * Scale shape: per-doc distinct grams (map-side), ONE shuffle keyed
+    * on the gram to count containing docs (count(*) == distinct docs
+    * because grams are per-doc distinct), then a join back — AQE
+    * broadcasts the shared-gram side when small. With `hashGrams`
+    * (production) the shuffle and join keys are xxhash64 longs, never
+    * gram text; the string variant exists for the DuckDB oracle. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, minDocs: Int = 2,
+                    hashGrams: Boolean = true): DataFrame = {
+    def gram(c: Column): Column = if (hashGrams) xxhash64(c) else c
+    val ex = docs
+      .select(col(idCol), array_distinct(T.shingles(col(textCol), k)).as("__gs"))
+      .select(col(idCol), size(col("__gs")).as("__n"), explode(col("__gs")).as("__gstr"))
+      .select(col(idCol), col("__n"), gram(col("__gstr")).as("__g"))
+    val shared = ex.groupBy(col("__g")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs).select(col("__g"))
+    ex.join(shared, "__g")
+      .groupBy(col(idCol), col("__n"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .select(col(idCol), col("n_shared_spans"),
+        round(col("n_shared_spans").cast("double") / col("__n"), 6).as("span_ratio"))
+  }
+
+  /** Unigram-frequency document scoring: how "typical" a document's
+    * vocabulary is for the corpus. Two passes — corpus unigram counts
+    * (one partial-aggregated groupBy on the token), then each doc's
+    * token stream joined against the counts and re-aggregated per doc.
+    * Emits exact integer signals (n_tokens, freq_sum, min_freq — the
+    * rarest-token count is the strongest garbage flag) plus the
+    * rounded mean. All-integer until the final ratio, so the result is
+    * engine-exact; the classic mean-log-prob variant of the same
+    * relation is [[unigramLogProb]] (production scoring — transcendental,
+    * so not oracle-comparable bit-for-bit).
+    *
+    * `hashTokens` (production) makes both shuffles carry xxhash64
+    * longs instead of token strings — same counts modulo ~2^-64
+    * collisions. */
+  def unigramScore(docs: DataFrame, idCol: String, textCol: String,
+                   hashTokens: Boolean = false): DataFrame = {
+    val tokCol = explode(T.tokens(col(textCol))).as("__ts")
+    val tok = docs.select(col(idCol), tokCol)
+      .select(col(idCol), (if (hashTokens) xxhash64(col("__ts")) else col("__ts")).as("__t"))
+    val freq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__f"))
+    tok.join(freq, "__t")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__f")).as("freq_sum"),
+        min(col("__f")).as("min_freq"))
+      .select(col(idCol), col("n_tokens"), col("freq_sum"), col("min_freq"),
+        round(col("freq_sum").cast("double") / col("n_tokens"), 6).as("avg_freq"))
+  }
+
+  /** Mean log-probability under the corpus unigram LM — the classic
+    * perplexity-style quality score (CCNet-lineage). Same two-pass
+    * shape as [[unigramScore]]; kept separate because log() is
+    * transcendental (last-ulp engine-dependent), so it is benched as a
+    * production query rather than oracle-gated. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(T.tokens(col(textCol))).as("__t"))
+      .select(col(idCol), xxhash64(col("__t")).as("__t"))
+    val freq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__f"))
+    val total = freq.select(sum(col("__f")).as("__total"))
+    tok.join(freq, "__t").crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(col("__f").cast("double") / col("__total"))).as("mean_logprob"))
   }
 }

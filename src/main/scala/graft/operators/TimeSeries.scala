@@ -99,4 +99,66 @@ object TimeSeries {
       .withColumnRenamed("__key", keyCol).withColumnRenamed("__ts", leftTs)
       .drop("__side", "__match_ts", "__m", "__tb")
   }
+
+  /** Ordered conversion funnel: how many users reached each stage IN
+    * ORDER — stage i counts users with an event of type stages(i)
+    * strictly after their stage-(i-1) entry time (first-touch
+    * attribution), optionally within `withinSeconds` of it (the
+    * conversion window — without one, any sufficiently long event
+    * history trivially completes every funnel). Window arithmetic is
+    * integer epoch-microseconds, so the stage sets are engine-exact.
+    *
+    * Physical shape: one filtered groupBy per stage, each joined to
+    * the (small, shrinking) reached-set of the previous stage — every
+    * shuffle is keyed on the user and carries (user, ts) only. The
+    * per-stage aggregates reuse the same hash partitioning, and the
+    * final counts are single-row aggregates unioned together. No
+    * windows over the full event stream, no collect.
+    * Output: (stage_idx, stage, n_users), one row per stage. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, stages: Seq[String],
+             withinSeconds: Option[Long] = None): DataFrame = {
+    require(stages.nonEmpty, "at least one stage")
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+    val reached = stages.tail.foldLeft(List(stages.head -> first)) { case (acc, st) =>
+      val prev = acc.head._2
+      val inWindow = withinSeconds.fold(lit(true)) { w =>
+        unix_micros(col(tsCol)) - unix_micros(col("__pt")) <= w * 1000000L
+      }
+      val nxt = events.filter(col(typeCol) === st)
+        .join(prev.select(col(userCol), col("__t").as("__pt")), userCol)
+        .filter(col(tsCol) > col("__pt") && inWindow)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+      (st -> nxt) :: acc
+    }.reverse
+    reached.zipWithIndex.map { case ((st, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage_idx"), lit(st).as("stage"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Cohort retention: users grouped by their first active period
+    * (cohort), counted in every later period they were active. Filter
+    * the event stream first to define "active" (e.g. purchases only).
+    * Period ids are epoch-microsecond integer divisions — all-integer
+    * arithmetic, so the matrix is engine-exact and stable under
+    * repartitioning.
+    *
+    * Physical shape: distinct (user, period) — one shuffle on the
+    * user — then the per-user min-period cohort aggregate reuses that
+    * partitioning, and the final (cohort, offset) count is an
+    * aggregate over the already-small active-periods relation.
+    * Output: (cohort_week, week_offset, n_users). */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                periodDays: Int = 7): DataFrame = {
+    val periodUs = periodDays.toLong * 86400L * 1000000L
+    val uw = events
+      .select(col(userCol).as("__u"), expr(s"unix_micros($tsCol) div $periodUs").as("__w"))
+      .distinct()
+    val cohort = uw.groupBy(col("__u")).agg(min(col("__w")).as("__cw"))
+    uw.join(cohort, "__u")
+      .groupBy(col("__cw").as("cohort_week"), (col("__w") - col("__cw")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -227,4 +227,29 @@ class DedupSpec extends SparkSpec {
     assert(found.contains((1L, 2L)))
     assert(!found.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("semDedup drops the larger id of a planted near-dup, keeps the rest") {
+    val base = Array.tabulate(8)(i => math.sin(i * 1.7).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(8)(i => math.cos(i * 2.3 + 1).toFloat)
+    val vecs = Seq((1L, base.toSeq), (2L, near.toSeq), (3L, far.toSeq)).toDF("id", "v")
+    val out = Dedup.semDedup(vecs, "id", "v", dim = 8, nCentroids = 2, threshold = 0.99)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("keep")).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
+  test("semDedup at threshold -1 keeps exactly one vector per cell") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.9 + d).toFloat).toSeq)).toDF("id", "v")
+    val out = Dedup.semDedup(vecs, "id", "v", dim = 8, nCentroids = 4, threshold = -1.0)
+    assert(out.count() == 40)
+    // every within-cell pair is a "dup" -> only the min id of each cell survives
+    val keepers = out.filter(col("keep")).groupBy("cell").count().collect()
+    assert(keepers.forall(_.getLong(1) == 1L))
+    val minIds = out.groupBy("cell").agg(org.apache.spark.sql.functions.min("id").as("m"))
+      .collect().map(r => r.getAs[Int]("cell") -> r.getAs[Long]("m")).toMap
+    out.filter(col("keep")).collect().foreach { r =>
+      assert(r.getAs[Long]("id") == minIds(r.getAs[Int]("cell")))
+    }
+  }
 }

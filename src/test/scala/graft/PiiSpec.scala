@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.PiiFunctions
+import org.apache.spark.sql.functions._
+
+class PiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(Tuple1(text)).toDF("t")
+
+  test("detects emails, phones, and ips") {
+    val df = one("mail a.user+tag@sub.example.co or call 555-123-4567 from 10.0.12.7 twice 555-000-1111")
+    val r = df.select(
+      PiiFunctions.emailCount(col("t")).as("e"),
+      PiiFunctions.phoneCount(col("t")).as("p"),
+      PiiFunctions.ipCount(col("t")).as("i")).head()
+    assert(r.getInt(0) == 1 && r.getInt(1) == 2 && r.getInt(2) == 1)
+  }
+
+  test("clean text yields zero counts and is unchanged by scrub") {
+    val df = one("just ordinary words with no contact details at all")
+    val r = df.select(PiiFunctions.piiStruct(col("t")).as("s"), PiiFunctions.scrub(col("t")).as("c"))
+      .select("s.n_emails", "s.n_phones", "s.n_ips", "s.has_pii", "c").head()
+    assert(r.getInt(0) == 0 && r.getInt(1) == 0 && r.getInt(2) == 0 && !r.getBoolean(3))
+    assert(r.getString(4) == "just ordinary words with no contact details at all")
+  }
+
+  test("scrub redacts every class and is idempotent") {
+    val df = one("x user@example.com y 10.1.2.3 z 555-123-4567 w")
+    val once = df.select(PiiFunctions.scrub(col("t")).as("c"))
+    val s = once.head().getString(0)
+    assert(s == "x [EMAIL] y [IP] z [PHONE] w")
+    assert(once.select(PiiFunctions.scrub(col("c"))).head().getString(0) == s)
+  }
+
+  test("email is scrubbed before its digit runs can be misread as ip/phone") {
+    val s = one("reach 12.34.56.78x999-123-4567@a.bc now")
+      .select(PiiFunctions.scrub(col("t"))).head().getString(0)
+    // the email regex consumes the whole token (local part allows digits
+    // and dots), so no partial [IP]/[PHONE] is carved out of an address
+    assert(s == "reach [EMAIL] now")
+    assert(!s.contains("[IP]") && !s.contains("[PHONE]"))
+  }
+}

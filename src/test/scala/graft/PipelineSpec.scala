@@ -93,4 +93,93 @@ class PipelineSpec extends SparkSpec {
       .filter(col("keep")).collect()
     assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L))
   }
+
+  // -- stratifiedSample ------------------------------------------------
+
+  test("stratifiedSample honors per-stratum rates and is repartition-stable") {
+    val many = spark.range(0, 3000)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 3 === 0, "en").when(col("id") % 3 === 1, "de").otherwise("fr").as("lang"))
+    val out = Pipeline.stratifiedSample(many, "doc_id", "lang",
+      rates = Seq("en" -> 0, "de" -> 50), defaultPct = 100)
+    val kept = out.filter(col("keep")).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("en"))                    // 0% stratum fully dropped
+    assert(kept("fr") == 1000L)                     // 100% stratum fully kept
+    assert(math.abs(kept("de") - 500L) < 100)       // ~50%
+    // per-row arithmetic: identical keep set under a different layout
+    val re = Pipeline.stratifiedSample(many.repartition(13), "doc_id", "lang",
+      rates = Seq("en" -> 0, "de" -> 50), defaultPct = 100)
+    assert(out.select("doc_id", "keep").except(re.select("doc_id", "keep")).isEmpty)
+    // xxhash64 production bucket: same keep-rate contract
+    val xx = Pipeline.stratifiedSample(many, "doc_id", "lang",
+      rates = Seq("en" -> 0, "de" -> 50), defaultPct = 100, bucketOf = Pipeline.xxBucket)
+    assert(xx.filter(col("keep") && col("lang") === "en").count() == 0)
+    assert(xx.filter(col("keep") && col("lang") === "fr").count() == 1000L)
+  }
+
+  // -- corpusMix -------------------------------------------------------
+
+  test("corpusMix fills exact integer quotas in the target ratio") {
+    // strata sizes: a=300, b=120, c=90; weights a:2 b:1 -> m = min(150, 120) = 120
+    // quotas: a = 240, b = 120; c unweighted -> all keep=false
+    val d = spark.range(0, 510).select(col("id").as("doc_id"),
+      when(col("id") < 300, "a").when(col("id") < 420, "b").otherwise("c").as("src"))
+    val out = Pipeline.corpusMix(d, "doc_id", "src", Seq("a" -> 2, "b" -> 1))
+    val kept = out.filter(col("keep")).groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("a" -> 240L, "b" -> 120L))
+    assert(out.count() == 510)                       // unweighted rows retained...
+    assert(out.filter(col("src") === "c" && col("keep")).count() == 0) // ...flagged drop
+    // deterministic under relayout
+    val re = Pipeline.corpusMix(d.repartition(7), "doc_id", "src", Seq("a" -> 2, "b" -> 1))
+    assert(out.except(re).isEmpty && re.except(out).isEmpty)
+  }
+
+  // -- repeatedSpans ---------------------------------------------------
+
+  test("repeatedSpans finds cross-doc shared k-grams; hashed == string") {
+    val d = Seq(
+      (1L, "one two three four five unique tail one"),
+      (2L, "one two three four five other ending words"),
+      (3L, "completely disjoint vocabulary set here now yes"),
+    ).toDF("doc_id", "text")
+    val out = Pipeline.repeatedSpans(d, "doc_id", "text", k = 5, hashGrams = false)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_spans")).toMap
+    // docs 1,2 share the single 5-gram "one two three four five"
+    assert(out == Map(1L -> 1L, 2L -> 1L))
+    val hashed = Pipeline.repeatedSpans(d, "doc_id", "text", k = 5, hashGrams = true)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_spans")).toMap
+    assert(hashed == out)
+  }
+
+  // -- unigramScore / unigramLogProb -----------------------------------
+
+  test("unigramScore computes exact corpus-frequency signals") {
+    val d = Seq(
+      (1L, "cat cat dog"),   // corpus counts: cat=3, dog=2, rare=1
+      (2L, "cat dog rare"),
+    ).toDF("doc_id", "text")
+    val out = Pipeline.unigramScore(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("freq_sum"), r.getAs[Long]("min_freq")))).toMap
+    assert(out(1L) == ((3L, 8L, 2L)))   // 3+3+2
+    assert(out(2L) == ((3L, 6L, 1L)))   // 3+2+1
+    // hashed-token production path: identical signals
+    val hashed = Pipeline.unigramScore(d, "doc_id", "text", hashTokens = true)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("freq_sum"), r.getAs[Long]("min_freq")))).toMap
+    assert(hashed == out)
+  }
+
+  test("unigramLogProb: common-vocabulary docs score higher") {
+    val d = Seq(
+      (1L, "cat cat cat cat"),
+      (2L, "cat cat cat xylophone"),
+    ).toDF("doc_id", "text")
+    val out = Pipeline.unigramLogProb(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_logprob")).toMap
+    assert(out(1L) > out(2L))
+    assert(out.values.forall(_ < 0.0))
+  }
 }

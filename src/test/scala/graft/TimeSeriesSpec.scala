@@ -91,4 +91,38 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_events") == 2)
     assert(out.last.getAs[Double]("sum_value") == 4.0)
   }
+
+  test("funnel counts ordered stage completion with a conversion window") {
+    // u1 completes view->click->buy in order & in window;
+    // u2 clicks BEFORE its first view (out of order);
+    // u3 clicks 2h after view (outside the 1h window)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"), (1L, ts("2024-01-01 10:10:00"), "click"),
+      (1L, ts("2024-01-01 10:20:00"), "buy"),
+      (2L, ts("2024-01-01 09:00:00"), "click"), (2L, ts("2024-01-01 09:30:00"), "view"),
+      (3L, ts("2024-01-01 08:00:00"), "view"), (3L, ts("2024-01-01 10:00:00"), "click"),
+    ).toDF("user_id", "t", "event_type")
+    val out = TimeSeries.funnel(events, "user_id", "t", "event_type",
+      Seq("view", "click", "buy"), withinSeconds = Some(3600L))
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map("view" -> 3L, "click" -> 1L, "buy" -> 1L))
+    // without the window, u3's late click (and no buy) counts at stage 2
+    val open = TimeSeries.funnel(events, "user_id", "t", "event_type",
+      Seq("view", "click", "buy"))
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(open == Map("view" -> 3L, "click" -> 2L, "buy" -> 1L))
+  }
+
+  test("retention builds the cohort x offset activity matrix") {
+    // u1 first active day 0, returns day 1; u2 first active day 1 only
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:00:00")), // same period
+      (1L, ts("2024-01-02 10:00:00")),
+      (2L, ts("2024-01-02 09:00:00")),
+    ).toDF("user_id", "t")
+    val out = TimeSeries.retention(events, "user_id", "t", periodDays = 1)
+      .collect().map(r => (r.getAs[Long]("cohort_week") - 19723L, // 2024-01-01 epoch day
+        r.getAs[Long]("week_offset")) -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (1L, 0L) -> 1L))
+  }
 }
