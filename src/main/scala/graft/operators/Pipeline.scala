@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{TextFunctions => T}
+import graft.functions.{TextExpressions => X, TextFunctions => T}
 
 /** Corpus-preparation operators a training-data pipeline needs beyond
   * dedup/similarity: benchmark-contamination checks, deterministic
@@ -178,16 +178,25 @@ object Pipeline {
     * on the gram to count containing docs (count(*) == distinct docs
     * because grams are per-doc distinct), then a join back — AQE
     * broadcasts the shared-gram side when small. With `hashGrams`
-    * (production) the shuffle and join keys are xxhash64 longs, never
-    * gram text; the string variant exists for the DuckDB oracle. */
+    * (production) the grams are the native ShingleHashes 64-bit ids —
+    * gram STRINGS are never materialized (the gram relation is
+    * evaluated twice, for the count and the join back, so per-gram
+    * work is paid double; hashed shingling measures ~20% cheaper per
+    * pass than string shingling), and every exchange carries longs,
+    * never text. The string variant exists for the DuckDB oracle; at
+    * sf0.1 AQE happens to flip its join build side to the exploded
+    * gram relation (fits in memory at toy scale only — the hashed
+    * variant gets the scale-correct broadcast of the small shared-gram
+    * aggregate). */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 5, minDocs: Int = 2,
                     hashGrams: Boolean = true): DataFrame = {
-    def gram(c: Column): Column = if (hashGrams) xxhash64(c) else c
+    val gramsCol =
+      if (hashGrams) X.shingleHashes(T.normText(col(textCol)), k)
+      else T.shingles(col(textCol), k)
     val ex = docs
-      .select(col(idCol), array_distinct(T.shingles(col(textCol), k)).as("__gs"))
-      .select(col(idCol), size(col("__gs")).as("__n"), explode(col("__gs")).as("__gstr"))
-      .select(col(idCol), col("__n"), gram(col("__gstr")).as("__g"))
+      .select(col(idCol), array_distinct(gramsCol).as("__gs"))
+      .select(col(idCol), size(col("__gs")).as("__n"), explode(col("__gs")).as("__g"))
     val shared = ex.groupBy(col("__g")).agg(count(lit(1)).as("__docs"))
       .filter(col("__docs") >= minDocs).select(col("__g"))
     ex.join(shared, "__g")

@@ -27,6 +27,13 @@ PIPELINE = [
     "dedup_exact", "dedup_exact_norm",
     "text_tokencount", "text_quality", "text_langid", "text_fingerprint",
     "text_repetition",
+    # r6 additions whose oracle SQL is the natural single-node
+    # formulation (regex scan, hash sampling, quota window, gram
+    # self-join, unigram rejoin, funnel/retention CTEs). dedup_semantic
+    # stays excluded: its oracle is a gate reconstruction (centroid
+    # cross join), not how one would write SemDeDup in DuckDB.
+    "text_pii", "sample_stratified", "corpus_mix", "dedup_spans",
+    "text_unigram", "evt_funnel", "evt_retention",
 ]
 
 sf_dir, oracle_path = sys.argv[1], sys.argv[2]
