@@ -625,6 +625,32 @@ object SparkEntry {
         sampleKey = Some(id => md5(concat(lit("ivf:"), id.cast("string")))))
         .select(col("vec_id"), col("cell").cast("int").as("cell"), col("keep"))),
 
+    "chunk_tokens" -> ((s, dir) =>
+      // overlapping token windows (32 tokens, overlap 8) — the
+      // pre-embedding/pre-training chunking pass; map-side explode only
+      Pipeline.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("n_chunk_tokens").cast("long").as("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_fp"))),
+
+    "pack_sequences" -> ((s, dir) =>
+      // concat-and-split packing layout into 512-token windows, 8
+      // shards (per-shard running sum = per-writer-task packing)
+      Pipeline.packSequences(t(s, dir, "documents"), "doc_id", "text",
+        contextLen = 512, nShards = 8)),
+
+    "corpus_stats" -> ((s, dir) =>
+      // per-language corpus report: doc/token volume + exact length
+      // spread (median interpolates identically in both engines —
+      // .5-exact dyadic doubles)
+      t(s, dir, "documents").groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(T.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        median(col("n_chars")).as("median_chars"))),
+
     // ---- §2.13 event analytics ----------------------------------------
     "evt_funnel" -> ((s, dir) =>
       // view -> click -> purchase with a 1-day conversion window
@@ -1379,6 +1405,37 @@ object SparkEntry {
           dropped AS (SELECT DISTINCT id_r FROM pr WHERE cs >= 0.4 AND NOT isnan(cs))
           SELECT cc.vec_id, CAST(cc.cell AS INT) AS cell, (d.id_r IS NULL) AS keep
           FROM ccell cc LEFT JOIN dropped d ON cc.vec_id = d.id_r""",
+
+    "chunk_tokens" ->
+      s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+          ch AS (SELECT doc_id, toks,
+                   unnest(range(0, greatest(1, (len(toks) - 8 + 23) // 24))) AS i
+                 FROM tk)
+          SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                 CAST(len(toks[i*24+1 : i*24+32]) AS BIGINT) AS n_chunk_tokens,
+                 md5(array_to_string(toks[i*24+1 : i*24+32], ' ')) AS chunk_fp
+          FROM ch""",
+
+    "pack_sequences" ->
+      s"""WITH tk AS (SELECT doc_id, doc_id % 8 AS shard,
+                        CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens
+                      FROM documents),
+          c AS (SELECT doc_id, shard, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                FROM tk)
+          SELECT doc_id, shard, n_tokens,
+                 (cum - n_tokens) // 512 AS first_bin,
+                 (cum - 1) // 512 AS last_bin,
+                 (cum - n_tokens) % 512 AS offset_in_bin
+          FROM c""",
+
+    "corpus_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+                 CAST(sum(len(string_split($normSql, ' '))) AS BIGINT) AS n_tokens,
+                 min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+                 median(n_chars) AS median_chars
+          FROM documents GROUP BY 1""",
 
     "evt_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),

@@ -234,6 +234,63 @@ object Pipeline {
         round(col("freq_sum").cast("double") / col("n_tokens"), 6).as("avg_freq"))
   }
 
+  /** Split each document into overlapping token-window chunks — the
+    * standard pre-embedding / pre-training windowing (stride =
+    * chunkSize - overlap; the final partial window is kept; a doc
+    * shorter than one stride yields exactly one chunk). Pure map-side
+    * explode — no shuffle, chunk count derived per row with integer
+    * arithmetic only, so chunk identity is stable across engines and
+    * re-partitionings.
+    * Output: (id, chunk_idx, n_chunk_tokens, chunk_text). */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0, "need chunkSize > overlap >= 0")
+    val stride = chunkSize - overlap
+    val toks = T.tokens(col(textCol))
+    docs
+      // ceil((n - overlap) / stride) in pure integer arithmetic (div),
+      // min 1 — float division could round a boundary the wrong way
+      .select(col(idCol), toks.as("__toks"),
+        (size(toks) - lit(overlap) + lit(stride - 1)).as("__num"))
+      .select(col(idCol), col("__toks"),
+        greatest(lit(1), expr(s"__num div $stride")).cast("int").as("__nc"))
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), col("__nc") - 1)).as(Seq("chunk_idx", "__i")))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("__toks"), col("__i") * stride + 1, lit(chunkSize)).as("__ct"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__ct")).as("n_chunk_tokens"),
+        concat_ws(" ", col("__ct")).as("chunk_text"))
+  }
+
+  /** Sequence-packing layout: concatenate every document's tokens into
+    * one stream per shard (ascending id order — deterministic) and cut
+    * the stream every `contextLen` tokens — the concat-and-split
+    * packing GPT-style pretraining uses (no padding waste; a document
+    * may straddle two windows). Emits, per doc, where its tokens land:
+    * (id, shard, n_tokens, first_bin, last_bin, offset_in_bin).
+    *
+    * Scale shape: the running sum is a window per SHARD (sort-based,
+    * spills) — shards are the unit of parallelism, exactly how a 100
+    * TB corpus is packed in practice (each writer task packs its own
+    * shard; no global sequential dependency). All-integer arithmetic.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    contextLen: Int, nShards: Int = 32): DataFrame = {
+    require(contextLen > 0 && nShards > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol), pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+        T.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      // integer div, not float division: bin ids must be exact
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        expr(s"(__cum - n_tokens) div $contextLen").as("first_bin"),
+        expr(s"(__cum - 1) div $contextLen").as("last_bin"),
+        pmod(col("__cum") - col("n_tokens"), lit(contextLen.toLong)).as("offset_in_bin"))
+  }
+
   /** Mean log-probability under the corpus unigram LM — the classic
     * perplexity-style quality score (CCNet-lineage). Same two-pass
     * shape as [[unigramScore]]; kept separate because log() is

@@ -172,6 +172,48 @@ class PipelineSpec extends SparkSpec {
     assert(hashed == out)
   }
 
+  // -- chunkTokens -----------------------------------------------------
+
+  test("chunkTokens windows with overlap; short docs yield one chunk") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // < stride
+    ).toDF("doc_id", "text")
+    val out = Pipeline.chunkTokens(d, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx")) ->
+        ((r.getAs[Int]("n_chunk_tokens"), r.getAs[String]("chunk_text")))).toMap
+    // stride 3: starts 0,3,6,9 -> ceil((10-1)/3)=3 chunks at 0,3,6
+    assert(out.keys.count(_._1 == 1L) == 3)
+    assert(out((1L, 0)) == ((4, "w1 w2 w3 w4")))
+    assert(out((1L, 1)) == ((4, "w4 w5 w6 w7")))   // overlap 1: w4 repeats
+    assert(out((1L, 2)) == ((4, "w7 w8 w9 w10")))
+    assert(out((2L, 0)) == ((2, "a b")))
+    assert(out.keys.count(_._1 == 2L) == 1)
+    // every token of doc 1 appears in some chunk (full coverage)
+    val covered = out.collect { case ((1L, _), (_, t)) => t.split(" ") }.flatten.toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+  }
+
+  // -- packSequences ---------------------------------------------------
+
+  test("packSequences lays out a gapless per-shard token stream") {
+    val d = (0L until 40L).map(i => (i, ("tok " * (i.toInt % 7 + 1)).trim)).toDF("doc_id", "text")
+    val out = Pipeline.packSequences(d, "doc_id", "text", contextLen = 10, nShards = 4)
+    assert(out.count() == 40)
+    val byShard = out.collect().groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet == Set(0L, 1L, 2L, 3L))
+    byShard.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      // gapless: each doc starts exactly where the previous ended
+      val offsets = sorted.scanLeft(0L) { (cum, r) => cum + r.getAs[Long]("n_tokens") }
+      sorted.zip(offsets).foreach { case (r, start) =>
+        assert(r.getAs[Long]("first_bin") == start / 10)
+        assert(r.getAs[Long]("offset_in_bin") == start % 10)
+        assert(r.getAs[Long]("last_bin") == (start + r.getAs[Long]("n_tokens") - 1) / 10)
+      }
+    }
+  }
+
   test("unigramLogProb: common-vocabulary docs score higher") {
     val d = Seq(
       (1L, "cat cat cat cat"),
