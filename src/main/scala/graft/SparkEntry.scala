@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Gds
 import graft.functions.{PiiFunctions => P, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Dedup, Pipeline, Similarity, TimeSeries}
+import graft.operators.{Cluster, Dedup, Pipeline, Search, Similarity, TimeSeries}
 import graft.multimodal.Multimodal
 import graft.sql.GraftSqlContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -661,7 +661,51 @@ object SparkEntry {
       // daily purchase retention: cohort = first purchase day
       TimeSeries.retention(t(s, dir, "events").filter(col("event_type") === "purchase"),
         "user_id", "ts", periodDays = 1)),
+
+    "evt_anomaly" -> ((s, dir) =>
+      // activity-spike detection: per-user daily counts z-scored
+      // against the user's own exact integer moments (|z| > 2)
+      TimeSeries.activityAnomaly(t(s, dir, "events"), "user_id", "ts")),
+
+    // ---- §2.14 line dedup / clustering / kNN graph / search (r6) ------
+    "dedup_lines" -> ((s, dir) =>
+      // RefinedWeb-style line-level boilerplate dedup over the
+      // deterministic 8-token line-ization (the word-salad corpus has
+      // no natural newlines — the machinery is the operator). Gate
+      // variant joins on line STRINGS so DuckDB rebuilds the sets;
+      // production twin joins on xxhash64 longs.
+      Pipeline.lineDedup(
+        Pipeline.linify(t(s, dir, "documents"), "doc_id", "text", lineTokens = 8),
+        "doc_id", "line_idx", "line", minDocs = 2, hashLines = false)
+        .select(col("doc_id"), col("n_lines"), col("n_dup_lines"), col("dup_ratio"),
+          md5(col("clean_text")).as("clean_fp"))),
+
+    "cluster_kmeans" -> ((s, dir) =>
+      // 2 Lloyd updates from md5-sampled init; centroid sums are
+      // floor(v·2^20) exact longs, so the update — and therefore every
+      // assignment — is bit-identical across engines/partitionings
+      Cluster.kmeans(t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
+        k = 8, iters = 2,
+        sampleKey = Some(id => md5(concat(lit("km:"), id.cast("string")))))),
+
+    "sim_knn_graph" -> ((s, dir) =>
+      // all-corpus kNN graph over LSH-bucket candidates; LCG planes so
+      // DuckDB rebuilds the identical candidate set + ranking
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, dim = 64, nBits = 8,
+        planes = Some(graft.functions.VectorExpressions.lcgPlanes(64, 8, 8)))),
+
+    "text_search_tf" -> ((s, dir) =>
+      // inverted-index retrieval, integer-exact core (tf/df/rank);
+      // the BM25 scorer over the same relation is benched as
+      // text_bm25_prod (log() is transcendental — not oracle-gated)
+      Search.searchTopK(t(s, dir, "documents"), "doc_id", "text",
+        terms = searchTerms, k = 10)),
   )
+
+  /** Query terms for the search gate/bench entries — common corpus
+    * vocabulary, shared with the generated oracle IN-list. */
+  private val searchTerms = Seq("spark", "join", "window")
 
   /** Deterministic PII-bearing text column: every third doc gets a
     * contact suffix derived from its id (email + phone + IPv4). The
@@ -766,6 +810,31 @@ object SparkEntry {
       Pipeline.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
         rates = Seq("en" -> 40, "de" -> 70), defaultPct = 100,
         bucketOf = Pipeline.xxBucket)),
+
+    "dedup_lines_prod" -> ((s, dir) =>
+      // hashed-line variant: duplicate detection shuffles 8-byte
+      // xxhash64 keys, never line text
+      Pipeline.lineDedup(
+        Pipeline.linify(t(s, dir, "documents"), "doc_id", "text", lineTokens = 8),
+        "doc_id", "line_idx", "line", minDocs = 2, hashLines = true)
+        .select(col("doc_id"), col("n_lines"), col("n_dup_lines"), col("dup_ratio"),
+          md5(col("clean_text")).as("clean_fp"))),
+
+    "cluster_kmeans_prod" -> ((s, dir) =>
+      // production config: xxhash64 init sampling, deeper Lloyd run
+      Cluster.kmeans(t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
+        k = 8, iters = 4)),
+
+    "sim_knn_graph_prod" -> ((s, dir) =>
+      // Gaussian hyperplanes (production default)
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, dim = 64, nBits = 8)),
+
+    "text_bm25_prod" -> ((s, dir) =>
+      // full BM25 scoring over the searchTopK relation (log() is
+      // transcendental → benched, not gated)
+      Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        terms = searchTerms, k = 10)),
   )
 
   /** Per-query scratch dir for sink roundtrips (driver may run Verify
@@ -1455,7 +1524,102 @@ object SparkEntry {
          c AS (SELECT u, min(w) AS cw FROM uw GROUP BY 1)
          SELECT c.cw AS cohort_week, uw.w - c.cw AS week_offset, count(*) AS n_users
          FROM uw JOIN c ON uw.u = c.u GROUP BY 1, 2""",
+
+    // z = (c·n − Σc)/(n·√((n·Σc² − (Σc)²)/n²)): every input to the
+    // double chain is an exact integer, every double op is correctly
+    // rounded from identical operands → bit-identical across engines
+    "evt_anomaly" ->
+      s"""WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, count(*) AS n_events
+                         FROM events GROUP BY 1, 2),
+          st AS (SELECT user_id, count(*) AS n, CAST(sum(n_events) AS BIGINT) AS s,
+                        CAST(sum(n_events * n_events) AS BIGINT) AS ssq
+                 FROM daily GROUP BY 1),
+          j AS (SELECT d.user_id, d.day, d.n_events,
+                  CAST(d.n_events * st.n - st.s AS DOUBLE) /
+                    (CAST(st.n AS DOUBLE) *
+                     sqrt(CAST(st.n * st.ssq - st.s * st.s AS DOUBLE) / CAST(st.n * st.n AS DOUBLE))) AS z
+                FROM daily d JOIN st USING (user_id)
+                WHERE st.n >= 3 AND st.n * st.ssq - st.s * st.s > 0)
+          SELECT user_id, day, n_events, round(z, 6) AS z FROM j WHERE abs(z) > 2""",
+
+    "dedup_lines" ->
+      s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+          ln AS (SELECT doc_id, CAST(i AS BIGINT) AS line_idx,
+                        array_to_string(toks[i*8+1 : i*8+8], ' ') AS line
+                 FROM (SELECT doc_id, toks,
+                         unnest(range(0, greatest(1, (len(toks) + 7) // 8))) AS i FROM tk)),
+          dl AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM ln)
+                 GROUP BY line HAVING count(*) >= 2),
+          mk AS (SELECT ln.doc_id, ln.line_idx, ln.line, dl.line IS NOT NULL AS dup
+                 FROM ln LEFT JOIN dl ON ln.line = dl.line)
+          SELECT doc_id, count(*) AS n_lines,
+                 CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+                 round(CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio,
+                 md5(COALESCE(string_agg(CASE WHEN NOT dup THEN line END, ' ' ORDER BY line_idx), '')) AS clean_fp
+          FROM mk GROUP BY doc_id""",
+
+    "cluster_kmeans" -> kmeansSql,
+
+    "sim_knn_graph" ->
+      s"""WITH bkt AS (SELECT vec_id, ${lcgBucketsSql("embedding")} AS bks FROM embeddings),
+          tb AS (SELECT vec_id, t.t AS tb, bks[t.t + 1] AS bucket FROM bkt, range(0, 8) t(t)),
+          ok AS (SELECT tb, bucket FROM tb GROUP BY tb, bucket HAVING count(*) BETWEEN 2 AND 1000),
+          cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vec_id
+                   FROM tb a JOIN tb b ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+                   JOIN ok o ON a.tb = o.tb AND a.bucket = o.bucket),
+          scored AS (SELECT c.qid, c.vec_id, round(${cosSql("ea.embedding", "eb.embedding")}, 6) AS score
+                     FROM cand c JOIN embeddings ea ON c.qid = ea.vec_id
+                                 JOIN embeddings eb ON c.vec_id = eb.vec_id)
+          $annRankTail""",
+
+    "text_search_tf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+          tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+                 WHERE term IN ($searchTermsSqlIn) GROUP BY 1, 2),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          rk AS (SELECT term, doc_id, tf,
+                   row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rnk
+                 FROM tf)
+          SELECT rk.term, rk.doc_id, rk.tf, dfreq.df, CAST(rk.rnk AS INT) AS rank
+          FROM rk JOIN dfreq USING (term) WHERE rnk <= 10""",
   )
+
+  private def searchTermsSqlIn: String = searchTerms.map(t => s"'$t'").mkString(", ")
+
+  /** Unrolled 2-iteration Lloyd twin of Cluster.kmeans(k=8, iters=2):
+    * md5-sampled init, argmax-cosine assignment (ties → smaller
+    * centroid index, mirroring NearestCentroids), floor(v·2^20) exact
+    * integer centroid sums (×2^20 is an exponent shift — no rounding
+    * anywhere before the single exact-integer double division), empty
+    * cells keep their previous centroid. */
+  private val kmeansSql: String = {
+    def assign(cent: String, out: String) =
+      s"""$out AS (SELECT vec_id, cidx FROM (
+            SELECT v.vec_id, c.cidx,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${cosSql("v.embedding", "c.cv")} DESC, c.cidx ASC) AS rnk
+            FROM embeddings v CROSS JOIN $cent c) WHERE rnk = 1)"""
+    def update(asgn: String, prev: String, out: String) =
+      s"""u_$out AS (SELECT a.cidx, d.d AS dim,
+              CAST(sum(CAST(floor(CAST(e.embedding[d.d + 1] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS s,
+              count(*) AS n
+            FROM $asgn a JOIN embeddings e USING (vec_id), range(0, 64) d(d)
+            GROUP BY 1, 2),
+          l_$out AS (SELECT cidx, list(CAST(s AS DOUBLE) / (n * 1048576) ORDER BY dim) AS cv
+                     FROM u_$out GROUP BY 1),
+          $out AS (SELECT p.cidx, COALESCE(l.cv, [CAST(x AS DOUBLE) FOR x IN p.cv]) AS cv
+                   FROM $prev p LEFT JOIN l_$out l USING (cidx))"""
+    s"""WITH cent0 AS (SELECT cidx, cv FROM (
+            SELECT embedding AS cv,
+              row_number() OVER (ORDER BY md5('km:' || CAST(vec_id AS VARCHAR))) - 1 AS cidx
+            FROM embeddings) WHERE cidx < 8),
+        ${assign("cent0", "a1")},
+        ${update("a1", "cent0", "cent1")},
+        ${assign("cent1", "a2")},
+        ${update("a2", "cent1", "cent2")},
+        ${assign("cent2", "af")}
+        SELECT vec_id, CAST(cidx AS INT) AS cluster FROM af"""
+  }
 
   /** SQL twin of [[piiContact]]'s derived column. */
   private val piiContactSql: String =

@@ -291,6 +291,61 @@ object Pipeline {
         pmod(col("__cum") - col("n_tokens"), lit(contextLen.toLong)).as("offset_in_bin"))
   }
 
+  /** Deterministic line-ization of an unstructured corpus: fixed
+    * non-overlapping `lineTokens`-token windows per doc, via
+    * [[chunkTokens]] with zero overlap — the unit relation
+    * [[lineDedup]] consumes when the corpus has no natural line
+    * structure. Output: (id, line_idx, line). */
+  def linify(docs: DataFrame, idCol: String, textCol: String,
+             lineTokens: Int): DataFrame =
+    chunkTokens(docs, idCol, textCol, chunkSize = lineTokens, overlap = 0)
+      .select(col(idCol), col("chunk_idx").as("line_idx"), col("chunk_text").as("line"))
+
+  /** Line-level corpus dedup (RefinedWeb/CCNet lineage): a line
+    * occurring in >= `minDocs` DISTINCT documents is boilerplate
+    * (site chrome, license headers, nav text) and is dropped from
+    * every document containing it. Catches the cross-doc repeated
+    * material that whole-doc dedup (the docs differ) and within-doc
+    * repetition (the line appears once per doc) both miss — and
+    * unlike [[repeatedSpans]] it REWRITES the corpus, emitting the
+    * cleaned text.
+    *
+    * Input is any (id, line_idx, line) relation — natural newline
+    * splits, sentence splits, or [[linify]] windows. Output per doc:
+    * (id, n_lines, n_dup_lines, dup_ratio, clean_text).
+    *
+    * Scale shape: duplicate detection is distinct (id, key) map-side →
+    * one partial-aggregated groupBy on the line key → the (small)
+    * boilerplate-key set joins back (AQE broadcasts it when it fits).
+    * With `hashLines` (production) every exchange carries an 8-byte
+    * xxhash64 key, never line text; reconstruction shuffles each doc's
+    * surviving lines once — linear in corpus size, and unavoidable
+    * because the cleaned text IS the output. */
+  def lineDedup(lines: DataFrame, idCol: String, idxCol: String, lineCol: String,
+                minDocs: Int = 2, hashLines: Boolean = true): DataFrame = {
+    val key = if (hashLines) xxhash64(col(lineCol)) else col(lineCol)
+    val ln = lines.select(col(idCol), col(idxCol), col(lineCol), key.as("__k"))
+    val dup = ln.select(col(idCol), col("__k")).distinct()
+      .groupBy(col("__k")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__k"), lit(true).as("__dup"))
+    val marked = ln.join(dup, Seq("__k"), "left")
+      .select(col(idCol), col(idxCol), col(lineCol),
+        coalesce(col("__dup"), lit(false)).as("__dup"))
+    marked.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_lines"),
+      // ordered reconstruction: sort (idx, line-or-null) structs by
+      // idx, project the line; array_join drops the nulled dup lines
+      array_join(transform(
+        array_sort(collect_list(struct(col(idxCol).as("i"),
+          when(!col("__dup"), col(lineCol)).as("l")))),
+        e => e.getField("l")), " ").as("clean_text"))
+      .select(col(idCol), col("n_lines"), col("n_dup_lines"),
+        round(col("n_dup_lines").cast("double") / col("n_lines"), 6).as("dup_ratio"),
+        col("clean_text"))
+  }
+
   /** Mean log-probability under the corpus unigram LM — the classic
     * perplexity-style quality score (CCNet-lineage). Same two-pass
     * shape as [[unigramScore]]; kept separate because log() is

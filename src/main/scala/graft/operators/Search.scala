@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.functions.{TopKAggregate, TextFunctions => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyword search over the document corpus: the inverted-index
+  * term-frequency relation and BM25-ranked retrieval — the text-side
+  * complement to the embedding ANN stack (reference eel has no search
+  * operator; this is training-data-pipeline surface: quality-probe
+  * queries, targeted corpus slicing, contamination spot-checks).
+  *
+  * Scale shape: the corpus is tokenized map-side and filtered to the
+  * query terms BEFORE any shuffle (a handful of terms → the exchange
+  * carries only matching postings, a tiny fraction of the token
+  * stream). Per-term document frequencies are a second aggregate of
+  * that same small relation, broadcast back (≤ |terms| rows). Ranking
+  * is the bounded-heap [[TopKAggregate]] — each map task emits at most
+  * k postings per term into the final shuffle, never the whole posting
+  * list (a window formulation would shuffle every posting of a common
+  * term — exactly the skew that kills at 100 TB).
+  */
+object Search {
+
+  /** Inverted-index postings for `terms`: one row per (term, doc)
+    * with the term frequency and the document length.
+    * Output: (term, idCol, tf, doc_len).
+    *
+    * A doc whose text contains no query term as a SUBSTRING cannot
+    * contain it as a token, so a cheap `contains` conjunction-of-ORs
+    * prefilter skips tokenize+explode for the (at 100 TB, vast)
+    * majority of docs; the exact token filter after explode keeps the
+    * semantics (substring hits like "join" in "joined" are dropped
+    * there). Terms must be lowercase — tokens are normText-lowercased,
+    * so a mixed-case term could never match anyway. */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "at least one query term")
+    require(terms.forall(t => t == t.toLowerCase), "query terms must be lowercase")
+    val mayMatch = terms.map(t => lower(col(textCol)).contains(t)).reduce(_ || _)
+    docs
+      .filter(mayMatch)
+      .select(col(idCol), T.tokenCount(col(textCol)).cast("long").as("doc_len"),
+        explode(T.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("term"), col(idCol), col("doc_len"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Top-k docs per term by raw term frequency (ties → smaller id) —
+    * the integer-exact retrieval core, engine-reproducible as-is.
+    * Output: (term, idCol, tf, df, rank); df = docs containing term. */
+  def searchTopK(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k: Int): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol, terms)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ranked = tf
+      .groupBy(col("term"))
+      // tf ≤ doc length < 2^53: the long→double score is exact, so
+      // heap order == integer order; tie-break = smaller id
+      .agg(TopKAggregate.topK(col("tf").cast("double"), col(idCol).cast("long"), k).as("__top"))
+      .select(col("term"), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col("term"), col("__e.id").as(idCol), col("__e.score").cast("long").as("tf"),
+        (col("__r") + 1).cast("int").as("rank"))
+    ranked.join(broadcast(dfreq), "term")
+      .select(col("term"), col(idCol), col("tf"), col("df"), col("rank"))
+  }
+
+  /** BM25-ranked retrieval (Robertson/Sparck Jones; the Lucene-default
+    * scoring): idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) summed
+    * implicitly per single-term query, top-k per term. log() is
+    * transcendental so this is the benched production scorer — the
+    * integer-exact [[searchTopK]] relation is the oracle-gated twin.
+    * Output: (term, idCol, score, rank). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol, terms)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = docs.agg(count(lit(1)).as("__n"),
+      avg(T.tokenCount(col(textCol)).cast("double")).as("__avgdl"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(corpus))
+      .select(col("term"), col(idCol),
+        (log((col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * (lit(k1) + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("doc_len") / col("__avgdl"))))
+          .as("score"))
+    scored.groupBy(col("term"))
+      .agg(TopKAggregate.topK(col("score"), col(idCol).cast("long"), k).as("__top"))
+      .select(col("term"), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col("term"), col("__e.id").as(idCol),
+        round(col("__e.score"), 6).as("score"), (col("__r") + 1).cast("int").as("rank"))
+  }
+}

@@ -128,6 +128,34 @@ object Similarity {
         V.cosineRounded(col(vecCol), col(qvecCol)).as("score"))
   }
 
+  /** All-corpus kNN graph: for EVERY vector, its k nearest neighbors
+    * among LSH-bucket candidates — the self-join generalization of
+    * [[lshTopK]] (whose query side must be small enough to broadcast;
+    * here the query set IS the corpus). The kNN graph is the input
+    * relation for graph-based semantic dedup, cluster seeding, and
+    * diversity sampling.
+    *
+    * Scale shape: candidate generation is the bucketed self-join from
+    * [[Dedup.embeddingPairs]] — the exchange carries (id, table,
+    * bucket) longs, never vectors, with per-bucket caps against skew;
+    * each undirected candidate pair is scored once and emitted in both
+    * directions (two 3-scalar rows); ranking is the bounded-heap
+    * partial aggregate, k rows per vector per map task into the final
+    * shuffle. Output: (qid, vec_id, score, rank). */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int,
+               nBits: Int = 8, nTables: Int = 8, maxBucketSize: Int = 1000,
+               planes: Option[Array[Double]] = None): DataFrame = {
+    // threshold -2 < any cosine: keep every candidate pair
+    val pairs = Dedup.embeddingPairs(corpus, idCol, vecCol, dim, threshold = -2.0,
+      nBits, nTables, maxBucketSize, planes)
+    val directed = pairs
+      .select(col("id_l").as("qid"), col("id_r").as("vec_id"), col("cosine").as("score"))
+      .union(pairs.select(col("id_r").as("qid"), col("id_l").as("vec_id"),
+        col("cosine").as("score")))
+      .filter(!isnan(col("score")))
+    rankTopK(directed, "vec_id", "qid", k)
+  }
+
   /** Materialize the IVF index as parquet PARTITIONED BY cell id:
     * at 100 TB the corpus is assigned once (map-side codegen'd
     * expression, no shuffle) and every later query batch reads ONLY

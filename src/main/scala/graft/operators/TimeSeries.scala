@@ -161,4 +161,43 @@ object TimeSeries {
       .groupBy(col("__cw").as("cohort_week"), (col("__w") - col("__cw")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Activity-spike detection: each user's daily event counts z-scored
+    * against that user's own mean/std across their active days; emits
+    * the (user, day) cells with |z| > `zThreshold`. Users with fewer
+    * than `minPeriods` active days or zero variance are skipped (their
+    * z is undefined).
+    *
+    * Engine-exact by construction: daily counts, n, Σc and Σc² are
+    * integers (no float accumulation anywhere), so mean and variance
+    * derive from EXACT integer moments — z = (c·n − Σc) / (n·√((n·Σc²
+    * − (Σc)²)/n²)) is a fixed chain of correctly-rounded double ops on
+    * identical inputs, hence bit-identical across engines and
+    * partitionings; only the emitted z is rounded (6dp).
+    *
+    * Scale shape: one partial-aggregated groupBy on (user, day), one
+    * on user (3 longs per user), then a join back on user — AQE
+    * broadcasts the per-user stats when they fit; no windows, no
+    * global sort. */
+  def activityAnomaly(events: DataFrame, userCol: String, tsCol: String,
+                      minPeriods: Int = 3, zThreshold: Double = 2.0,
+                      periodDays: Int = 1): DataFrame = {
+    val periodUs = periodDays.toLong * 86400L * 1000000L
+    val daily = events
+      .select(col(userCol), expr(s"unix_micros($tsCol) div $periodUs").as("day"))
+      .groupBy(col(userCol), col("day")).agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy(col(userCol)).agg(
+      count(lit(1)).as("__n"), sum(col("n_events")).as("__s"),
+      sum(col("n_events") * col("n_events")).as("__ssq"))
+    val z = (col("n_events") * col("__n") - col("__s")).cast("double") /
+      (col("__n").cast("double") *
+        sqrt((col("__n") * col("__ssq") - col("__s") * col("__s")).cast("double") /
+          (col("__n") * col("__n")).cast("double")))
+    daily.join(stats, userCol)
+      .filter(col("__n") >= minPeriods &&
+        col("__n") * col("__ssq") - col("__s") * col("__s") > 0)
+      .withColumn("__z", z)
+      .filter(abs(col("__z")) > zThreshold)
+      .select(col(userCol), col("day"), col("n_events"), round(col("__z"), 6).as("z"))
+  }
 }

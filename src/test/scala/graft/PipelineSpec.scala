@@ -224,4 +224,49 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) > out(2L))
     assert(out.values.forall(_ < 0.0))
   }
+
+  // -- lineDedup -------------------------------------------------------
+
+  private def lineRows = Seq(
+    // doc 1: boilerplate header + unique body
+    (1L, 0L, "all rights reserved"), (1L, 1L, "unique body one"),
+    // doc 2: same header + unique body; also repeats ITS OWN line twice
+    (2L, 0L, "all rights reserved"), (2L, 1L, "unique body two"),
+    (2L, 2L, "only in doc two"), (2L, 3L, "only in doc two"),
+    // doc 3: entirely unique
+    (3L, 0L, "nothing shared here"),
+  ).toDF("doc_id", "line_idx", "line")
+
+  test("lineDedup drops cross-doc lines, keeps within-doc repeats, rebuilds in order") {
+    val out = Pipeline.lineDedup(lineRows, "doc_id", "line_idx", "line")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_dup_lines"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) == (2L, 1L, "unique body one"))
+    // a line repeated only WITHIN one doc is not boilerplate (1 distinct doc)
+    assert(out(2L) == (4L, 1L, "unique body two only in doc two only in doc two"))
+    assert(out(3L) == (1L, 0L, "nothing shared here"))
+  }
+
+  test("lineDedup hashed and string variants agree; all-dup doc yields empty text") {
+    val allDup = Seq(
+      (1L, 0L, "x y z"), (2L, 0L, "x y z"),
+    ).toDF("doc_id", "line_idx", "line")
+    def run(h: Boolean) = Pipeline.lineDedup(allDup, "doc_id", "line_idx", "line", hashLines = h)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(run(true) == run(false))
+    assert(run(true).head(4) == "") // clean_text empty, not null
+    val full = Pipeline.lineDedup(lineRows, "doc_id", "line_idx", "line", hashLines = true)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val gate = Pipeline.lineDedup(lineRows, "doc_id", "line_idx", "line", hashLines = false)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(full == gate)
+  }
+
+  test("linify windows tokens without overlap and keeps the partial tail") {
+    val d = Seq((1L, "a b c d e f g h i j k")).toDF("doc_id", "text") // 11 tokens
+    val out = Pipeline.linify(d, "doc_id", "text", lineTokens = 4)
+      .orderBy("line_idx").collect().map(_.getAs[String]("line")).toSeq
+    assert(out == Seq("a b c d", "e f g h", "i j k"))
+  }
 }

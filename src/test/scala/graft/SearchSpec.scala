@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Search
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark spark spark filter join"),
+    (2L, "spark join join window window window"),
+    (3L, "filter scan merge sort"),
+    (4L, "spark window"),
+  ).toDF("doc_id", "text")
+
+  test("termFrequencies builds exact postings with doc length") {
+    val tf = Search.termFrequencies(docs, "doc_id", "text", Seq("spark", "window"))
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("tf"), r.getAs[Long]("doc_len"))).toMap
+    assert(tf(("spark", 1L)) == (3L, 5L))
+    assert(tf(("spark", 2L)) == (1L, 6L))
+    assert(tf(("window", 2L)) == (3L, 6L))
+    assert(tf(("window", 4L)) == (1L, 2L))
+    assert(!tf.contains(("spark", 3L))) // no posting for absent term
+  }
+
+  test("searchTopK ranks by tf desc with id tie-break and carries df") {
+    val out = Search.searchTopK(docs, "doc_id", "text", Seq("spark"), k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tf"),
+        r.getAs[Long]("df"), r.getAs[Int]("rank")))
+    // df=3 (docs 1,2,4); top-2: doc1 tf=3, then tf=1 tie -> smaller id 2
+    assert(out.toSeq == Seq((1L, 3L, 3L, 1), (2L, 1L, 3L, 2)))
+  }
+
+  test("bm25 prefers higher tf and rarer terms, rank order is total") {
+    val out = Search.bm25TopK(docs, "doc_id", "text", Seq("spark", "filter"), k = 4)
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Double]("score"), r.getAs[Int]("rank"))).toMap
+    // within 'spark' (df=3): doc1 (tf=3, dl=5) outranks doc2 (tf=1, dl=6)
+    assert(out(("spark", 1L))._2 == 1)
+    assert(out(("spark", 1L))._1 > out(("spark", 2L))._1)
+    // 'filter' (df=2) is rarer than 'spark' (df=3): at equal tf=1 and
+    // shorter-or-equal doc length the rarer term scores higher
+    // (doc3 'filter' dl=4 vs doc2 'spark' dl=6)
+    assert(out(("filter", 3L))._1 > out(("spark", 2L))._1)
+  }
+
+  test("scores are reproducible across partitionings") {
+    def run(parts: Int) =
+      Search.bm25TopK(docs.repartition(parts), "doc_id", "text",
+        Seq("spark", "window"), k = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    assert(run(1) == run(5))
+  }
+}

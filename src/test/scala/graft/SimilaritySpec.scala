@@ -173,4 +173,24 @@ class SimilaritySpec extends SparkSpec {
     // the identical vector hashes identically in every table -> always a candidate, rank 1
     assert(out.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("id") == 42L)
   }
+
+  test("knnGraph finds duplicate-group members as rank-1 neighbors, both directions") {
+    val dim = 16
+    // 50 base directions, each duplicated once (ids i and i+1000)
+    val corpus = (1 to 50).flatMap { i =>
+      val v = Array.tabulate(dim)(d => math.sin(i * 31 + d * 7).toFloat).toSeq
+      Seq((i.toLong, v), (i + 1000L, v))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.knnGraph(corpus, "vec_id", "embedding",
+      k = 3, dim = dim, nBits = 6, nTables = 8)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).toMap
+    (1 to 50).foreach { i =>
+      // an identical twin shares every bucket -> guaranteed candidate,
+      // cosine 1.0, and the smaller-id tie-break puts it at rank 1
+      assert(out((i.toLong, 1)) == (i + 1000L, 1.0),
+        s"twin of $i missing: ${out.get((i.toLong, 1))}")
+      assert(out((i + 1000L, 1)) == (i.toLong, 1.0))
+    }
+  }
 }

@@ -125,4 +125,35 @@ class TimeSeriesSpec extends SparkSpec {
         r.getAs[Long]("week_offset")) -> r.getAs[Long]("n_users")).toMap
     assert(out == Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (1L, 0L) -> 1L))
   }
+
+  test("activityAnomaly flags the spike day against exact integer moments") {
+    // u1: 6 days of activity 2,2,2,2,2,12 -> day 6 is a clear spike
+    // (a single outlier among n days z-scores at sqrt(n-1) = sqrt(5));
+    // u2: only 2 active days (below minPeriods);
+    // u3: constant activity (zero variance)
+    def day(d: Int, n: Int, u: Long) =
+      (1 to n).map(i => (u, ts(f"2024-01-0$d 10:${i}%02d:00")))
+    val events = (
+      (1 to 5).flatMap(d => day(d, 2, 1L)) ++ day(6, 12, 1L)
+        ++ day(1, 9, 2L) ++ day(2, 1, 2L)
+        ++ day(1, 3, 3L) ++ day(2, 3, 3L) ++ day(3, 3, 3L)
+      ).toDF("user_id", "t")
+    val out = TimeSeries.activityAnomaly(events, "user_id", "t")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day") - 19723L) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("z"))).toMap
+    assert(out.keySet == Set((1L, 5L))) // only u1's spike day
+    val (n, z) = out((1L, 5L))
+    assert(n == 12L)
+    // exact moments: n=6, s=22, ssq=164 -> z = sqrt(5) rounded 6dp
+    assert(z == 2.236068)
+  }
+
+  test("activityAnomaly is invariant under repartitioning") {
+    val events = (1 to 200).map { i =>
+      (i % 7L, ts(f"2024-01-${i % 9 + 1}%02d ${i % 24}%02d:00:00"))
+    }.toDF("user_id", "t")
+    def run(p: Int) = TimeSeries.activityAnomaly(events.repartition(p), "user_id", "t")
+      .collect().map(_.toSeq).toSet
+    assert(run(1) == run(6))
+  }
 }
