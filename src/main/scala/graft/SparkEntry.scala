@@ -355,6 +355,94 @@ object SparkEntry {
         .rollup("l_returnflag", "l_linestatus")
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))),
 
+    "q4_order_priority" -> ((s, dir) => {
+      // TPC-H Q4 adaptation (corpus has no commitdate): orders counted
+      // per priority when at least one line shipped after the order
+      // date. LEFT SEMI join: the probe side carries only (l_orderkey,
+      // l_shipdate) into the exchange and each order emits at most
+      // once — no fact×fact row multiplication at any scale.
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    "q6_forecast_revenue" -> ((s, dir) =>
+      // TPC-H Q6: pure scan→filter→agg. All four predicates reach the
+      // parquet scan as PushedFilters; at 100 TB this is one
+      // embarrassingly parallel pass with a scalar partial agg.
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))),
+
+    "q15_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15: supplier(s) with max revenue in a quarter. The max
+      // is a 1-row broadcast joined back on equality of the exact
+      // decimal-rounded revenue — the revenue relation is small
+      // (one row per supplier) and computed once per branch
+      // deterministically, so the equality cannot flake.
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("__mx"))
+      rev.join(broadcast(mx), col("total_revenue") === col("__mx"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+
+    "q18_large_orders" -> ((s, dir) => {
+      // TPC-H Q18: large-quantity orders. The HAVING subquery is one
+      // partial-agg groupBy on the fact (quantity is integer-valued →
+      // the long sum is exact and order-free); only qualifying
+      // orderkeys — a vanishing fraction — reach the joins.
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      big.join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+    }),
+
+    "q19_disjunctive" -> ((s, dir) =>
+      // TPC-H Q19 adaptation: OR-of-conjunctions across both join
+      // sides. Catalyst extracts the common per-side disjuncts
+      // (p_brand IN (...), l_quantity range) and pushes them below the
+      // join into both scans — the join sees only pre-filtered rows.
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) && col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(5, 20) && col("l_quantity").between(10, 25)) ||
+          (col("p_brand") === "Brand#7" && col("p_size").between(10, 40) && col("l_quantity").between(20, 35)))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))),
+
+    "q22_dormant_customers" -> ((s, dir) => {
+      // TPC-H Q22 adaptation: above-average-balance customers with no
+      // 2001 orders, aggregated by nation. The average test never
+      // materializes a rounded float threshold: c_acctbal·n > Σbal in
+      // exact DECIMAL×integer arithmetic (order-free, engine-free).
+      // The anti join probes only (o_custkey) from the filtered fact.
+      val cust = t(s, dir, "customer")
+      val stats = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast(DecimalType(18, 6))).as("__tot"), count(lit(1)).as("__n"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(stats))
+        .filter(col("c_acctbal").cast(DecimalType(18, 6)) * col("__n") > col("__tot"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+    }),
+
     // ---- §2.6 events / time-series ------------------------------------
     "evt_window_agg" -> ((s, dir) =>
       TimeSeries.tumblingAgg(t(s, dir, "events"), "ts", 60, Seq("event_type"))),
@@ -1196,6 +1284,63 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority""",
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+
+    "q18_large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+         SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+         FROM big JOIN orders ON o_orderkey = l_orderkey
+                  JOIN customer ON o_custkey = c_custkey""",
+
+    "q19_disjunctive" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 25)
+            OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 35)""",
+
+    "q22_dormant_customers" ->
+      """WITH stats AS (
+           SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) AS __tot, count(*) AS __n
+           FROM customer WHERE c_acctbal > 0)
+         SELECT c_nationkey, count(*) AS numcust,
+                CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
+         FROM customer, stats
+         WHERE CAST(c_acctbal AS DECIMAL(18,6)) * __n > __tot
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+         GROUP BY c_nationkey""",
 
     "evt_window_agg" ->
       """SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start, event_type,

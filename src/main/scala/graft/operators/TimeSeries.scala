@@ -179,6 +179,52 @@ object TimeSeries {
     * on user (3 longs per user), then a join back on user — AQE
     * broadcasts the per-user stats when they fit; no windows, no
     * global sort. */
+  /** Event-type transition matrix (first-order Markov counts): each
+    * consecutive (from → to) pair in every user's event sequence,
+    * counted corpus-wide. The per-user order is (ts, event id) — the
+    * id tie-break makes same-timestamp neighbors deterministic under
+    * any partitioning (the evt_asof lesson).
+    *
+    * Scale shape: ONE window partitioned by user (each user's slice
+    * sorts independently — no global sort), then a partial-agg
+    * groupBy on the (from, to) pair, whose cardinality is
+    * |event types|² regardless of corpus size.
+    * Output: (from_type, to_type, n_transitions). */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events.select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  /** Conversion-lag histogram: time from each user's FIRST `fromType`
+    * event to their first `toType` event strictly after it, bucketed
+    * by `bucketSeconds`. All arithmetic is integer epoch-microseconds
+    * (first-touch min, strict > filter, integer division) — the
+    * histogram is engine-exact.
+    *
+    * Scale shape: two filtered partial-agg groupBys keyed on the user
+    * (shuffles carry (user, ts) only), one join on the user, then an
+    * aggregate over |buckets| rows. No windows, no global sort.
+    * Output: (lag_bucket, n_users). */
+  def conversionLag(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, fromType: String, toType: String,
+                    bucketSeconds: Long = 3600L): DataFrame = {
+    val starts = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol)).agg(min(unix_micros(col(tsCol))).as("__t0"))
+    val firstConv = events.filter(col(typeCol) === toType)
+      .select(col(userCol), unix_micros(col(tsCol)).as("__t1"))
+      .join(starts, userCol)
+      .filter(col("__t1") > col("__t0"))
+      .groupBy(col(userCol), col("__t0")).agg(min(col("__t1")).as("__t1"))
+    firstConv
+      .select(expr(s"(__t1 - __t0) div ${bucketSeconds * 1000000L}").as("lag_bucket"))
+      .groupBy(col("lag_bucket")).agg(count(lit(1)).as("n_users"))
+  }
+
   def activityAnomaly(events: DataFrame, userCol: String, tsCol: String,
                       minPeriods: Int = 3, zThreshold: Double = 2.0,
                       periodDays: Int = 1): DataFrame = {
