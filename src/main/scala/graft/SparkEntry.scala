@@ -560,6 +560,20 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("score"), col("rank"))
     }),
 
+    "sim_recall_eval" -> ((s, dir) => {
+      // recall@5 of the LSH ANN against the exact brute-force top-5 —
+      // the parameter-tuning metric; both sides are k·|queries| rows
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 1000 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val truth = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        "qid", "qvec", k = 5)
+      val ann = Similarity.lshTopK(emb, queries, "vec_id", "embedding", "qid", "qvec",
+        k = 5, dim = 64, nBits = 8,
+        planes = Some(graft.functions.VectorExpressions.lcgPlanes(64, 8, 8)))
+      Similarity.recallAtK(ann, truth, "qid", "vec_id")
+    }),
+
     // ---- §2.9 text analysis -------------------------------------------
     "text_tokencount" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -629,6 +643,12 @@ object SparkEntry {
       // deterministic md5-bucket train/val/test split (80/10/10) —
       // stable across reruns, row order, partitioning, and engines
       Pipeline.hashSplit(t(s, dir, "documents"), "doc_id")),
+
+    "shuffle_shard" -> ((s, dir) =>
+      // deterministic corpus shuffle into 8 training shards: shard =
+      // md5 bucket (map-side), pos = per-shard hash rank — the export
+      // layout that breaks source/crawl locality without a global sort
+      Pipeline.shuffleShard(t(s, dir, "documents"), "doc_id", nShards = 8)),
 
     "dedup_keep_best" -> ((s, dir) =>
       // keep the highest-quality representative per normalized-content
@@ -704,6 +724,13 @@ object SparkEntry {
       // mean-log-prob production variant is benched as text_unigram_prod)
       Pipeline.unigramScore(t(s, dir, "documents"), "doc_id", "text")),
 
+    "text_dsir" -> ((s, dir) =>
+      // DSIR-style target-affinity scoring (target = English docs):
+      // gate scores the exact integer token-mass ratio; the paper's
+      // mean-log-ratio production variant is benched as text_dsir_prod
+      Pipeline.dsirScore(t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en")),
+
     "dedup_semantic" -> ((s, dir) =>
       // SemDeDup: cluster-then-verify semantic dedup; md5 sampling
       // order so DuckDB derives the identical centroid set (production
@@ -754,6 +781,19 @@ object SparkEntry {
       // activity-spike detection: per-user daily counts z-scored
       // against the user's own exact integer moments (|z| > 2)
       TimeSeries.activityAnomaly(t(s, dir, "events"), "user_id", "ts")),
+
+    "evt_paths" -> ((s, dir) =>
+      // first-order event-type transition matrix over per-user
+      // sequences, (ts, event_id)-ordered so same-ts neighbors are
+      // deterministic under any partitioning
+      TimeSeries.transitions(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "event_id")),
+
+    "evt_conversion_lag" -> ((s, dir) =>
+      // first-view → first-purchase latency histogram (1-hour
+      // buckets); all-integer epoch-microsecond arithmetic
+      TimeSeries.conversionLag(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "view", "purchase", bucketSeconds = 3600L)),
 
     // ---- §2.14 line dedup / clustering / kNN graph / search (r6) ------
     "dedup_lines" -> ((s, dir) =>
@@ -888,6 +928,16 @@ object SparkEntry {
       // hashed tokens + the classic mean-log-prob quality score
       Pipeline.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
 
+    "text_dsir_prod" -> ((s, dir) =>
+      // the paper's smoothed mean log-ratio over hashed tokens
+      Pipeline.dsirLogRatio(t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en")),
+
+    "shuffle_shard_prod" -> ((s, dir) =>
+      // xxhash64 shard bucket + sort key (~3x cheaper/row than md5)
+      Pipeline.shuffleShard(t(s, dir, "documents"), "doc_id", nShards = 8,
+        hashed = true)),
+
     "dedup_semantic_prod" -> ((s, dir) =>
       // xxhash64 centroid sampling (production default)
       Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
@@ -1011,6 +1061,31 @@ object SparkEntry {
     FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
           FROM scored WHERE NOT isnan(score))
     WHERE rnk <= 5"""
+
+  /** Exact brute-force top-5 — shared by sim_bruteforce_topk and (as
+    * the ground-truth side) sim_recall_eval. */
+  private val bruteTopkSql =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 1000 = 0),
+            scored AS (SELECT q.qid, e.vec_id,
+                              round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+                       FROM embeddings e CROSS JOIN q)
+       SELECT qid, vec_id, score, CAST(rnk AS INT) AS rank
+       FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+             FROM scored)
+       WHERE rnk <= 5"""
+
+  /** LCG-plane LSH ANN top-5 — shared by sim_lsh_topk and (as the
+    * approximate side) sim_recall_eval. */
+  private lazy val lshTopkSql =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 1000 = 0),
+        cbkt AS (SELECT vec_id, ${lcgBucketsSql("embedding")} AS bks FROM embeddings),
+        qbkt AS (SELECT qid, ${lcgBucketsSql("qv")} AS bks FROM q),
+        ct AS (SELECT vec_id, t.t AS tb, bks[t.t + 1] AS bucket FROM cbkt, range(0, 8) t(t)),
+        qt AS (SELECT qid, t.t AS tb, bks[t.t + 1] AS bucket FROM qbkt, range(0, 8) t(t)),
+        cand AS (SELECT DISTINCT qt.qid, ct.vec_id FROM qt JOIN ct ON qt.tb = ct.tb AND qt.bucket = ct.bucket),
+        scored AS (SELECT cand.qid, cand.vec_id, round(${cosSql("e.embedding", "qq.qv")}, 6) AS score
+                   FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id JOIN q qq ON cand.qid = qq.qid)
+        $annRankTail"""
 
   /** md5-derived 64-bit simhash signature as 4×16-bit chunks — the
     * DuckDB twin of Dedup.simhashSignatures(md5TokenHash). */
@@ -1415,15 +1490,15 @@ object SparkEntry {
                FROM documents)
          WHERE f % 4 = 0""",
 
-    "sim_bruteforce_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 1000 = 0),
-              scored AS (SELECT q.qid, e.vec_id,
-                                round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
-                         FROM embeddings e CROSS JOIN q)
-         SELECT qid, vec_id, score, CAST(rnk AS INT) AS rank
-         FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
-               FROM scored)
-         WHERE rnk <= 5""",
+    "sim_bruteforce_topk" -> bruteTopkSql,
+
+    "sim_recall_eval" ->
+      s"""WITH truth AS ($bruteTopkSql), ann AS ($lshTopkSql)
+          SELECT t.qid, count(*) AS truth_k,
+                 CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                 round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall
+          FROM truth t LEFT JOIN ann a ON t.qid = a.qid AND t.vec_id = a.vec_id
+          GROUP BY t.qid""",
     // LLM-pipeline oracles. Two flavors:
     //  - dedup_minhash / dedup_keeplist: the oracle is the EXACT
     //    all-pairs answer; it hash-matches because the threshold-matched
@@ -1468,6 +1543,27 @@ object SparkEntry {
                        len(string_split($normSql, ' ')) AS nt
                 FROM documents)""",
 
+    "shuffle_shard" ->
+      """SELECT doc_id, shard,
+                CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+         FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT) AS shard,
+                 ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
+               FROM documents)""",
+
+    "text_dsir" ->
+      s"""WITH tok AS (SELECT doc_id, (lang = 'en') AS tgt,
+                              unnest(string_split($normSql, ' ')) AS t
+                       FROM documents),
+          freq AS (SELECT t, CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tf,
+                          count(*) AS af
+                   FROM tok GROUP BY 1)
+          SELECT tok.doc_id, count(*) AS n_tokens,
+                 CAST(sum(tf) AS BIGINT) AS tgt_mass,
+                 CAST(sum(af) AS BIGINT) AS all_mass,
+                 round(CAST(sum(tf) AS DOUBLE) / CAST(sum(af) AS DOUBLE), 6) AS affinity
+          FROM tok JOIN freq USING (t) GROUP BY tok.doc_id""",
+
     "dedup_keeplist" ->
       s"""WITH RECURSIVE $shingleSetsSql, $exactJaccardPairsSql,
           p AS (SELECT id_l, id_r FROM jac WHERE jaccard >= 0.5),
@@ -1507,16 +1603,7 @@ object SparkEntry {
                             JOIN embeddings eb ON c.id_r = eb.vec_id)
           SELECT id_l, id_r, cosine FROM j WHERE cosine >= 0.4 AND NOT isnan(cosine)""",
 
-    "sim_lsh_topk" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 1000 = 0),
-          cbkt AS (SELECT vec_id, ${lcgBucketsSql("embedding")} AS bks FROM embeddings),
-          qbkt AS (SELECT qid, ${lcgBucketsSql("qv")} AS bks FROM q),
-          ct AS (SELECT vec_id, t.t AS tb, bks[t.t + 1] AS bucket FROM cbkt, range(0, 8) t(t)),
-          qt AS (SELECT qid, t.t AS tb, bks[t.t + 1] AS bucket FROM qbkt, range(0, 8) t(t)),
-          cand AS (SELECT DISTINCT qt.qid, ct.vec_id FROM qt JOIN ct ON qt.tb = ct.tb AND qt.bucket = ct.bucket),
-          scored AS (SELECT cand.qid, cand.vec_id, round(${cosSql("e.embedding", "qq.qv")}, 6) AS score
-                     FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id JOIN q qq ON cand.qid = qq.qid)
-          $annRankTail""",
+    "sim_lsh_topk" -> lshTopkSql,
 
     "sim_ivf_topk" ->
       s"""WITH cent AS (SELECT cv, cidx FROM (
@@ -1686,6 +1773,23 @@ object SparkEntry {
                 FROM daily d JOIN st USING (user_id)
                 WHERE st.n >= 3 AND st.n * st.ssq - st.s * st.s > 0)
           SELECT user_id, day, n_events, round(z, 6) AS z FROM j WHERE abs(z) > 2""",
+
+    "evt_paths" ->
+      """WITH seq AS (SELECT event_type,
+                             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+                      FROM events)
+         SELECT event_type AS from_type, nxt AS to_type, count(*) AS n_transitions
+         FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2""",
+
+    "evt_conversion_lag" ->
+      """WITH starts AS (SELECT user_id, min(epoch_us(ts)) AS t0
+                         FROM events WHERE event_type = 'view' GROUP BY 1),
+         conv AS (SELECT e.user_id, s.t0, min(epoch_us(e.ts)) AS t1
+                  FROM events e JOIN starts s ON e.user_id = s.user_id
+                  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.t0
+                  GROUP BY 1, 2)
+         SELECT (t1 - t0) // 3600000000 AS lag_bucket, count(*) AS n_users
+         FROM conv GROUP BY 1""",
 
     "dedup_lines" ->
       s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),

@@ -346,6 +346,83 @@ object Pipeline {
         col("clean_text"))
   }
 
+  /** Deterministic corpus shuffle + shard layout — the training-data
+    * export step: break source/crawl locality so each output shard is
+    * an unbiased sample of the corpus. Shard = hash bucket of the id
+    * (map-side, no coordination); position = rank of the hash WITHIN
+    * the shard. The global permutation is realized WITHOUT a global
+    * sort: the only non-map work is one row_number window partitioned
+    * by shard — each shard ranks its own 1/nShards slice
+    * independently, so the layout scales to any corpus that shards
+    * evenly (and nShards is the writer's parallelism knob).
+    *
+    * Hash-seeded, so the permutation is stable across reruns, row
+    * order, partitioning, and engines (gate mode md5; `hashed=true`
+    * production mode xxhash64, ~3× cheaper, not oracle-recomputable).
+    * Output: (id, shard, pos). */
+  def shuffleShard(df: DataFrame, idCol: String, nShards: Int,
+                   seed: String = "shuffle", hashed: Boolean = false): DataFrame = {
+    val sortKey = if (hashed) xxhash64(lit(s"$seed:"), col(idCol).cast("string"))
+      else conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val shard = if (hashed) xxBucket(col(idCol), seed, nShards)
+      else md5Bucket(col(idCol), seed, nShards)
+    val w = Window.partitionBy(col("shard")).orderBy(col("__k"), col(idCol))
+    df.select(col(idCol), shard.cast("int").as("shard"), sortKey.as("__k"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__k")
+  }
+
+  /** DSIR-style importance score (the Xie et al. 2023 data-selection
+    * shape): how much more target-like than corpus-like a document's
+    * unigrams are, against a `isTarget` predicate defining the target
+    * distribution (a trusted subset — here e.g. one language/source).
+    *
+    * Gate variant: per-doc Σ target-count and Σ corpus-count of its
+    * tokens are exact integers; the affinity ratio is one correctly-
+    * rounded division (6dp) — engine-exact. The production twin
+    * ([[dsirLogRatio]]) is the paper's mean log-ratio with add-one
+    * smoothing over hashed n-grams (transcendental → benched, not
+    * gated).
+    *
+    * Scale shape: identical to [[unigramScore]] — one token-count
+    * aggregate (partial-agg, shuffle carries (token, 2 longs)), one
+    * rejoin; `hashTokens=true` shuffles xxhash64 longs, never text.
+    * Output: (id, n_tokens, tgt_mass, all_mass, affinity). */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+                isTarget: Column, hashTokens: Boolean = false): DataFrame = {
+    val tok = docs.select(col(idCol), isTarget.as("__tgt"),
+        explode(T.tokens(col(textCol))).as("__ts"))
+      .select(col(idCol), col("__tgt"),
+        (if (hashTokens) xxhash64(col("__ts")) else col("__ts")).as("__t"))
+    val freq = tok.groupBy(col("__t")).agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tf"),
+      count(lit(1)).as("__af"))
+    tok.drop("__tgt").join(freq, "__t")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__tf")).as("tgt_mass"), sum(col("__af")).as("all_mass"))
+      .select(col(idCol), col("n_tokens"), col("tgt_mass"), col("all_mass"),
+        round(col("tgt_mass").cast("double") / col("all_mass"), 6).as("affinity"))
+  }
+
+  /** Production DSIR: mean log((tf+1)/(af+1)) over hashed tokens —
+    * the paper's smoothed importance log-ratio (up to the shared
+    * normalizer constant, which shifts every doc equally and cancels
+    * in ranking). Transcendental → benched, not gated. */
+  def dsirLogRatio(docs: DataFrame, idCol: String, textCol: String,
+                   isTarget: Column): DataFrame = {
+    val tok = docs.select(col(idCol), isTarget.as("__tgt"),
+        explode(T.tokens(col(textCol))).as("__ts"))
+      .select(col(idCol), col("__tgt"), xxhash64(col("__ts")).as("__t"))
+    val freq = tok.groupBy(col("__t")).agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tf"),
+      count(lit(1)).as("__af"))
+    tok.drop("__tgt").join(freq, "__t")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log((col("__tf") + 1).cast("double") / (col("__af") + 1))).as("mean_log_ratio"))
+  }
+
   /** Mean log-probability under the corpus unigram LM — the classic
     * perplexity-style quality score (CCNet-lineage). Same two-pass
     * shape as [[unigramScore]]; kept separate because log() is

@@ -196,4 +196,25 @@ object Similarity {
       centroidsFlat, dim, nProbe)
     rankTopK(scored, idCol, qidCol, k)
   }
+
+  /** ANN quality evaluation: per-query recall@k of an approximate
+    * top-k result against the exact (brute-force) top-k — the metric
+    * that decides whether an LSH/IVF parameterization is usable
+    * before pointing it at the full corpus. Both inputs are (qid, id)
+    * relations from [[lshTopK]]/[[ivfTopK]]/[[bruteForceTopK]].
+    *
+    * Scale shape: both sides are ≤ k·|queries| rows by construction
+    * (tiny — the corpus never appears), one left join + one
+    * partial-agg groupBy on the qid. hits and truth_k are exact
+    * integers; recall is one rounded division.
+    * Output: (qid, truth_k, hits, recall). */
+  def recallAtK(ann: DataFrame, truth: DataFrame,
+                qidCol: String, idCol: String): DataFrame =
+    truth.select(col(qidCol), col(idCol))
+      .join(ann.select(col(qidCol), col(idCol), lit(1L).as("__hit")),
+        Seq(qidCol, idCol), "left")
+      .groupBy(col(qidCol))
+      .agg(count(lit(1)).as("truth_k"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .withColumn("recall", round(col("hits").cast("double") / col("truth_k"), 6))
 }

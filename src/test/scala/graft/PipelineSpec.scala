@@ -269,4 +269,41 @@ class PipelineSpec extends SparkSpec {
       .orderBy("line_idx").collect().map(_.getAs[String]("line")).toSeq
     assert(out == Seq("a b c d", "e f g h", "i j k"))
   }
+
+  test("shuffleShard: dense per-shard positions, total coverage, partition-invariant") {
+    val docs = (1L to 100L).toDF("doc_id")
+    def run(p: Int, h: Boolean) =
+      Pipeline.shuffleShard(docs.repartition(p), "doc_id", nShards = 4, hashed = h)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val out = run(1, false)
+    assert(out.map(_._1).toSet == (1L to 100L).toSet)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq) // dense 0..n-1
+    }
+    assert(run(7, false).toSet == out.toSet) // layout independent of input partitioning
+    val prod = run(3, true)
+    assert(prod.map(_._1).toSet == (1L to 100L).toSet)
+    prod.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+  }
+
+  test("dsirScore: exact integer masses; hashed twin agrees on every value") {
+    val docs = Seq(
+      (1L, "the cat", true),   // target
+      (2L, "the dog", false),
+      (3L, "cat cat", false),
+    ).toDF("doc_id", "text", "tgt")
+    // token freqs: the -> (tgt 1, all 2); cat -> (tgt 1, all 3); dog -> (0, 1)
+    val out = Pipeline.dsirScore(docs, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) == (2L, 2L, 5L, 0.4))      // the+cat: tgt 1+1, all 2+3
+    assert(out(2L) == (2L, 1L, 3L, 0.333333)) // the+dog: tgt 1+0, all 2+1
+    assert(out(3L) == (2L, 2L, 6L, 0.333333)) // cat+cat: tgt 1+1, all 3+3
+    val hashed = Pipeline.dsirScore(docs, "doc_id", "text", col("tgt"), hashTokens = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(hashed == out)
+  }
 }

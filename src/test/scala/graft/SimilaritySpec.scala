@@ -193,4 +193,19 @@ class SimilaritySpec extends SparkSpec {
       assert(out((i + 1000L, 1)) == (i.toLong, 1.0))
     }
   }
+
+  test("recallAtK: exact hit counts and rounded recall per query") {
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (2L, 22L))
+      .toDF("qid", "vec_id")
+    val ann = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 50L), (2L, 51L), (2L, 52L))
+      .toDF("qid", "vec_id")
+    val out = Similarity.recallAtK(ann, truth, "qid", "vec_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == (3L, 2L, 0.666667)) // 10,12 hit; 11 missed
+    assert(out(2L) == (3L, 0L, 0.0))      // disjoint
+    // recall of the exact result against itself is 1.0 everywhere
+    val self = Similarity.recallAtK(truth, truth, "qid", "vec_id")
+      .collect().map(_.getAs[Double]("recall")).toSet
+    assert(self == Set(1.0))
+  }
 }

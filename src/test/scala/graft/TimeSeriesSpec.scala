@@ -156,4 +156,41 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(run(1) == run(6))
   }
+
+  test("transitions counts consecutive pairs per user, id-tie-broken") {
+    val events = Seq(
+      // user 1: a -> b -> b ; the two 10:01:00 rows tie on ts and are
+      // ordered by event_id (2 before 3)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:01:00"), 3L, "b"),
+      // user 2: b -> a
+      (2L, ts("2024-01-01 09:00:00"), 4L, "b"),
+      (2L, ts("2024-01-01 09:30:00"), 5L, "a"),
+      // user 3: single event, no transition
+      (3L, ts("2024-01-01 08:00:00"), 6L, "a"),
+    ).toDF("user_id", "t", "event_id", "etype")
+    def run(p: Int) = TimeSeries.transitions(events.repartition(p), "user_id", "t", "etype", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val out = run(1)
+    assert(out == Map(("a", "b") -> 1L, ("b", "b") -> 1L, ("b", "a") -> 1L))
+    assert(run(5) == out)
+  }
+
+  test("conversionLag buckets first-from to first-to latency, strict order") {
+    val events = Seq(
+      // user 1: view 10:00, purchases 09:00 (before -> ignored) and 11:30 -> lag 90min, bucket 1
+      (1L, ts("2024-01-01 10:00:00"), "view"), (1L, ts("2024-01-01 09:00:00"), "purchase"),
+      (1L, ts("2024-01-01 11:30:00"), "purchase"),
+      // user 2: view 10:00, purchase 10:20 -> bucket 0
+      (2L, ts("2024-01-01 10:00:00"), "view"), (2L, ts("2024-01-01 10:20:00"), "purchase"),
+      // user 3: purchase with no prior view -> excluded entirely
+      (3L, ts("2024-01-01 10:00:00"), "purchase"),
+      // user 4: view, never purchases -> excluded
+      (4L, ts("2024-01-01 10:00:00"), "view"),
+    ).toDF("user_id", "t", "etype")
+    val out = TimeSeries.conversionLag(events, "user_id", "t", "etype", "view", "purchase")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 1L, 1L -> 1L))
+  }
 }
