@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Gds
 import graft.functions.{PiiFunctions => P, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Cluster, Dedup, Pipeline, Search, Similarity, TimeSeries}
+import graft.operators.{Cluster, Dedup, Pipeline, Quantize, Search, Similarity, TimeSeries}
 import graft.multimodal.Multimodal
 import graft.sql.GraftSqlContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -511,6 +511,16 @@ object SparkEntry {
         .filter(col("jaccard") > 0)
     }),
 
+    "dedup_containment" -> ((s, dir) => {
+      // asymmetric containment over the same fixed candidate pairs —
+      // the quote/subset-duplicate signal Jaccard misses; string
+      // shingles for the oracle, hashed twin in perfQueries
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("id_l"), (col("doc_id") + 1).as("id_r"))
+        .filter(col("id_l") % 10 === 0)
+      Dedup.ngramContainment(pairs, docs, "doc_id", "text", 3, hashShingles = false)
+    }),
+
     "dedup_embedding" -> ((s, dir) =>
       // LCG-derived hyperplanes (exact dyadic rationals) so the DuckDB
       // oracle rebuilds identical buckets; production defaults to
@@ -731,6 +741,20 @@ object SparkEntry {
       Pipeline.dsirScore(t(s, dir, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en")),
 
+    "text_collocations" -> ((s, dir) =>
+      // corpus bigram collocations (count >= 5) with unigram margins +
+      // token total — the exact-integer inputs to PMI; the PMI value
+      // itself (log) is benched as text_collocations_prod
+      Pipeline.collocations(t(s, dir, "documents"), "text", minCount = 5)),
+
+    "emb_quantize" -> ((s, dir) =>
+      // per-dimension affine int8 quantization (SQ8): stats = one tiny
+      // dim-cardinality aggregate; encode = map-side transform with
+      // the stats inlined — codes bit-identical across engines
+      Quantize.scalarQuantize(t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("dim_idx", "code")))
+        .select(col("vec_id"), col("dim_idx").cast("int").as("dim_idx"), col("code"))),
+
     "dedup_semantic" -> ((s, dir) =>
       // SemDeDup: cluster-then-verify semantic dedup; md5 sampling
       // order so DuckDB derives the identical centroid set (production
@@ -937,6 +961,18 @@ object SparkEntry {
       // xxhash64 shard bucket + sort key (~3x cheaper/row than md5)
       Pipeline.shuffleShard(t(s, dir, "documents"), "doc_id", nShards = 8,
         hashed = true)),
+
+    "dedup_containment_prod" -> ((s, dir) => {
+      // hashed shingle sets (longs) — the scale-safe containment join
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("id_l"), (col("doc_id") + 1).as("id_r"))
+        .filter(col("id_l") % 10 === 0)
+      Dedup.ngramContainment(pairs, docs, "doc_id", "text", 3)
+    }),
+
+    "text_collocations_prod" -> ((s, dir) =>
+      // hashed tokens + the transcendental PMI value
+      Pipeline.collocationsPmi(t(s, dir, "documents"), "text", minCount = 5)),
 
     "dedup_semantic_prod" -> ((s, dir) =>
       // xxhash64 centroid sampling (production default)
@@ -1581,6 +1617,40 @@ object SparkEntry {
                           / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
                   FROM pr p JOIN s sa ON p.id_l = sa.doc_id JOIN s sb ON p.id_r = sb.doc_id)
           SELECT id_l, id_r, jaccard FROM jac WHERE jaccard > 0""",
+
+    "dedup_containment" ->
+      s"""WITH $shingleSetsSql,
+          pr AS (SELECT doc_id AS id_l, doc_id + 1 AS id_r FROM documents WHERE doc_id % 10 = 0),
+          ct AS (SELECT p.id_l, p.id_r,
+                   CAST(len(sa.sh) AS BIGINT) AS n_l, CAST(len(sb.sh) AS BIGINT) AS n_r,
+                   CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common
+                 FROM pr p JOIN s sa ON p.id_l = sa.doc_id JOIN s sb ON p.id_r = sb.doc_id)
+          SELECT id_l, id_r, n_l, n_r, n_common,
+                 round(CAST(n_common AS DOUBLE) / n_l, 6) AS cont_l,
+                 round(CAST(n_common AS DOUBLE) / n_r, 6) AS cont_r
+          FROM ct WHERE n_common > 0""",
+
+    "text_collocations" ->
+      s"""WITH tok AS (SELECT string_split($normSql, ' ') AS ts FROM documents),
+          bi AS (SELECT u.w1, u.w2
+                 FROM tok, unnest([struct_pack(w1 := ts[i], w2 := ts[i+1])
+                                   FOR i IN range(1, len(ts))]) t(u)),
+          nxy AS (SELECT w1, w2, count(*) AS n_xy FROM bi GROUP BY 1, 2 HAVING count(*) >= 5),
+          uni AS (SELECT unnest(ts) AS w FROM tok),
+          nw AS (SELECT w, count(*) AS n FROM uni GROUP BY 1),
+          tot AS (SELECT count(*) AS n_total FROM uni)
+          SELECT nxy.w1, nxy.w2, nxy.n_xy, a.n AS n_x, b.n AS n_y, n_total
+          FROM nxy JOIN nw a ON nxy.w1 = a.w JOIN nw b ON nxy.w2 = b.w CROSS JOIN tot""",
+
+    "emb_quantize" ->
+      """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                            CAST(unnest(embedding) AS DOUBLE) AS v
+                     FROM embeddings),
+         dims AS (SELECT d, min(v) AS mn, max(v) AS mx FROM ex GROUP BY d)
+         SELECT vec_id, CAST(ex.d AS INT) AS dim_idx,
+                CAST(CASE WHEN mx = mn THEN 0
+                          ELSE least(255, floor((v - mn) * 256 / (mx - mn))) END AS INT) AS code
+         FROM ex JOIN dims ON ex.d = dims.d""",
 
     "dedup_simhash" ->
       s"""WITH $simhashChunksSql

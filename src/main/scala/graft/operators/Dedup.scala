@@ -179,6 +179,38 @@ object Dedup {
           size(array_union(col("set_l"), col("set_r"))), 6).as("jaccard"))
   }
 
+  /** Asymmetric n-gram containment on candidate pairs: what fraction
+    * of each side's shingle set lies inside the other's — the quote /
+    * subset-duplicate signal Jaccard misses (a short doc copied
+    * whole into a long one has low Jaccard but containment ≈ 1 on
+    * the short side). Same verify-join shape as [[ngramJaccard]]:
+    * semi-join to candidates first, sets intersected once. Set sizes
+    * are exact integers; the two containments are single rounded
+    * divisions — engine-exact. `hashShingles=true` (production)
+    * intersects long arrays; `false` keeps shingle strings so the
+    * oracle can rebuild the sets.
+    * Output: (id_l, id_r, n_l, n_r, n_common, cont_l, cont_r) for
+    * pairs sharing at least one shingle. */
+  def ngramContainment(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int, hashShingles: Boolean = true): DataFrame = {
+    val candIds = pairs.select(explode(array(col("id_l"), col("id_r"))).as(idCol)).distinct()
+    def set(c: Column): Column =
+      if (hashShingles) array_distinct(X.shingleHashes(T.normText(c), shingleK))
+      else array_distinct(T.shingles(c, shingleK))
+    val sets = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("__id"), set(col(textCol)).as("__set"))
+    pairs
+      .join(sets.select(col("__id").as("id_l"), col("__set").as("set_l")), "id_l")
+      .join(sets.select(col("__id").as("id_r"), col("__set").as("set_r")), "id_r")
+      .select(col("id_l"), col("id_r"),
+        size(col("set_l")).cast("long").as("n_l"),
+        size(col("set_r")).cast("long").as("n_r"),
+        size(array_intersect(col("set_l"), col("set_r"))).cast("long").as("n_common"))
+      .filter(col("n_common") > 0)
+      .withColumn("cont_l", round(col("n_common").cast("double") / col("n_l"), 6))
+      .withColumn("cont_r", round(col("n_common").cast("double") / col("n_r"), 6))
+  }
+
   /** Token-hash choice for SimHash, usable both as a Column function
     * (`md5TokenHash(c)`) and as the `tokenHash =` argument. */
   sealed trait TokenHash {

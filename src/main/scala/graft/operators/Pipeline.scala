@@ -346,6 +346,51 @@ object Pipeline {
         col("clean_text"))
   }
 
+  /** PMI-style collocation mining: corpus bigram counts with both
+    * unigram margins and the corpus token total attached — everything
+    * a consumer needs for PMI = log(n_xy·N / (n_x·n_y)) or a
+    * log-likelihood ratio without another corpus pass. The gate emits
+    * the exact integer counts; [[collocationsPmi]] adds the
+    * transcendental PMI value (benched, not gated).
+    *
+    * Scale shape: bigrams are built MAP-SIDE by zipping each token
+    * array with its own tail (no self-join, no positions shuffled);
+    * the shuffles are the partial-agg groupBys on the bigram /
+    * unigram keys, and the ≥minCount bigram survivors join the
+    * (much smaller) unigram margin relation. `hashTokens=true`
+    * shuffles xxhash64 longs, never token text.
+    * Output: (w1, w2, n_xy, n_x, n_y, n_total). */
+  def collocations(docs: DataFrame, textCol: String, minCount: Int = 5,
+                   hashTokens: Boolean = false): DataFrame = {
+    def h(c: Column): Column = if (hashTokens) xxhash64(c) else c
+    val toks = docs.select(T.tokens(col(textCol)).as("__ts"))
+    val n1 = greatest(size(col("__ts")) - 1, lit(0))
+    val bi = toks.select(explode(zip_with(
+        slice(col("__ts"), lit(1), n1), slice(col("__ts"), lit(2), n1),
+        (a, b) => struct(h(a).as("w1"), h(b).as("w2")))).as("__bi"))
+      .select(col("__bi.w1").as("w1"), col("__bi.w2").as("w2"))
+    val nxy = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+    val uni = toks.select(explode(col("__ts")).as("__w")).select(h(col("__w")).as("__w"))
+    val nw = uni.groupBy("__w").agg(count(lit(1)).as("__n"))
+    val tot = uni.agg(count(lit(1)).as("n_total"))
+    nxy
+      .join(nw.select(col("__w").as("w1"), col("__n").as("n_x")), "w1")
+      .join(nw.select(col("__w").as("w2"), col("__n").as("n_y")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"), col("n_total"))
+  }
+
+  /** Production collocation scoring: hashed tokens + pointwise mutual
+    * information. Counts are cast to double BEFORE multiplying (n_x·n_y
+    * overflows a long at corpus scale in integer space). log() is
+    * transcendental → benched, not gated. */
+  def collocationsPmi(docs: DataFrame, textCol: String, minCount: Int = 5): DataFrame =
+    collocations(docs, textCol, minCount, hashTokens = true)
+      .withColumn("pmi",
+        log(col("n_xy").cast("double") * col("n_total").cast("double") /
+          (col("n_x").cast("double") * col("n_y").cast("double"))))
+
   /** Deterministic corpus shuffle + shard layout — the training-data
     * export step: break source/crawl locality so each output shard is
     * an unbiased sample of the corpus. Shard = hash bucket of the id

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding compression for 100 TB vector corpora: per-dimension
+  * affine int8 quantization (the classic scalar-quantizer shape every
+  * vector store ships as "SQ8") — 4× smaller than float32 at ~1%
+  * recall cost, which is the difference between an ANN index that
+  * fits in cluster memory and one that doesn't.
+  *
+  * Scale design: the stats pass is one explode + a dim-cardinality
+  * partial aggregate (dim rows total — collected like the IVF
+  * centroids, the sanctioned tiny-relation driver hop); encoding is
+  * then a single MAP-SIDE transform with the stats inlined as array
+  * literals — no join, no shuffle, no second pass over the corpus.
+  * Every arithmetic step (subtract, multiply, divide, floor, clamp)
+  * is a fixed chain of correctly-rounded double ops on identical
+  * inputs, so codes are bit-identical across engines and
+  * partitionings — the quantized corpus is reproducible.
+  */
+object Quantize {
+
+  /** Per-dimension (min, max) over the corpus, cast to double BEFORE
+    * aggregating so later arithmetic sees the same doubles on every
+    * engine. Returns dim pairs (a tiny by-construction relation). */
+  def dimStats(emb: DataFrame, vecCol: String, dim: Int): Array[(Double, Double)] = {
+    val rows = emb.select(posexplode(col(vecCol)).as(Seq("__d", "__v")))
+      .select(col("__d"), col("__v").cast("double").as("__v"))
+      .groupBy("__d").agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+      .collect()
+    val out = Array.fill(dim)((0.0, 0.0))
+    rows.foreach(r => out(r.getInt(0)) = (r.getDouble(1), r.getDouble(2)))
+    out
+  }
+
+  /** Encode each vector into `levels` (default 256 = int8) codes:
+    * code_d = clamp(floor((v_d − min_d) · levels / (max_d − min_d))).
+    * A constant dimension (max = min) encodes as 0.
+    * Output: (idCol, codes array&lt;int&gt;). */
+  def scalarQuantize(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     levels: Int = 256,
+                     stats: Option[Array[(Double, Double)]] = None): DataFrame = {
+    val st = stats.getOrElse(dimStats(emb, vecCol, dim))
+    val mnArr = array(st.map(s => lit(s._1)): _*)
+    val mxArr = array(st.map(s => lit(s._2)): _*)
+    val codes = transform(sequence(lit(0), lit(dim - 1)), d => {
+      val v = element_at(col(vecCol), d + 1).cast("double")
+      val mn = element_at(mnArr, d + 1)
+      val mx = element_at(mxArr, d + 1)
+      when(mx === mn, lit(0))
+        .otherwise(least(lit(levels - 1), floor((v - mn) * levels / (mx - mn))))
+        .cast("int")
+    })
+    emb.select(col(idCol), codes.as("codes"))
+  }
+
+  /** Decode codes back to bucket midpoints — the query-time side of
+    * SQ8 (|v − decode(encode(v))| ≤ bucketWidth, with the mass of
+    * errors at ≤ bucketWidth/2). Output: (idCol, vec array&lt;double&gt;). */
+  def dequantize(encoded: DataFrame, idCol: String, codesCol: String,
+                 stats: Array[(Double, Double)], levels: Int = 256): DataFrame = {
+    val dim = stats.length
+    val mnArr = array(stats.map(s => lit(s._1)): _*)
+    val mxArr = array(stats.map(s => lit(s._2)): _*)
+    val vec = transform(sequence(lit(0), lit(dim - 1)), d => {
+      val c = element_at(col(codesCol), d + 1).cast("double")
+      val mn = element_at(mnArr, d + 1)
+      val mx = element_at(mxArr, d + 1)
+      mn + (c + 0.5) * (mx - mn) / levels
+    })
+    encoded.select(col(idCol), vec.as("vec"))
+  }
+}

@@ -252,4 +252,21 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("id") == minIds(r.getAs[Int]("cell")))
     }
   }
+
+  test("ngramContainment: subset doc has containment 1.0 on its side; hashed == string") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),       // superset
+      (2L, "a b c d e"),             // its 3-gram set is a subset of doc 1's
+      (3L, "x y z w q"),             // disjoint from 1
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_l", "id_r")
+    def run(h: Boolean) = Dedup.ngramContainment(pairs, docs, "doc_id", "text", 3, h)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    val out = run(false)
+    // doc1: 6 distinct 3-grams, doc2: 3, all of doc2's inside doc1
+    assert(out((1L, 2L)) == (6L, 3L, 3L, 0.5, 1.0))
+    assert(!out.contains((1L, 3L))) // no shared shingle -> filtered
+    assert(run(true) == out)        // hashed twin agrees on every value
+  }
 }

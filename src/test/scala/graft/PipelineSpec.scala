@@ -288,6 +288,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("collocations: map-side bigrams with exact margins and total") {
+    val docs = Seq(
+      (1L, "big data big data big"),
+      (2L, "big data small data"),
+    ).toDF("doc_id", "text")
+    // bigrams: (big,data)x3, (data,big)x2, (data,small)x1, (small,data)x1
+    val out = Pipeline.collocations(docs, "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out == Map(
+      ("big", "data") -> (3L, 4L, 4L, 9L),
+      ("data", "big") -> (2L, 4L, 4L, 9L)))
+    // PMI twin: same surviving pairs, pmi finite
+    val pmi = Pipeline.collocationsPmi(docs, "text", minCount = 2).collect()
+    assert(pmi.length == 2 && pmi.forall(r => !r.getAs[Double]("pmi").isNaN))
+  }
+
   test("dsirScore: exact integer masses; hashed twin agrees on every value") {
     val docs = Seq(
       (1L, "the cat", true),   // target
