@@ -424,6 +424,25 @@ object SparkEntry {
           (col("p_brand") === "Brand#7" && col("p_size").between(10, 40) && col("l_quantity").between(20, 35)))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))),
 
+    "q_window_analytics" -> ((s, dir) => {
+      // window-function breadth on one relation: sequence windows
+      // (lag/lead/ntile over order date) + value windows (percent_rank/
+      // cume_dist over price), every ORDER BY ending in the unique
+      // orderkey so ranks can't flip across partitionings; prev/next
+      // prices pass through UNROUNDED (per-row, IEEE-identical)
+      val wSeq = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wVal = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        lag(col("o_totalprice"), 1).over(wSeq).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(wSeq).as("next_price"),
+        ntile(4).over(wSeq).as("seq_quartile"),
+        round(percent_rank().over(wVal), 6).as("price_pct_rank"),
+        round(cume_dist().over(wVal), 6).as("price_cume_dist"))
+    }),
+
     "q22_dormant_customers" -> ((s, dir) => {
       // TPC-H Q22 adaptation: above-average-balance customers with no
       // 2001 orders, aggregated by nation. The average test never
@@ -747,6 +766,26 @@ object SparkEntry {
       // itself (log) is benched as text_collocations_prod
       Pipeline.collocations(t(s, dir, "documents"), "text", minCount = 5)),
 
+    "sample_topk_per_group" -> ((s, dir) =>
+      // deterministic 10-docs-per-language sample via bounded-heap
+      // TopKAggregate over the md5-hash order — ≤k rows per stratum
+      // per map task into the exchange, never a full per-stratum window
+      Pipeline.topKPerGroup(t(s, dir, "documents"), "lang", "doc_id", k = 10)),
+
+    "text_lexical" -> ((s, dir) => {
+      // lexical-diversity quality signals: type-token ratio (low =
+      // repetitive/spammy — the unigram twin of text_repetition) and
+      // vowel-group syllable density; all integers + rounded divisions
+      val toks = T.tokens(col("text"))
+      val syll = regexp_count(T.normText(col("text")), lit("[aeiouy]+"))
+      t(s, dir, "documents").select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 6).as("ttr"),
+        syll.cast("long").as("n_syllables"),
+        round(syll.cast("double") / size(toks), 6).as("syll_per_word"))
+    }),
+
     "emb_quantize" -> ((s, dir) =>
       // per-dimension affine int8 quantization (SQ8): stats = one tiny
       // dim-cardinality aggregate; encode = map-side transform with
@@ -973,6 +1012,11 @@ object SparkEntry {
     "text_collocations_prod" -> ((s, dir) =>
       // hashed tokens + the transcendental PMI value
       Pipeline.collocationsPmi(t(s, dir, "documents"), "text", minCount = 5)),
+
+    "sample_topk_per_group_prod" -> ((s, dir) =>
+      // xxhash64 rank order (cheaper; not oracle-recomputable)
+      Pipeline.topKPerGroup(t(s, dir, "documents"), "lang", "doc_id", k = 10,
+        hashed = true)),
 
     "dedup_semantic_prod" -> ((s, dir) =>
       // xxhash64 centroid sampling (production default)
@@ -1641,6 +1685,37 @@ object SparkEntry {
           tot AS (SELECT count(*) AS n_total FROM uni)
           SELECT nxy.w1, nxy.w2, nxy.n_xy, a.n AS n_x, b.n AS n_y, n_total
           FROM nxy JOIN nw a ON nxy.w1 = a.w JOIN nw b ON nxy.w2 = b.w CROSS JOIN tot""",
+
+    "sample_topk_per_group" ->
+      """SELECT lang, doc_id, CAST(rnk AS INT) AS rank
+         FROM (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5('tk:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT DESC,
+                            doc_id ASC) AS rnk
+               FROM documents)
+         WHERE rnk <= 10""",
+
+    "text_lexical" ->
+      s"""SELECT doc_id,
+                 CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(string_split($normSql, ' '))) AS BIGINT) AS n_types,
+                 round(CAST(len(list_distinct(string_split($normSql, ' '))) AS DOUBLE)
+                       / len(string_split($normSql, ' ')), 6) AS ttr,
+                 CAST(len(regexp_extract_all($normSql, '[aeiouy]+')) AS BIGINT) AS n_syllables,
+                 round(CAST(len(regexp_extract_all($normSql, '[aeiouy]+')) AS DOUBLE)
+                       / len(string_split($normSql, ' ')), 6) AS syll_per_word
+          FROM documents""",
+
+    "q_window_analytics" ->
+      """SELECT o_orderkey, o_custkey,
+                lag(o_totalprice, 1) OVER wseq AS prev_price,
+                lead(o_totalprice, 1) OVER wseq AS next_price,
+                CAST(ntile(4) OVER wseq AS INT) AS seq_quartile,
+                round(percent_rank() OVER wval, 6) AS price_pct_rank,
+                round(cume_dist() OVER wval, 6) AS price_cume_dist
+         FROM orders
+         WINDOW wseq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                wval AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""",
 
     "emb_quantize" ->
       """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,

@@ -179,6 +179,75 @@ object Dedup {
           size(array_union(col("set_l"), col("set_r"))), 6).as("jaccard"))
   }
 
+  /** Per-doc MinHash incremental state: LSH band hashes (for candidate
+    * generation) + the distinct shingle-hash set (for the exact-Jaccard
+    * verify) — everything a later increment needs, so the old corpus
+    * TEXT is never touched again. ~8·(bands + |set|) bytes/doc, an
+    * order of magnitude under the text it replaces. */
+  private def minhashState(df: DataFrame, idCol: String, textCol: String,
+                           shingleK: Int, numHashes: Int, bands: Int): DataFrame =
+    df.filter(col(textCol).isNotNull).select(col(idCol),
+      X.minhashBands(T.normText(col(textCol)), shingleK, numHashes, bands).as("bands"),
+      array_distinct(X.shingleHashes(T.normText(col(textCol)), shingleK)).as("sh"))
+
+  /** Seed the MinHash incremental store (see [[incrementalMinhashPairs]]). */
+  def writeMinhashState(df: DataFrame, idCol: String, textCol: String, path: String,
+                        numHashes: Int = 64, numBands: Int = 0, shingleK: Int = 3,
+                        threshold: Double = 0.5): Unit = {
+    val bands = if (numBands > 0) numBands else bandGeometry(threshold, numHashes)._1
+    minhashState(df, idCol, textCol, shingleK, numHashes, bands)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Incremental MinHash dedup: near-dup pairs of a NEW batch against
+    * itself and the persisted band+shingle store — the third member of
+    * the incremental trio ([[incrementalExact]], [[incrementalSimhashPairs]]).
+    * Same nightly-pipeline shape: sign the new batch map-side, band-join
+    * it against the store (the exchange carries (id, band, bucket)
+    * longs), verify exact Jaccard on the STORED shingle sets, emit only
+    * pairs with a new side (old-old pairs were reported when their
+    * batch arrived), append the new rows. Band geometry must match the
+    * store's (it is derived from the same (threshold, numHashes)
+    * defaults — pass the same values used at [[writeMinhashState]]).
+    * Returns (id_l, id_r, jaccard) like [[minhashPairs]]. */
+  def incrementalMinhashPairs(newDocs: DataFrame, idCol: String, textCol: String,
+                              statePath: String,
+                              numHashes: Int = 64, numBands: Int = 0, shingleK: Int = 3,
+                              threshold: Double = 0.5, maxBucketSize: Int = 500): DataFrame = {
+    val bands = if (numBands > 0) numBands else bandGeometry(threshold, numHashes)._1
+    val spark = newDocs.sparkSession
+    val newState = minhashState(newDocs, idCol, textCol, shingleK, numHashes, bands).cache()
+    val oldState = spark.read.parquet(statePath).select(col(idCol), col("bands"), col("sh"))
+    val newIds = newState.select(col(idCol))
+    // a re-submitted id keeps its STORED row (min_by on the boolean:
+    // false = old wins — deterministic)
+    val all = oldState.select(col(idCol), col("bands"), col("sh"), lit(false).as("__new"))
+      .union(newState.select(col(idCol), col("bands"), col("sh"), lit(true).as("__new")))
+      .groupBy(col(idCol)).agg(min_by(struct(col("bands"), col("sh")), col("__new")).as("__s"))
+      .select(col(idCol), col("__s.bands").as("bands"), col("__s.sh").as("sh"))
+    val bucketed = all.select(col(idCol),
+      posexplode(col("bands")).as(Seq("band", "bucket")))
+    val cand = pairsFromBuckets(bucketed, idCol, Seq("band", "bucket"), maxBucketSize)
+    val withNew = cand.join(newIds.select(col(idCol).as("id_l")), Seq("id_l"), "left_semi")
+      .union(cand.join(newIds.select(col(idCol).as("id_r")), Seq("id_r"), "left_semi")
+        .select("id_l", "id_r"))
+      .distinct()
+    val sets = all.select(col(idCol), col("sh"))
+    val pairs = withNew
+      .join(sets.select(col(idCol).as("id_l"), col("sh").as("set_l")), "id_l")
+      .join(sets.select(col(idCol).as("id_r"), col("sh").as("set_r")), "id_r")
+      .select(col("id_l"), col("id_r"),
+        round(size(array_intersect(col("set_l"), col("set_r"))).cast("double") /
+          size(array_union(col("set_l"), col("set_r"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    // sever lineage from the store files BEFORE the append grows them
+    val out = pairs.localCheckpoint(true)
+    newState.join(oldState.select(col(idCol)), Seq(idCol), "left_anti")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(statePath)
+    newState.unpersist()
+    out
+  }
+
   /** Asymmetric n-gram containment on candidate pairs: what fraction
     * of each side's shingle set lies inside the other's — the quote /
     * subset-duplicate signal Jaccard misses (a short doc copied

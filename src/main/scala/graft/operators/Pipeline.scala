@@ -346,6 +346,28 @@ object Pipeline {
         col("clean_text"))
   }
 
+  /** Deterministic k-per-stratum sample — the "give me k docs per
+    * language/source" primitive for eyeballing, eval-set carving and
+    * balanced subcorpora. Rank = bounded-heap [[graft.functions.TopKAggregate]]
+    * over the id-hash order: each map task feeds AT MOST k rows per
+    * stratum into the exchange (vs a full per-stratum sort/window over
+    * the corpus), and the hash order makes the sample unbiased w.r.t.
+    * any data attribute and stable across reruns/partitionings/
+    * engines. Gate mode hashes 32 md5 bits (exact in the heap's
+    * double); `hashed=true` ranks by xxhash64 (cheaper; order after
+    * the long→double rounding is still deterministic, ties broken by
+    * id). Output: (groupCol, idCol, rank). */
+  def topKPerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int,
+                   seed: String = "tk", hashed: Boolean = false): DataFrame = {
+    val h = if (hashed) xxhash64(lit(s"$seed:"), col(idCol).cast("string"))
+      else conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    df.select(col(groupCol), col(idCol), h.as("__h"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKAggregate.topK(col("__h").cast("double"), col(idCol).cast("long"), k).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col(groupCol), col("__e.id").as(idCol), (col("__r") + 1).cast("int").as("rank"))
+  }
+
   /** PMI-style collocation mining: corpus bigram counts with both
     * unigram margins and the corpus token total attached — everything
     * a consumer needs for PMI = log(n_xy·N / (n_x·n_y)) or a

@@ -208,6 +208,30 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(statePath).count() == docs.count())
   }
 
+  test("incremental minhash: new-batch pairs == full-corpus pairs minus already-reported") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val batch1 = docs.filter(col("doc_id") < 250)
+    val batch2 = docs.filter(col("doc_id") >= 250)
+    val statePath = java.nio.file.Files.createTempDirectory("graft_incm").toString + "/mh"
+    Dedup.writeMinhashState(batch1, "doc_id", "text", statePath)
+
+    val incremental = Dedup.incrementalMinhashPairs(batch2, "doc_id", "text", statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oldOnly = Dedup.minhashPairs(batch1, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incremental.nonEmpty)
+    assert(incremental == (full -- oldOnly),
+      s"inc-only=${incremental -- (full -- oldOnly)}, missing=${(full -- oldOnly) -- incremental}")
+
+    // store grew to the full corpus; an empty increment reports nothing
+    val again = Dedup.incrementalMinhashPairs(
+      docs.filter(col("doc_id") < 0), "doc_id", "text", statePath)
+    assert(again.count() == 0)
+    assert(spark.read.parquet(statePath).count() == docs.count())
+  }
+
   test("dedupeKeepList keeps exactly one doc per cluster") {
     val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("id", "text")
     val pairs = Seq((1L, 2L), (2L, 5L), (3L, 6L)).toDF("id_l", "id_r")

@@ -288,6 +288,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("topKPerGroup: exactly k per stratum (or all, if smaller), partition-invariant") {
+    val docs = (1L to 100L).map(i => (s"g${i % 3}", i)).toDF("grp", "id")
+      .unionByName(Seq(("tiny", 999L)).toDF("grp", "id")) // stratum smaller than k
+    def run(p: Int, h: Boolean) = Pipeline.topKPerGroup(docs.repartition(p), "grp", "id", 5, hashed = h)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val out = run(1, false)
+    val byGrp = out.groupBy(_._1)
+    assert(byGrp("g0").size == 5 && byGrp("g1").size == 5 && byGrp("g2").size == 5)
+    assert(byGrp("tiny") == Set(("tiny", 999L, 1)))
+    out.groupBy(_._1).foreach { case (_, rows) => // ranks dense from 1
+      assert(rows.map(_._3).toSeq.sorted == (1 to rows.size))
+    }
+    assert(run(7, false) == out) // hash order is partition-invariant
+    val prod = run(4, true)
+    assert(prod.groupBy(_._1).forall { case (g, rows) => rows.size == (if (g == "tiny") 1 else 5) })
+  }
+
   test("collocations: map-side bigrams with exact margins and total") {
     val docs = Seq(
       (1L, "big data big data big"),
