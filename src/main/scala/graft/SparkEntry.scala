@@ -794,6 +794,19 @@ object SparkEntry {
         .select(col("vec_id"), posexplode(col("codes")).as(Seq("dim_idx", "code")))
         .select(col("vec_id"), col("dim_idx").cast("int").as("dim_idx"), col("code"))),
 
+    "emb_pq" -> ((s, dir) => {
+      // product quantization: 4 per-subspace k-means codebooks (k=8,
+      // 2 Lloyd iters, md5-sampled init — the cluster_kmeans recipe per
+      // 16-dim slice), then one map-side encode pass; 256 B/vec → 4 B
+      val emb = t(s, dir, "embeddings")
+      val cbs = Quantize.pqCodebooks(emb, "vec_id", "embedding", dim = 64,
+        m = 4, k = 8, iters = 2,
+        sampleKey = Some(id => md5(concat(lit("km:"), id.cast("string")))))
+      Quantize.pqEncode(emb, "vec_id", "embedding", dim = 64, cbs)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub_idx", "code")))
+        .select(col("vec_id"), col("sub_idx").cast("int").as("sub_idx"), col("code"))
+    }),
+
     "dedup_semantic" -> ((s, dir) =>
       // SemDeDup: cluster-then-verify semantic dedup; md5 sampling
       // order so DuckDB derives the identical centroid set (production
@@ -857,6 +870,12 @@ object SparkEntry {
       // buckets); all-integer epoch-microsecond arithmetic
       TimeSeries.conversionLag(t(s, dir, "events"), "user_id", "ts",
         "event_type", "view", "purchase", bucketSeconds = 3600L)),
+
+    "evt_top_paths" -> ((s, dir) =>
+      // top-20 five-event user journeys — per-user window + path-keyed
+      // count + global partial top-k; (ts, event_id) order throughout
+      TimeSeries.topPaths(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "event_id", pathLen = 5, k = 20)),
 
     // ---- §2.14 line dedup / clustering / kNN graph / search (r6) ------
     "dedup_lines" -> ((s, dir) =>
@@ -1017,6 +1036,14 @@ object SparkEntry {
       // xxhash64 rank order (cheaper; not oracle-recomputable)
       Pipeline.topKPerGroup(t(s, dir, "documents"), "lang", "doc_id", k = 10,
         hashed = true)),
+
+    "emb_pq_prod" -> ((s, dir) => {
+      // production PQ: k=16 codes/subspace, xxhash64-sampled init
+      val emb = t(s, dir, "embeddings")
+      val cbs = Quantize.pqCodebooks(emb, "vec_id", "embedding", dim = 64,
+        m = 4, k = 16, iters = 2)
+      Quantize.pqEncode(emb, "vec_id", "embedding", dim = 64, cbs)
+    }),
 
     "dedup_semantic_prod" -> ((s, dir) =>
       // xxhash64 centroid sampling (production default)
@@ -1954,6 +1981,17 @@ object SparkEntry {
 
     "cluster_kmeans" -> kmeansSql,
 
+    "emb_pq" -> pqSql,
+
+    "evt_top_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+                      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                    FROM events),
+         p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM r WHERE rn <= 5 GROUP BY user_id)
+         SELECT path, count(*) AS n_users FROM p
+         GROUP BY path ORDER BY n_users DESC, path ASC LIMIT 20""",
+
     "sim_knn_graph" ->
       s"""WITH bkt AS (SELECT vec_id, ${lcgBucketsSql("embedding")} AS bks FROM embeddings),
           tb AS (SELECT vec_id, t.t AS tb, bks[t.t + 1] AS bucket FROM bkt, range(0, 8) t(t)),
@@ -2013,6 +2051,50 @@ object SparkEntry {
         ${update("a2", "cent1", "cent2")},
         ${assign("cent2", "af")}
         SELECT vec_id, CAST(cidx AS INT) AS cluster FROM af"""
+  }
+
+  /** PQ oracle: the [[kmeansSql]] recipe applied per 16-dim slice —
+    * shared md5 sample order, integer-quantized centroid updates,
+    * 4 subspaces × (init + 2 Lloyd iterations + final assign)
+    * unrolled programmatically. */
+  private val pqSql: String = {
+    val m = 4; val sub = 16; val k = 8
+    def assign(si: Int, cent: String, out: String) =
+      s"""$out AS (SELECT vec_id, cidx FROM (
+            SELECT v.vec_id, c.cidx,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${cosSql(s"v.s$si", "c.cv")} DESC, c.cidx ASC) AS rnk
+            FROM sl v CROSS JOIN $cent c) WHERE rnk = 1)"""
+    def update(si: Int, asgn: String, prev: String, out: String) =
+      s"""u_$out AS (SELECT a.cidx, d.d AS dim,
+              CAST(sum(CAST(floor(CAST(e.s$si[d.d + 1] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS s,
+              count(*) AS n
+            FROM $asgn a JOIN sl e USING (vec_id), range(0, $sub) d(d)
+            GROUP BY 1, 2),
+          l_$out AS (SELECT cidx, list(CAST(s AS DOUBLE) / (n * 1048576) ORDER BY dim) AS cv
+                     FROM u_$out GROUP BY 1),
+          $out AS (SELECT p.cidx, COALESCE(l.cv, [CAST(x AS DOUBLE) FOR x IN p.cv]) AS cv
+                   FROM $prev p LEFT JOIN l_$out l USING (cidx))"""
+    val subspaceCtes = (0 until m).map { si =>
+      s"""cent0_$si AS (SELECT smp.cidx, sl.s$si AS cv
+                        FROM smp JOIN sl USING (vec_id) WHERE smp.cidx < $k),
+          ${assign(si, s"cent0_$si", s"a1_$si")},
+          ${update(si, s"a1_$si", s"cent0_$si", s"cent1_$si")},
+          ${assign(si, s"cent1_$si", s"a2_$si")},
+          ${update(si, s"a2_$si", s"cent1_$si", s"cent2_$si")},
+          ${assign(si, s"cent2_$si", s"af_$si")}"""
+    }.mkString(",\n")
+    val slices = (0 until m)
+      .map(si => s"embedding[${si * sub + 1}:${(si + 1) * sub}] AS s$si").mkString(", ")
+    val unions = (0 until m).map(si =>
+      s"SELECT vec_id, CAST($si AS INT) AS sub_idx, CAST(cidx AS INT) AS code FROM af_$si")
+      .mkString(" UNION ALL ")
+    s"""WITH sl AS (SELECT vec_id, $slices FROM embeddings),
+        smp AS (SELECT vec_id,
+                  row_number() OVER (ORDER BY md5('km:' || CAST(vec_id AS VARCHAR))) - 1 AS cidx
+                FROM embeddings),
+        $subspaceCtes
+        $unions"""
   }
 
   /** SQL twin of [[piiContact]]'s derived column. */

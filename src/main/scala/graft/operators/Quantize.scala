@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions
 
 /** Embedding compression for 100 TB vector corpora: per-dimension
   * affine int8 quantization (the classic scalar-quantizer shape every
@@ -53,6 +54,60 @@ object Quantize {
         .cast("int")
     })
     emb.select(col(idCol), codes.as("codes"))
+  }
+
+  /** Product-quantization codebooks: per-subspace spherical k-means —
+    * m codebooks of k centroids over the dim/m-dim vector slices
+    * (the FAISS PQ shape; with m=4, k=8 a 64-float vector compresses
+    * 256 B → 4 B at far lower distortion than one global codebook).
+    * Training runs m·iters tiny (cell,dim)-aggregates over the
+    * corpus — at 100 TB train on a hash sample and encode everything;
+    * the codebooks themselves are k·dim doubles total (driver-size by
+    * construction, like the IVF centroids). `sampleKey` = md5 in gate
+    * mode so the oracle derives the identical init (production
+    * default xxhash64). */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  m: Int = 4, k: Int = 16, iters: Int = 2, seed: Long = 42L,
+                  sampleKey: Option[Column => Column] = None): Array[Array[Double]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { si =>
+      val sliced = emb.select(col(idCol), slice(col(vecCol), si * sub + 1, sub).as("__sub"))
+      var flat = Similarity.sampleCentroids(sliced, idCol, "__sub", sub, k, seed, sampleKey)
+      (0 until iters).foreach(_ => flat = Cluster.lloydStep(sliced, "__sub", sub, k, flat))
+      flat
+    }.toArray
+  }
+
+  /** PQ-encode: ONE map-side pass — m codegen'd nearest-centroid
+    * assignments per row, each over its slice; no shuffle, no join.
+    * Output: (idCol, codes array&lt;int&gt; of length m). */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+               codebooks: Array[Array[Double]]): DataFrame = {
+    val m = codebooks.length
+    val sub = dim / m
+    val k = codebooks(0).length / sub
+    val codes = (0 until m).map { si =>
+      element_at(VectorExpressions.nearestCentroids(
+        slice(col(vecCol), si * sub + 1, sub), codebooks(si), sub, k, 1), 1).cast("int")
+    }
+    emb.select(col(idCol), array(codes: _*).as("codes"))
+  }
+
+  /** PQ-decode: concatenate each code's centroid back into a dim-long
+    * vector (query-time reconstruction / asymmetric-distance tables).
+    * Output: (idCol, vec array&lt;double&gt;). */
+  def pqDecode(encoded: DataFrame, idCol: String, codesCol: String,
+               codebooks: Array[Array[Double]], dim: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = dim / m
+    val parts = codebooks.zipWithIndex.map { case (cb, si) =>
+      val cbArr = array(cb.map(lit): _*)
+      val code = element_at(col(codesCol), si + 1)
+      transform(sequence(lit(0), lit(sub - 1)),
+        d => element_at(cbArr, code * sub + d + 1))
+    }
+    encoded.select(col(idCol), concat(parts: _*).as("vec"))
   }
 
   /** Decode codes back to bucket midpoints — the query-time side of

@@ -200,6 +200,32 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Top-k user journeys: each user's first `pathLen` event types
+    * ((ts, id)-ordered), concatenated into a path, counted corpus-wide,
+    * top k paths returned — the product-analytics "common flows" view.
+    *
+    * Scale shape: ONE window partitioned by user (row_number + filter
+    * rn ≤ pathLen — each user's slice sorts independently), the
+    * per-user path built by sorting ≤pathLen structs inside the group
+    * aggregate (the dedup_lines reconstruction pattern), then a
+    * path-keyed partial-agg count; the global top-k is a limit (Spark
+    * executes it as partial top-k + single reduce, never a full sort).
+    * Output: (path, n_users), ranked (n_users desc, path asc). */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+               idCol: String, pathLen: Int = 5, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val firstN = events.select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= pathLen)
+    val paths = firstN.groupBy(col(userCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__rn").as("r"), col(typeCol).as("t")))),
+        e => e.getField("t")), ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Conversion-lag histogram: time from each user's FIRST `fromType`
     * event to their first `toType` event strictly after it, bucketed
     * by `bucketSeconds`. All arithmetic is integer epoch-microseconds

@@ -38,4 +38,28 @@ class QuantizeSpec extends SparkSpec {
       assert(column.min == 0 && column.max == 255, s"dim $d")
     }
   }
+
+  test("pq with m=1 subspace reproduces the global kmeans assignment") {
+    import graft.operators.Cluster
+    val cbs = Quantize.pqCodebooks(vecs, "vec_id", "embedding", dim, m = 1, k = 4, iters = 2)
+    val pq = Quantize.pqEncode(vecs, "vec_id", "embedding", dim, cbs)
+      .collect().map(r => r.getLong(0) -> r.getAs[collection.Seq[Int]]("codes").head).toMap
+    val km = Cluster.kmeans(vecs, "vec_id", "embedding", dim, k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(pq == km)
+  }
+
+  test("pqEncode: m codes in range, deterministic, decode has the codebook dim") {
+    val cbs = Quantize.pqCodebooks(vecs, "vec_id", "embedding", dim, m = 2, k = 4, iters = 1)
+    assert(cbs.length == 2 && cbs.forall(_.length == 4 * dim / 2))
+    def run(p: Int) = Quantize.pqEncode(vecs.repartition(p), "vec_id", "embedding", dim, cbs)
+      .collect().map(r => r.getLong(0) -> r.getAs[collection.Seq[Int]]("codes").toList).toMap
+    val out = run(1)
+    assert(run(5) == out)
+    assert(out.values.forall(cs => cs.length == 2 && cs.forall(c => c >= 0 && c < 4)))
+    val enc = Quantize.pqEncode(vecs, "vec_id", "embedding", dim, cbs)
+    val dec = Quantize.pqDecode(enc, "vec_id", "codes", cbs, dim)
+      .collect().map(_.getAs[collection.Seq[Double]]("vec"))
+    assert(dec.forall(_.length == dim))
+  }
 }

@@ -177,6 +177,18 @@ class TimeSeriesSpec extends SparkSpec {
     assert(run(5) == out)
   }
 
+  test("topPaths: first-N path per user, counted and ranked") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"), (1L, ts("2024-01-01 10:01:00"), 2L, "b"),
+      (2L, ts("2024-01-01 10:00:00"), 3L, "a"), (2L, ts("2024-01-01 10:05:00"), 4L, "b"),
+      (2L, ts("2024-01-01 10:06:00"), 5L, "c"), // beyond pathLen=2 -> truncated
+      (3L, ts("2024-01-01 10:00:00"), 6L, "b"),
+    ).toDF("user_id", "t", "event_id", "etype")
+    val out = TimeSeries.topPaths(events, "user_id", "t", "etype", "event_id",
+      pathLen = 2, k = 10).collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(out.toSeq == Seq("a>b" -> 2L, "b" -> 1L)) // ranked count desc
+  }
+
   test("conversionLag buckets first-from to first-to latency, strict order") {
     val events = Seq(
       // user 1: view 10:00, purchases 09:00 (before -> ignored) and 11:30 -> lag 90min, bucket 1
