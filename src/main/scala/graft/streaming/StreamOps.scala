@@ -201,6 +201,68 @@ object StreamOps {
           .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
       }
 
+  /** Streaming trending top-k: watermarked tumbling-window counts per
+    * key, maintained as a per-window top-k table as each micro-batch
+    * lands. Streaming allows one aggregation per query, so the rank
+    * runs INSIDE the sink (foreachBatch). Update mode emits only the
+    * CHANGED (window, key) rows — ranking the batch alone would drop
+    * a window's unchanged keys from its top-k — so the sink keeps a
+    * counts store partitioned by window: merge = stored rows of the
+    * touched windows anti-joined on the changed keys, union the batch
+    * (its values ARE the current totals), localCheckpoint to sever
+    * lineage from the files about to be overwritten (the incremental-
+    * dedup pattern), dynamic-overwrite ONLY the touched window
+    * partitions of both the store and the ranked output. Epoch replay
+    * re-merges the same totals — idempotent, the exactly-once shape.
+    *
+    * Scale: streaming state = |windows in watermark| × |active keys|
+    * longs (watermark-evicted); each epoch touches only the changed
+    * windows' partitions, and TopKAggregate feeds ≤k rows per window
+    * per map task into the rank. */
+  def trendingTopK(events: DataFrame, tsCol: String, keyCol: String,
+                   widthMinutes: Int, watermarkMinutes: Int, k: Int,
+                   path: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val counts = events
+      .withWatermark(tsCol, s"$watermarkMinutes minutes")
+      .groupBy(window(col(tsCol), s"$widthMinutes minutes"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+    val countsPath = s"$path/__counts"
+    val rankedPath = s"$path/ranked"
+    counts.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val cur = batch
+          .select(col("window.start").as("window_start"), col(keyCol), col("n_events"))
+          .localCheckpoint(true)
+        if (!cur.isEmpty) {
+          val touched = cur.select("window_start").distinct()
+          val existing =
+            try spark.read.parquet(countsPath)
+              .join(touched, Seq("window_start"), "left_semi")
+            catch { case _: org.apache.spark.sql.AnalysisException => cur.limit(0) }
+          val merged = existing.join(cur, Seq("window_start", keyCol), "left_anti")
+            .unionByName(cur)
+            .localCheckpoint(true)
+          val dyn = Map("partitionOverwriteMode" -> "dynamic")
+          merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).options(dyn)
+            .partitionBy("window_start").parquet(countsPath)
+          merged
+            .groupBy(col("window_start"))
+            .agg(graft.functions.TopKAggregate.topK(
+              col("n_events").cast("double"), col(keyCol).cast("long"), k).as("__top"))
+            .select(col("window_start"), posexplode(col("__top")).as(Seq("__r", "__e")))
+            .select(col("window_start"), col("__e.id").as(keyCol),
+              col("__e.score").cast("long").as("n_events"),
+              (col("__r") + 1).cast("int").as("rank"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).options(dyn)
+            .partitionBy("window_start").parquet(rankedPath)
+        }
+        ()
+      }
+  }
+
   /** Drain a stream synchronously into an in-memory table and return
     * the batch result — test/verify harness helper. */
   def runToMemory(df: DataFrame, queryName: String, outputMode: String = "update"): DataFrame = {

@@ -116,6 +116,42 @@ class StreamingSpec extends SparkSpec {
     assert(written.length == written.distinct.length, "duplicate pair rows in sink output")
   }
 
+  test("trendingTopK maintains per-window top-k equal to the batch ranking") {
+    val events = Tables.events(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_trend").toString
+    // several files -> several micro-batches, so late epochs must MERGE
+    // with stored counts (the update-mode partial-emission path).
+    // repartition spreads the whole time range across every file, so
+    // the watermark must exceed the corpus span or later epochs'
+    // "late" rows are (correctly) dropped and can't match the batch
+    events.orderBy("ts").repartition(5).write.parquet(s"$base/events")
+    val stream = StreamOps.parquetStream(spark, s"$base/events", events.schema,
+      maxFilesPerTrigger = 1)
+    val q = StreamOps.trendingTopK(stream, "ts", "user_id",
+      widthMinutes = 360, watermarkMinutes = 100000, k = 5,
+      path = s"$base/out", checkpoint = s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(s"$base/out/ranked")
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("window_start").getTime,
+        r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Int]("rank"))).toSet
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start").orderBy(col("n_events").desc, col("user_id").asc)
+    val batch = events
+      .groupBy(window(col("ts"), "360 minutes").getField("start").as("window_start"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("window_start").getTime,
+        r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Int]("rank"))).toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"streamed-only=${streamed -- batch}, batch-only=${batch -- streamed}")
+  }
+
   test("streaming windowed agg over file source matches the batch result") {
     val events = Tables.events(spark, sfDir)
     // stage the events as a small directory of parquet files (a replayable stream)

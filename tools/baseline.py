@@ -13,6 +13,10 @@ HEADLINE = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
     "q7_nation_trade", "q9_nation_profit", "q10_returned_items",
     "q_window_topn", "q_rollup",
+    # r6 TPC-H breadth (semi/anti/disjunctive/scalar-subquery shapes)
+    "q4_order_priority", "q6_forecast_revenue", "q15_top_supplier",
+    "q18_large_orders", "q19_disjunctive", "q22_dormant_customers",
+    "q_window_analytics",
 ]
 
 # Pipeline ops where the oracle SQL is the NATURAL DuckDB formulation
@@ -34,6 +38,16 @@ PIPELINE = [
     # cross join), not how one would write SemDeDup in DuckDB.
     "text_pii", "sample_stratified", "corpus_mix", "dedup_spans",
     "text_unigram", "evt_funnel", "evt_retention",
+    # r6 continuation, natural single-node formulations: window lead /
+    # epoch math / string_agg paths, regex+list text scans, bigram
+    # unnest, hash-rank windows, unnest+groupby quantization stats.
+    # Excluded as gate reconstructions: emb_pq (4 unrolled kmeans
+    # chains), sim_recall_eval (LSH rebuild), dedup_containment (same
+    # family as the excluded ngram_jaccard rebuild).
+    "evt_paths", "evt_conversion_lag", "evt_top_paths", "evt_anomaly",
+    "text_dsir", "text_lexical", "text_collocations", "corpus_stats",
+    "sample_topk_per_group", "shuffle_shard", "emb_quantize",
+    "chunk_tokens", "pack_sequences", "text_search_tf",
 ]
 
 sf_dir, oracle_path = sys.argv[1], sys.argv[2]
