@@ -1045,6 +1045,23 @@ object SparkEntry {
       Quantize.pqEncode(emb, "vec_id", "embedding", dim = 64, cbs)
     }),
 
+    "sim_ivfpq_prod" -> ((s, dir) => {
+      // the memory-bounded ANN composition: IVF probe over PQ codes +
+      // exact rescore of the 20-deep shortlist
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 1000 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", "qid", "qvec",
+        k = 5, dim = 64, nCentroids = 16, nProbe = 4, m = 4, codes = 16,
+        rescore = 20)
+    }),
+
+    "pipeline_prepare_prod" -> ((s, dir) =>
+      // the one-call end-to-end corpus prep (quality -> scrub -> exact
+      // dedup -> near-dup components -> shuffle/shard)
+      Pipeline.prepareCorpus(t(s, dir, "documents"), "doc_id", "text",
+        nShards = 8)),
+
     "dedup_semantic_prod" -> ((s, dir) =>
       // xxhash64 centroid sampling (production default)
       Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,

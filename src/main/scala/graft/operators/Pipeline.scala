@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{TextExpressions => X, TextFunctions => T}
+import graft.functions.{PiiFunctions => P, TextExpressions => X, TextFunctions => T}
 
 /** Corpus-preparation operators a training-data pipeline needs beyond
   * dedup/similarity: benchmark-contamination checks, deterministic
@@ -344,6 +344,50 @@ object Pipeline {
       .select(col(idCol), col("n_lines"), col("n_dup_lines"),
         round(col("n_dup_lines").cast("double") / col("n_lines"), 6).as("dup_ratio"),
         col("clean_text"))
+  }
+
+  /** End-to-end corpus preparation — the one-call pipeline from raw
+    * documents to a training-ready export, composing the
+    * already-specced operators in the order a production run uses:
+    *  1. quality gate — token-count range, stopword floor, repetition
+    *     ceiling (the Gopher-style conjunction of text_quality_filter),
+    *  2. PII scrub — class tokens substituted in place,
+    *  3. exact dedup — one representative (min id) per normalized
+    *     fingerprint,
+    *  4. near-dup removal — simhash pairs → connected components →
+    *     keep the min-id member,
+    *  5. deterministic shuffle+shard export layout.
+    * Returns (idCol, textCol [scrubbed], shard, pos) of survivors.
+    *
+    * Scale notes: stages 1–2 are pure map work fused into the scan
+    * projection (the quality predicates drop most of a raw crawl
+    * before anything shuffles); stage 3 shuffles (fingerprint, id,
+    * text-after-scrub) once; stage 4 is the bucketed simhash shape
+    * (signatures, never text, in its exchanges); stage 5 adds one
+    * window partitioned by shard. */
+  def prepareCorpus(docs: DataFrame, idCol: String, textCol: String,
+                    nShards: Int = 16,
+                    minTokens: Int = 20, maxTokens: Int = 1000,
+                    minStopwordRatio: Double = 0.05, maxRepetition: Double = 0.2,
+                    maxHamming: Int = 3): DataFrame = {
+    val q = T.qualityStruct(col(textCol))
+    val cleaned = docs
+      .filter(q.getField("n_tokens").between(minTokens, maxTokens) &&
+        q.getField("stopword_ratio") >= minStopwordRatio &&
+        T.repetitionRatio(col(textCol), 3) < maxRepetition)
+      .withColumn(textCol, P.scrub(col(textCol)))
+    val wFp = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    val exact = cleaned
+      .withColumn("__fp", md5(T.normText(col(textCol))))
+      .withColumn("__rn", row_number().over(wFp))
+      .filter(col("__rn") === 1).drop("__fp", "__rn")
+    val pairs = Dedup.simhashPairs(exact, idCol, textCol, maxHamming = maxHamming)
+    val keepIds = Dedup.dedupeKeepList(exact, pairs, idCol)
+      .filter(col("keep")).select(col("id").as(idCol))
+    val kept = exact.join(keepIds, idCol)
+    shuffleShard(kept.select(col(idCol)), idCol, nShards, hashed = true)
+      .join(kept.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol), col(textCol), col("shard"), col("pos"))
   }
 
   /** Deterministic k-per-stratum sample — the "give me k docs per

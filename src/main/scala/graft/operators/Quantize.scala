@@ -94,11 +94,13 @@ object Quantize {
     emb.select(col(idCol), array(codes: _*).as("codes"))
   }
 
-  /** PQ-decode: concatenate each code's centroid back into a dim-long
-    * vector (query-time reconstruction / asymmetric-distance tables).
-    * Output: (idCol, vec array&lt;double&gt;). */
-  def pqDecode(encoded: DataFrame, idCol: String, codesCol: String,
-               codebooks: Array[Array[Double]], dim: Int): DataFrame = {
+  /** Add a `__dec` column decoding `codesCol` in place (all other
+    * columns kept): each code's centroid concatenated back into a
+    * dim-long vector, with the codebooks inlined as literals — a pure
+    * map-side transform, no lookup join. The approximate-scoring path
+    * of [[Similarity.ivfPqTopK]]. */
+  def pqDecodeCol(df: DataFrame, codesCol: String,
+                  codebooks: Array[Array[Double]], dim: Int): DataFrame = {
     val m = codebooks.length
     val sub = dim / m
     val parts = codebooks.zipWithIndex.map { case (cb, si) =>
@@ -107,8 +109,15 @@ object Quantize {
       transform(sequence(lit(0), lit(sub - 1)),
         d => element_at(cbArr, code * sub + d + 1))
     }
-    encoded.select(col(idCol), concat(parts: _*).as("vec"))
+    df.withColumn("__dec", concat(parts: _*))
   }
+
+  /** PQ-decode: (idCol, vec array&lt;double&gt;) reconstruction view of an
+    * encoded relation. */
+  def pqDecode(encoded: DataFrame, idCol: String, codesCol: String,
+               codebooks: Array[Array[Double]], dim: Int): DataFrame =
+    pqDecodeCol(encoded, codesCol, codebooks, dim)
+      .select(col(idCol), col("__dec").as("vec"))
 
   /** Decode codes back to bucket midpoints — the query-time side of
     * SQ8 (|v − decode(encode(v))| ≤ bucketWidth, with the mass of

@@ -197,6 +197,51 @@ object Similarity {
     rankTopK(scored, idCol, qidCol, k)
   }
 
+  /** IVF+PQ ANN — the memory-bounded composition every large vector
+    * store runs: the index holds only (id, cell, m PQ codes) — ~5 B/
+    * vector instead of 4·dim — so a 100 TB float corpus compresses to
+    * an index that fits cluster memory. Query = IVF probe (broadcast
+    * equi-join on cell) → approximate scoring against the PQ-DECODED
+    * candidate vectors (a map-side transform with the codebooks
+    * inlined as literals — no lookup join) → top-`rescore` candidates
+    * fetched by id from the full-precision corpus (the only touch of
+    * the raw vectors, |queries|·rescore rows) → exact top-k.
+    *
+    * Recall loss comes only from quantization distortion inside the
+    * probed cells; `rescore ≥ 4·k` recovers most of it (spec measures
+    * recall vs [[bruteForceTopK]] on clustered data). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, qidCol: String, qvecCol: String,
+                k: Int, dim: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                m: Int = 4, codes: Int = 16, rescore: Int = 20,
+                seed: Long = 42L,
+                sampleKey: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None): DataFrame = {
+    val flat = sampleCentroids(corpus, idCol, vecCol, dim, nCentroids, seed, sampleKey)
+    val c = flat.length / dim
+    val cbs = Quantize.pqCodebooks(corpus, idCol, vecCol, dim, m, codes,
+      iters = 2, seed = seed, sampleKey = sampleKey)
+    // the compressed index relation: (id, cell, codes)
+    val index = Quantize.pqEncode(corpus, idCol, vecCol, dim, cbs)
+      .join(corpus.select(col(idCol),
+        element_at(VectorExpressions.nearestCentroids(col(vecCol), flat, dim, c, 1), 1)
+          .as("__cell")), idCol)
+    val qb = broadcast(queries.select(col(qidCol), col(qvecCol),
+      explode(VectorExpressions.nearestCentroids(col(qvecCol), flat, dim, c, nProbe))
+        .as("__cell")))
+    val approx = Quantize.pqDecodeCol(index.join(qb, "__cell"), "codes", cbs, dim)
+      .select(col(qidCol), col(idCol),
+        V.cosineRounded(col("__dec"), col(qvecCol)).as("score"))
+    val shortlist = rankTopK(approx, idCol, qidCol, rescore)
+      .select(col(qidCol), col(idCol))
+    // exact rescore: fetch full-precision vectors ONLY for the shortlist
+    val exact = shortlist
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), qidCol)
+      .select(col(qidCol), col(idCol),
+        V.cosineRounded(col(vecCol), col(qvecCol)).as("score"))
+    rankTopK(exact, idCol, qidCol, k)
+  }
+
   /** ANN quality evaluation: per-query recall@k of an approximate
     * top-k result against the exact (brute-force) top-k — the metric
     * that decides whether an LSH/IVF parameterization is usable

@@ -96,15 +96,27 @@ final case class CsvSource(path: String,
                            nullValue: String = "",
                            schema: Option[StructType] = None,
                            inferSchema: Boolean = false,
-                           inferrer: Option[SchemaInferrer] = None) extends Source {
+                           inferrer: Option[SchemaInferrer] = None,
+                           // malformed-row policy (eel's CsvSource skips or
+                           // throws per row; Spark's three modes subsume that):
+                           // PERMISSIVE nulls bad fields (+ captures the raw
+                           // line in corruptColumn when set), DROPMALFORMED
+                           // skips, FAILFAST throws
+                           mode: String = "PERMISSIVE",
+                           corruptColumn: Option[String] = None) extends Source {
   def read(spark: SparkSession): DataFrame = {
     var r = spark.read
       .option("header", header.toString)
       .option("sep", delimiter)
       .option("nullValue", nullValue)
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .option("mode", mode)
+    corruptColumn.foreach(c => r = r.option("columnNameOfCorruptRecord", c))
     val resolved = schema.orElse(
       inferrer.map(inf => SchemaInferrer.schemaFor(spark, inf, path, delimiter)))
+      // the corrupt-record column must exist in the read schema
+      .map(s => corruptColumn.filterNot(s.fieldNames.contains)
+        .map(c => s.add(c, org.apache.spark.sql.types.StringType)).getOrElse(s))
     resolved.foreach(s => r = r.schema(s))
     if (resolved.isEmpty && inferSchema) r = r.option("inferSchema", "true")
     r.csv(path)

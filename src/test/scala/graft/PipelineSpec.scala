@@ -288,6 +288,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("prepareCorpus: each stage drops its target; survivors scrubbed + sharded") {
+    val good = "the quick brown fox jumps over the lazy dog while the " +
+      "keen red hen walks under the tall green tree near the old stone wall today"
+    val docs = Seq(
+      (1L, good + " contact bob@example.com now"),  // kept (email scrubbed)
+      (2L, good + " contact bob@example.com now"),  // exact dup of 1 -> dropped
+      (3L, good + " contact bob@example.com soon"), // one-token near-dup -> dropped
+      (4L, "too short"),                           // quality: < 20 tokens
+      (5L, Seq.fill(30)("spam").mkString(" ")),    // repetition + stopword floor
+      (6L, "the bright blue boat drifts down the wide calm river past the " +
+        "small white house and the long low bridge near the quiet busy harbor"),
+    ).toDF("doc_id", "text")
+    def run(p: Int) = Pipeline.prepareCorpus(docs.repartition(p), "doc_id", "text",
+      nShards = 2, maxHamming = 20)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val out = run(1)
+    assert(out.map(_._1).toSet == Set(1L, 6L), s"survivors=${out.map(_._1).toSet}")
+    val kept1 = out.find(_._1 == 1L).get._2
+    assert(!kept1.contains("bob@example.com") && kept1.contains("[EMAIL]"))
+    assert(run(5).toSet == out.toSet) // deterministic layout
+  }
+
   test("topKPerGroup: exactly k per stratum (or all, if smaller), partition-invariant") {
     val docs = (1L to 100L).map(i => (s"g${i % 3}", i)).toDF("grp", "id")
       .unionByName(Seq(("tiny", 999L)).toDF("grp", "id")) // stratum smaller than k

@@ -194,6 +194,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: exact rescore recovers brute-force top-k on clustered data") {
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    // 8 well-separated cluster anchors, 40 vectors each (small jitter)
+    val anchors = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val corpus = (0 until 320).map { i =>
+      val a = anchors(i % 8)
+      (i.toLong, a.map(v => (v + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val approx = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 5, dim = dim, nCentroids = 8, nProbe = 3,
+      m = 4, codes = 8, rescore = 40)
+    val truth = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 5)
+    val rec = Similarity.recallAtK(approx, truth, "qid", "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rec.size == 4)
+    // clusters are tight and well separated: probing 3/8 cells with a
+    // 40-deep exact rescore must recover the full exact top-5
+    assert(rec.values.forall(_ == 1.0), s"recall=$rec")
+    // scores of surviving rows are the EXACT cosines (rescore pass)
+    val a1 = approx.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val t1 = truth.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    a1.foreach { case (k2, s) => assert(t1.get(k2).forall(_ == s)) }
+  }
+
   test("recallAtK: exact hit counts and rounded recall per query") {
     val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (2L, 22L))
       .toDF("qid", "vec_id")

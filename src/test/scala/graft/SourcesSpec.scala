@@ -144,4 +144,28 @@ class SourcesSpec extends SparkSpec {
     ParquetSink(p, mode = SaveMode.Append).write(sample)
     assert(ParquetSource(p).read(spark).count == 6)
   }
+
+  test("csv malformed-row modes: permissive captures, dropmalformed skips, failfast throws") {
+    import org.apache.spark.sql.types._
+    val p = tmp("badcsv") + "/rows.csv"
+    new java.io.File(p).getParentFile.mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      "id,n\n1,10\nnot-a-number,oops\n3,30\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("n", LongType)))
+    // PERMISSIVE + corrupt column: bad row kept, fields nulled, raw line captured
+    val perm = CsvSource(p, schema = Some(schema),
+      corruptColumn = Some("_bad")).read(spark).collect()
+    assert(perm.length == 3)
+    val bad = perm.filter(r => !r.isNullAt(2))
+    assert(bad.length == 1 && bad.head.getString(2) == "not-a-number,oops"
+      && bad.head.isNullAt(0))
+    // DROPMALFORMED: bad row gone
+    val dropped = CsvSource(p, schema = Some(schema), mode = "DROPMALFORMED").read(spark)
+    assert(dropped.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // FAILFAST: reading throws on the bad row
+    intercept[org.apache.spark.SparkException] {
+      CsvSource(p, schema = Some(schema), mode = "FAILFAST").read(spark).collect()
+    }
+  }
 }
