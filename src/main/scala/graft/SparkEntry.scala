@@ -424,6 +424,19 @@ object SparkEntry {
           (col("p_brand") === "Brand#7" && col("p_size").between(10, 40) && col("l_quantity").between(20, 35)))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))),
 
+    "ds_pivot" -> ((s, dir) =>
+      // eel grouped pivot → Spark pivot with an EXPLICIT value list
+      // (static output schema, no distinct-values pre-job at scale);
+      // counts coalesced to 0 so empty combos match the CASE oracle
+      Gds(t(s, dir, "orders"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .pivotOn("o_orderstatus", Seq("F", "O", "P")).toDF
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).cast("long").as("f_cnt"),
+          coalesce(col("O"), lit(0L)).cast("long").as("o_cnt"),
+          coalesce(col("P"), lit(0L)).cast("long").as("p_cnt"))),
+
     "q_window_analytics" -> ((s, dir) => {
       // window-function breadth on one relation: sequence windows
       // (lag/lead/ntile over order date) + value windows (percent_rank/
@@ -462,6 +475,100 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
     }),
 
+    "q8_market_share" -> ((s, dir) => {
+      // TPC-H Q8 adaptation (no partsupp): of the ECONOMY-part revenue
+      // bought by ASIA customers, the share supplied by NATION_12's
+      // suppliers, per order year. Dims (nation/region) are fixed-25/5-
+      // row relations → broadcast; part/customer/supplier scale with
+      // the corpus → AQE decides. The region filter prunes the customer
+      // side to 1/5 BEFORE the fact join. Share = exact decimal sums
+      // cast to double at the end (num/den each order-free), round 6dp.
+      val asiaNations = broadcast(t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk")))
+      val suppNation = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val econParts = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      t(s, dir, "lineitem")
+        .join(econParts, col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").join(asiaNations, col("c_nationkey") === col("c_nk")),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier").join(suppNation, col("s_nationkey") === col("s_nk")),
+          col("l_suppkey") === col("s_suppkey"))
+        .withColumn("vol", (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 6)))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(when(col("supp_nation") === "NATION_12", col("vol")).otherwise(lit(0).cast(DecimalType(18, 6)))).cast("double")
+          / sum(col("vol")).cast("double"), 6).as("mkt_share"))
+    }),
+
+    "q12_ship_delay" -> ((s, dir) =>
+      // TPC-H Q12 adaptation (corpus has no l_shipmode/commitdate):
+      // service-level buckets on ship delay (shipdate − orderdate),
+      // counting urgent-priority vs other lines per bucket. One
+      // fact-fact hash join on the order key, then a map-side CASE
+      // classification — no second shuffle (counts are partial-agg'd).
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("delay_d", datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")))
+        .withColumn("bucket",
+          when(col("delay_d") < 0, "early")
+            .when(col("delay_d") <= 60, "normal")
+            .otherwise("late"))
+        .groupBy(col("bucket"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L)).as("low_line_count"))),
+
+    "q13_cust_distribution" -> ((s, dir) =>
+      // TPC-H Q13: customer order-count distribution. LEFT OUTER join
+      // (zero-order customers must appear with c_count = 0), double
+      // aggregation; the priority filter stands in for the comment
+      // NOT-LIKE of the original. Both groupBys are partial-agg'd;
+      // the second input is one row per customer.
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))),
+
+    "q14_promo_revenue" -> ((s, dir) =>
+      // TPC-H Q14: promo-part revenue share for one ship month. The
+      // date range reaches the lineitem scan as PushedFilters; part is
+      // projected to (key, type) only. Numerator/denominator are exact
+      // decimal sums (order-free) → double division → round 6dp.
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01") && col("l_shipdate") < lit("1997-10-01"))
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("vol", (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 6)))
+        .agg(round(lit(100) * sum(when(col("p_type") === "PROMO", col("vol")).otherwise(lit(0).cast(DecimalType(18, 6)))).cast("double")
+          / sum(col("vol")).cast("double"), 6).as("promo_revenue"))),
+
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      // TPC-H Q17 adaptation: revenue lost to small-quantity orders of
+      // Brand#3 small parts. The per-part average test is EXACT
+      // integer arithmetic on both engines (5·qty·cnt < sum over long
+      // quantities — no float threshold to flake). The part filter
+      // prunes lineitem first; the per-part stats relation is tiny
+      // (one row per qualifying part) → AQE broadcasts the rejoin.
+      val pt = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#3" && col("p_size") < 15)
+        .select(col("p_partkey"))
+      val li = t(s, dir, "lineitem")
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"), col("l_extendedprice"))
+      val stats = li.groupBy(col("l_partkey").as("sp_key"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+      li.join(stats, col("l_partkey") === col("sp_key"))
+        .filter(col("qty") * lit(5L) * col("cnt") < col("sum_qty"))
+        .agg(round(sum(col("l_extendedprice").cast(DecimalType(18, 6))).cast("double") / 7.0, 2).as("avg_yearly"))
+    }),
+
     // ---- §2.6 events / time-series ------------------------------------
     "evt_window_agg" -> ((s, dir) =>
       TimeSeries.tumblingAgg(t(s, dir, "events"), "ts", 60, Seq("event_type"))),
@@ -469,6 +576,14 @@ object SparkEntry {
     "evt_sessionize" -> ((s, dir) =>
       TimeSeries.sessionize(t(s, dir, "events"), "user_id", "ts", 30)
         .select(col("event_id"), col("user_id"), col("ts"), col("session_seq"))),
+
+    "evt_session_stats" -> ((s, dir) =>
+      // session-level rollup of the sessionize relation: event count +
+      // integer-µs duration per (user, session) — the engagement view
+      TimeSeries.sessionize(t(s, dir, "events"), "user_id", "ts", 30)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"))),
 
     "evt_asof_join" -> ((s, dir) => {
       val clicks = t(s, dir, "events").filter(col("event_type") === "click")
@@ -1186,6 +1301,18 @@ object SparkEntry {
           FROM scored WHERE NOT isnan(score))
     WHERE rnk <= 5"""
 
+  /** Gap sessionization (30 min) — shared by evt_sessionize and (as
+    * the session relation) evt_session_stats. */
+  private val sessionizeSql =
+    """SELECT event_id, user_id, ts,
+              CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+       FROM (SELECT event_id, user_id, ts,
+                    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                         THEN 1 ELSE 0 END AS is_new
+             FROM events)"""
+
   /** Exact brute-force top-5 — shared by sim_bruteforce_topk and (as
     * the ground-truth side) sim_recall_eval. */
   private val bruteTopkSql =
@@ -1541,21 +1668,80 @@ object SparkEntry {
                              AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
          GROUP BY c_nationkey""",
 
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                round(CAST(sum(CASE WHEN sn.n_name = 'NATION_12'
+                                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                      / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         GROUP BY 1""",
+
+    "q12_ship_delay" ->
+      """SELECT CASE WHEN delay_d < 0 THEN 'early'
+                     WHEN delay_d <= 60 THEN 'normal'
+                     ELSE 'late' END AS bucket,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM (SELECT o_orderpriority,
+                      datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS delay_d
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         GROUP BY 1""",
+
+    "q13_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT OUTER JOIN orders
+                 ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+               GROUP BY c_custkey)
+         GROUP BY c_count""",
+
+    "q14_promo_revenue" ->
+      """SELECT round(100 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                      / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'""",
+
+    "q17_small_qty_revenue" ->
+      """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+                     FROM lineitem JOIN part ON l_partkey = p_partkey
+                     WHERE p_brand = 'Brand#3' AND p_size < 15),
+            st AS (SELECT l_partkey AS sp_key, sum(qty) AS sum_qty, count(*) AS cnt
+                   FROM li GROUP BY 1)
+         SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+         FROM li JOIN st ON l_partkey = sp_key
+         WHERE qty * 5 * cnt < sum_qty""",
+
     "evt_window_agg" ->
       """SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start, event_type,
                 count(*) AS n_events,
                 CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
 
-    "evt_sessionize" ->
-      """SELECT event_id, user_id, ts,
-                CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-         FROM (SELECT event_id, user_id, ts,
-                      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
-                           THEN 1 ELSE 0 END AS is_new
-               FROM events)""",
+    "evt_sessionize" -> sessionizeSql,
+
+    "evt_session_stats" ->
+      s"""WITH sess AS ($sessionizeSql)
+          SELECT user_id, session_seq, count(*) AS n_events,
+                 CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us
+          FROM sess GROUP BY 1, 2""",
+
+    "ds_pivot" ->
+      """SELECT o_orderpriority,
+                CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS f_cnt,
+                CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS o_cnt,
+                CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS p_cnt
+         FROM orders GROUP BY o_orderpriority""",
 
     "evt_asof_join" ->
       """SELECT c.event_id, c.user_id, c.ts, round(v.view_value, 2) AS view_value

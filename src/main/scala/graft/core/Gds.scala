@@ -176,6 +176,20 @@ final case class Gds(df: DataFrame) {
     val rhs = if (broadcastOther) broadcast(other.df) else other.df
     Gds(df.join(rhs, Seq(key)))
   }
+  /** Keep rows WITH a match in `other` — the EXISTS shape. The probe
+    * side contributes only its join key to the exchange and each left
+    * row emits at most once (no row multiplication on duplicate keys,
+    * unlike an inner join + distinct). */
+  def semiJoin(key: String, other: Gds): Gds =
+    Gds(df.join(other.df, Seq(key), "left_semi"))
+  /** Keep rows WITHOUT a match in `other` — the NOT EXISTS shape. */
+  def antiJoin(key: String, other: Gds): Gds =
+    Gds(df.join(other.df, Seq(key), "left_anti"))
+  /** Left outer join (unmatched right-side fields null-filled). */
+  def leftJoin(key: String, other: Gds, broadcastOther: Boolean = false): Gds = {
+    val rhs = if (broadcastOther) broadcast(other.df) else other.df
+    Gds(df.join(rhs, Seq(key), "left_outer"))
+  }
   /** eel `concat` (DataStream.scala:380) zips two streams positionally.
     * Distributed form: global ordinals from range-partition + in-
     * partition sort + `zipWithIndex` (one small count job for partition

@@ -195,4 +195,15 @@ import graft.sources.Predicates._
     assert(x.count == y.count)
     x.toDF.unpersist()
   }
+
+  test("semiJoin/antiJoin/leftJoin variants") {
+    val left = Gds(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    // duplicate key on the right: semi must NOT multiply row 1
+    val right = Gds(Seq((1L, "x"), (1L, "y"), (3L, "z")).toDF("k", "w"))
+    assert(left.semiJoin("k", right).toDF.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    assert(left.antiJoin("k", right).toDF.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val lj = left.leftJoin("k", right).toDF
+    assert(lj.count == 4) // 1 matches twice, 2 null-filled, 3 once
+    assert(lj.filter(col("k") === 2L).head.isNullAt(2))
+  }
 }
