@@ -992,6 +992,22 @@ object SparkEntry {
       TimeSeries.topPaths(t(s, dir, "events"), "user_id", "ts",
         "event_type", "event_id", pathLen = 5, k = 20)),
 
+    "evt_dau_rolling" -> ((s, dir) =>
+      // daily actives + trailing-7-day actives via bounded fan-out of
+      // the distinct (user, day) relation — no distinct-over-window,
+      // no day² self-join
+      TimeSeries.rollingActive(t(s, dir, "events"), "user_id", "ts", windowDays = 7)),
+
+    "evt_churn" -> ((s, dir) =>
+      // week-over-week churn: distinct (user, period) anti-joined
+      // against its own next-period shift (integer epoch-µs periods)
+      TimeSeries.churn(t(s, dir, "events"), "user_id", "ts", periodDays = 7)),
+
+    "bpe_pairs" -> ((s, dir) =>
+      // BPE merge-candidate counts: char pairs over the DISTINCT vocab
+      // weighted by word frequency (per-word work once, not per token)
+      Pipeline.bpePairs(t(s, dir, "documents"), "text", topK = 50)),
+
     // ---- §2.14 line dedup / clustering / kNN graph / search (r6) ------
     "dedup_lines" -> ((s, dir) =>
       // RefinedWeb-style line-level boilerplate dedup over the
@@ -2194,6 +2210,35 @@ object SparkEntry {
                FROM r WHERE rn <= 5 GROUP BY user_id)
          SELECT path, count(*) AS n_users FROM p
          GROUP BY path ORDER BY n_users DESC, path ASC LIMIT 20""",
+
+    "evt_dau_rolling" ->
+      """WITH daily AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+         dau AS (SELECT d AS day, count(*) AS dau FROM daily GROUP BY 1),
+         w AS (SELECT DISTINCT u, d + CAST(i AS INT) AS day
+               FROM (SELECT u, d, unnest(range(0, 7)) AS i FROM daily)),
+         wau AS (SELECT day, count(*) AS wau FROM w GROUP BY 1)
+         SELECT a.day AS day, a.dau, b.wau FROM dau a JOIN wau b ON a.day = b.day""",
+
+    "evt_churn" ->
+      """WITH um AS (SELECT DISTINCT user_id AS u,
+                       epoch_us(ts) // 604800000000 AS p FROM events),
+         act AS (SELECT p, count(*) AS active FROM um GROUP BY 1),
+         ch AS (SELECT p, count(*) AS churned FROM um a
+                WHERE NOT EXISTS (SELECT 1 FROM um b WHERE b.u = a.u AND b.p = a.p + 1)
+                GROUP BY 1)
+         SELECT act.p AS period, active,
+                CAST(coalesce(churned, 0) AS BIGINT) AS churned,
+                round(CAST(coalesce(churned, 0) AS DOUBLE) / active, 6) AS churn_rate
+         FROM act LEFT JOIN ch ON act.p = ch.p""",
+
+    "bpe_pairs" ->
+      s"""WITH tok AS (SELECT unnest(string_split($normSql, ' ')) AS w FROM documents),
+          vocab AS (SELECT w, count(*) AS f FROM tok GROUP BY 1),
+          pr AS (SELECT substr(w, i + 1, 2) AS pair, f
+                 FROM (SELECT w, f, unnest(range(0, length(w) - 1)) AS i
+                       FROM vocab WHERE length(w) >= 2))
+          SELECT pair, CAST(sum(f) AS BIGINT) AS pair_count
+          FROM pr GROUP BY 1 ORDER BY pair_count DESC, pair ASC LIMIT 50""",
 
     "sim_knn_graph" ->
       s"""WITH bkt AS (SELECT vec_id, ${lcgBucketsSql("embedding")} AS bks FROM embeddings),

@@ -549,4 +549,26 @@ object Pipeline {
       .agg(count(lit(1)).as("n_tokens"),
         avg(log(col("__f").cast("double") / col("__total"))).as("mean_logprob"))
   }
+
+  /** BPE tokenizer-training step 1: corpus-weighted adjacent
+    * character-pair counts — the relation whose argmax is the first
+    * merge. The corpus reduces to its DISTINCT vocabulary first (one
+    * partial-agg'd token shuffle), so the pair explode runs once per
+    * distinct word and is weighted by the word's frequency: the
+    * per-character work scales with |vocab|, not corpus tokens — at
+    * 100 TB the vocab relation is millions of rows while the corpus is
+    * trillions of tokens. Top-k rank is deterministic
+    * (count DESC, pair ASC).
+    * Output: (pair, pair_count), topK rows. */
+  def bpePairs(docs: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
+    val vocab = docs.select(explode(T.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .filter(length(col("__w")) >= 2)
+    vocab
+      .select(col("__f"),
+        explode(expr("transform(sequence(1, length(__w) - 1), i -> substring(__w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("__f")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(topK)
+  }
 }

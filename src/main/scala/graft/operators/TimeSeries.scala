@@ -272,4 +272,53 @@ object TimeSeries {
       .filter(abs(col("__z")) > zThreshold)
       .select(col(userCol), col("day"), col("n_events"), round(col("__z"), 6).as("z"))
   }
+
+  /** Daily actives + trailing `windowDays`-day actives. Spark has no
+    * COUNT(DISTINCT) OVER a range window, and a per-day self-join is
+    * O(days²) scans — instead every distinct (user, day) cell fans out
+    * to ≤ windowDays (user, window_day) rows carrying two scalars
+    * (never the event payload), and both counts are plain
+    * partial-agg'd groupBys. Only days with direct activity are
+    * emitted (inner join), so phantom trailing windows past the corpus
+    * end never appear.
+    * Output: (day, dau, wau). */
+  def rollingActive(events: DataFrame, userCol: String, tsCol: String,
+                    windowDays: Int = 7): DataFrame = {
+    val daily = events
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d")).distinct()
+    val dau = daily.groupBy(col("__d").as("day")).agg(count(lit(1)).as("dau"))
+    val wau = daily
+      .select(col("__u"), explode(expr(s"sequence(0, ${windowDays - 1})")).as("__i"), col("__d"))
+      .select(col("__u"), expr("date_add(__d, __i)").as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+  }
+
+  /** Period-over-period churn: users active in period p with no
+    * activity in p+1. Periods are integer epoch-µs divisions (same
+    * origin-free arithmetic as [[retention]] — engine-exact, no
+    * calendar-week-start semantics). One distinct (user, period)
+    * relation anti-joined against its own shifted self — shuffles
+    * carry (user, long) pairs only, partial-agg'd counts after. The
+    * corpus' final period reports full churn by construction (p+1
+    * doesn't exist); callers drop it if unwanted.
+    * Output: (period, active, churned, churn_rate 6dp). */
+  def churn(events: DataFrame, userCol: String, tsCol: String,
+            periodDays: Int = 7): DataFrame = {
+    val periodUs = periodDays.toLong * 86400L * 1000000L
+    val um = events
+      .select(col(userCol).as("__u"),
+        expr(s"unix_micros($tsCol) div $periodUs").as("__p"))
+      .distinct()
+    // presence in p+1, re-keyed at p so the anti join is an equi-join
+    val next = um.select(col("__u"), (col("__p") - 1).as("__p"))
+    val churned = um.join(next, Seq("__u", "__p"), "left_anti")
+      .groupBy(col("__p").as("__cp")).agg(count(lit(1)).as("churned"))
+    um.groupBy(col("__p")).agg(count(lit(1)).as("active"))
+      .join(churned, col("__p") === col("__cp"), "left_outer")
+      .select(col("__p").as("period"), col("active"),
+        coalesce(col("churned"), lit(0L)).as("churned"),
+        round(coalesce(col("churned"), lit(0L)).cast("double") / col("active"), 6).as("churn_rate"))
+  }
 }

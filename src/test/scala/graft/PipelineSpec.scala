@@ -362,4 +362,23 @@ class PipelineSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
     assert(hashed == out)
   }
+
+  test("bpePairs weights vocab char pairs by word frequency") {
+    val docs = Seq(
+      (1L, "abab ab"),   // abab: ab,ba,ab ; ab: ab
+      (2L, "ab x"),      // ab again (freq 2); x too short -> excluded
+    ).toDF("doc_id", "text")
+    val out = Pipeline.bpePairs(docs, "text", topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ab: abab(1)*2 + ab(2)*1 = 4 ; ba: abab(1)*1 = 1
+    assert(out == Map("ab" -> 4L, "ba" -> 1L))
+  }
+
+  test("bpePairs topK rank is deterministic on count ties") {
+    val docs = Seq((1L, "ab cd ab cd ef")).toDF("doc_id", "text")
+    // counts: ab 2, cd 2, ef 1 -> topK=2 keeps (ab, cd) by pair ASC on the tie
+    val out = Pipeline.bpePairs(docs, "text", topK = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("ab", "cd"))
+  }
 }

@@ -205,4 +205,33 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(0L -> 1L, 1L -> 1L))
   }
+
+  test("rollingActive counts day-distinct and trailing-window-distinct users") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:00:00")), // same day once
+      (2L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-03 10:00:00")),
+    ).toDF("user_id", "t")
+    val out = TimeSeries.rollingActive(events, "user_id", "t", windowDays = 3)
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    // Jan 1: dau 2 (u1, u2), wau(window Dec30-Jan1) 2
+    // Jan 3: dau 1 (u1), wau(Jan1-3) 2 (u1 and u2's Jan 1 still in window)
+    assert(out == Map("2024-01-01" -> (2L, 2L), "2024-01-03" -> (1L, 2L)))
+    // Jan 2 has no direct activity -> not emitted
+    assert(!out.contains("2024-01-02"))
+  }
+
+  test("churn reports users absent in the following period") {
+    val d0 = ts("1970-01-01 12:00:00") // period 0 under 7-day epoch div
+    def plusDays(t: Timestamp, d: Int) = new Timestamp(t.getTime + d * 86400000L)
+    val events = Seq(
+      (1L, d0), (2L, d0),            // period 0: u1, u2
+      (1L, plusDays(d0, 7)),         // period 1: u1 only -> u2 churned at 0
+      (3L, plusDays(d0, 8)),         //           u3 appears
+    ).toDF("user_id", "t")
+    val out = TimeSeries.churn(events, "user_id", "t", periodDays = 7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L) == (2L, 1L, 0.5))   // u2 gone
+    assert(out(1L) == (2L, 2L, 1.0))   // final period: full churn by construction
+  }
 }
