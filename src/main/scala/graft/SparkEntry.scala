@@ -1008,6 +1008,25 @@ object SparkEntry {
       // weighted by word frequency (per-word work once, not per token)
       Pipeline.bpePairs(t(s, dir, "documents"), "text", topK = 50)),
 
+    "q_range_join" -> ((s, dir) => {
+      // point-in-interval join via the binned equi-join rewrite (a
+      // BETWEEN join planned as hash join, not BroadcastNestedLoop):
+      // revenue landing in each 10-day month-opening promo window.
+      // Integer epoch-day arithmetic on both sides.
+      val epoch = lit("1970-01-01").cast("date")
+      val windows = t(s, dir, "orders")
+        .select(date_trunc("month", col("o_orderdate")).cast("date").as("__w")).distinct()
+        .select(datediff(col("__w"), epoch).cast("long").as("w_lo"))
+        .withColumn("w_hi", col("w_lo") + 9)
+      val pts = t(s, dir, "lineitem")
+        .select(datediff(col("l_shipdate").cast("date"), epoch).cast("long").as("ship_day"),
+          col("l_extendedprice"), col("l_discount"))
+      operators.RangeJoin.pointInInterval(pts, "ship_day", windows, "w_lo", "w_hi", binWidth = 16)
+        .groupBy(col("w_lo"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    }),
+
     // ---- §2.14 line dedup / clustering / kNN graph / search (r6) ------
     "dedup_lines" -> ((s, dir) =>
       // RefinedWeb-style line-level boilerplate dedup over the
@@ -2239,6 +2258,18 @@ object SparkEntry {
                        FROM vocab WHERE length(w) >= 2))
           SELECT pair, CAST(sum(f) AS BIGINT) AS pair_count
           FROM pr GROUP BY 1 ORDER BY pair_count DESC, pair ASC LIMIT 50""",
+
+    "q_range_join" ->
+      """WITH w AS (SELECT DISTINCT CAST(datediff('day', DATE '1970-01-01',
+                      CAST(date_trunc('month', o_orderdate) AS DATE)) AS BIGINT) AS w_lo
+                    FROM orders),
+         p AS (SELECT CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_day,
+                      l_extendedprice, l_discount
+               FROM lineitem)
+         SELECT w_lo, count(*) AS n_lines,
+                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+         FROM p JOIN w ON ship_day BETWEEN w_lo AND w_lo + 9
+         GROUP BY 1""",
 
     "sim_knn_graph" ->
       s"""WITH bkt AS (SELECT vec_id, ${lcgBucketsSql("embedding")} AS bks FROM embeddings),
