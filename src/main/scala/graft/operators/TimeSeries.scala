@@ -286,13 +286,19 @@ object TimeSeries {
                     windowDays: Int = 7): DataFrame = {
     val daily = events
       .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d")).distinct()
-    val dau = daily.groupBy(col("__d").as("day")).agg(count(lit(1)).as("dau"))
-    val wau = daily
+    // ONE pass: min window-offset per (user, window_day) recovers both
+    // counts — offset 0 ⇔ active that exact day (dau), any offset ⇔
+    // active in the trailing window (wau). A dau ⋈ wau two-branch form
+    // would scan + distinct the events twice (Spark does not reuse
+    // common subplans without an explicit cache).
+    daily
       .select(col("__u"), explode(expr(s"sequence(0, ${windowDays - 1})")).as("__i"), col("__d"))
-      .select(col("__u"), expr("date_add(__d, __i)").as("day"))
-      .distinct()
-      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
-    dau.join(wau, "day")
+      .groupBy(col("__u"), expr("date_add(__d, __i)").as("day"))
+      .agg(min(col("__i")).as("__mi"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("__mi") === 0, 1L).otherwise(0L)).as("dau"),
+        count(lit(1)).as("wau"))
+      .filter(col("dau") > 0) // trailing windows past the corpus end
   }
 
   /** Period-over-period churn: users active in period p with no
@@ -311,14 +317,16 @@ object TimeSeries {
       .select(col(userCol).as("__u"),
         expr(s"unix_micros($tsCol) div $periodUs").as("__p"))
       .distinct()
-    // presence in p+1, re-keyed at p so the anti join is an equi-join
-    val next = um.select(col("__u"), (col("__p") - 1).as("__p"))
-    val churned = um.join(next, Seq("__u", "__p"), "left_anti")
-      .groupBy(col("__p").as("__cp")).agg(count(lit(1)).as("churned"))
-    um.groupBy(col("__p")).agg(count(lit(1)).as("active"))
-      .join(churned, col("__p") === col("__cp"), "left_outer")
-      .select(col("__p").as("period"), col("active"),
-        coalesce(col("churned"), lit(0L)).as("churned"),
-        round(coalesce(col("churned"), lit(0L)).cast("double") / col("active"), 6).as("churn_rate"))
+    // churned at p ⇔ the user's NEXT active period isn't p+1 — a
+    // per-user lead window over the distinct relation (each user's
+    // slice sorts independently), not an anti-join against a second
+    // scan+distinct of the events
+    val w = Window.partitionBy(col("__u")).orderBy(col("__p"))
+    um.withColumn("__churned",
+        when(lead(col("__p"), 1).over(w) === col("__p") + 1, 0L).otherwise(1L))
+      .groupBy(col("__p"))
+      .agg(count(lit(1)).as("active"), sum(col("__churned")).as("churned"))
+      .select(col("__p").as("period"), col("active"), col("churned"),
+        round(col("churned").cast("double") / col("active"), 6).as("churn_rate"))
   }
 }
