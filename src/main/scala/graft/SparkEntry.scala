@@ -1008,6 +1008,20 @@ object SparkEntry {
       // weighted by word frequency (per-word work once, not per token)
       Pipeline.bpePairs(t(s, dir, "documents"), "text", topK = 50)),
 
+    "graph_pagerank" -> ((s, dir) => {
+      // PageRank (2 iterations, exact 2^40 fixed-point integer units)
+      // over the bidirected customer↔supplier purchase graph —
+      // pairwise-signal → per-node-score propagation. Suppliers get
+      // disjoint ids (key + 10^9) so the two partites can't collide.
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000000L).as("p"))
+        .distinct()
+      val edges = base.select(col("c").as("src"), col("p").as("dst"))
+        .union(base.select(col("p").as("src"), col("c").as("dst")))
+      operators.Graph.pagerank(edges, "src", "dst", iters = 2)
+    }),
+
     "q_range_join" -> ((s, dir) => {
       // point-in-interval join via the binned equi-join rewrite (a
       // BETWEEN join planned as hash join, not BroadcastNestedLoop):
@@ -2258,6 +2272,26 @@ object SparkEntry {
                        FROM vocab WHERE length(w) >= 2))
           SELECT pair, CAST(sum(f) AS BIGINT) AS pair_count
           FROM pr GROUP BY 1 ORDER BY pair_count DESC, pair ASC LIMIT 50""",
+
+    "graph_pagerank" ->
+      """WITH b AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS p
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT c AS src, p AS dst FROM b
+               UNION ALL SELECT p AS src, c AS dst FROM b),
+         deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM deg),
+         r0 AS (SELECT node, d, 1099511627776 // n AS r FROM deg, nn),
+         s1 AS (SELECT e.dst AS node, sum(r0.r // r0.d) AS s
+                FROM e JOIN r0 ON e.src = r0.node GROUP BY 1),
+         r1 AS (SELECT r0.node, r0.d,
+                       (3 * 1099511627776 // 20) // n + 17 * coalesce(s1.s, 0) // 20 AS r
+                FROM r0 LEFT JOIN s1 ON r0.node = s1.node, nn),
+         s2 AS (SELECT e.dst AS node, sum(r1.r // r1.d) AS s
+                FROM e JOIN r1 ON e.src = r1.node GROUP BY 1),
+         r2 AS (SELECT r1.node,
+                       (3 * 1099511627776 // 20) // n + 17 * coalesce(s2.s, 0) // 20 AS r
+                FROM r1 LEFT JOIN s2 ON r1.node = s2.node, nn)
+         SELECT node, CAST(r AS BIGINT) AS rank FROM r2""",
 
     "q_range_join" ->
       """WITH w AS (SELECT DISTINCT CAST(datediff('day', DATE '1970-01-01',

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics. PageRank-style propagation is how
+  * corpus curation turns pairwise signals (similarity edges, link
+  * graphs, purchase graphs) into per-node quality scores.
+  *
+  * Engine-exactness: ranks live in integer fixed-point units (2^40 of
+  * total mass) and every update is BIGINT arithmetic — share =
+  * rank div out_degree, damping = ·17 div 20 (0.85 as a rational) —
+  * so the iteration is order-free under any partitioning and
+  * bit-identical in any engine (the cluster_kmeans integer-sum
+  * recipe). Truncation loses ≤out_degree units per node per step —
+  * deterministic, and irrelevant at 2^40 resolution.
+  */
+object Graph {
+
+  val TotalUnits: Long = 1L << 40
+
+  /** PageRank over a directed edge list. Every node must have at
+    * least one OUT edge (feed a bidirected edge list for undirected
+    * graphs — also the standard dangling-node fix). Self-loops and
+    * duplicate edges are honored as given.
+    *
+    * Scale shape per iteration: one equi-join of the edge list with
+    * the current ranks on src (both hash-partitioned on src — AQE
+    * reuses the layout), one partial-agg'd groupBy on dst. Nothing is
+    * collected; the rank relation is one (long, long) row per node.
+    *
+    * Output: (node, rank) with rank in units of 2^-40 total mass. */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    // out-degrees double as the node relation (every node has out-edges)
+    val deg = edges.groupBy(col(srcCol).as("node"))
+      .agg(count(lit(1)).as("__deg"))
+    val n = deg.select(count(lit(1)).as("__n"))
+    // base = ((3·T div 20) div N): the (1−d) teleport share, one
+    // integer per graph — broadcast with the node count
+    var ranks = deg.crossJoin(broadcast(n))
+      .select(col("node"), col("__deg"), col("__n"),
+        expr(s"${TotalUnits}L div __n").as("__r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks, col(srcCol) === col("node"))
+        .groupBy(col(dstCol).as("__dst"))
+        .agg(sum(expr("__r div __deg")).as("__s"))
+      ranks = ranks.join(contrib, col("node") === col("__dst"), "left_outer")
+        .select(col("node"), col("__deg"), col("__n"),
+          (expr(s"(3 * ${TotalUnits}L div 20) div __n") +
+            expr("17 * coalesce(__s, 0L) div 20")).as("__r"))
+    }
+    ranks.select(col("node"), col("__r").as("rank"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bidirect(pairs: Seq[(Long, Long)]) =
+    (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+
+  test("pagerank: uniform at iters=0, mass conserved within truncation") {
+    val edges = bidirect(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    val r0 = Graph.pagerank(edges, "src", "dst", iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r0.values.toSet == Set(Graph.TotalUnits / 4))
+    val r2 = Graph.pagerank(edges, "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = r2.values.sum
+    // each div truncates <1 unit per node/edge per step: tiny, bounded loss
+    assert(total <= Graph.TotalUnits && total > Graph.TotalUnits - 1000L)
+  }
+
+  test("pagerank: star center outranks leaves; leaves tie exactly") {
+    val edges = bidirect(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)))
+    val r = Graph.pagerank(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(r).toSet.size == 1) // exact tie
+    assert(r(0L) > r(1L) * 2) // hub dominates
+  }
+
+  test("pagerank: symmetric pair ranks equal and match the closed form") {
+    val edges = bidirect(Seq((7L, 8L)))
+    val r = Graph.pagerank(edges, "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r(7L) == r(8L))
+    // closed form of the integer recurrence: r = base + (17*r_prev) div 20
+    val t = Graph.TotalUnits
+    val base = (3 * t / 20) / 2
+    val r1 = base + 17 * (t / 2) / 20
+    val want = base + 17 * r1 / 20
+    assert(r(7L) == want)
+  }
+}
