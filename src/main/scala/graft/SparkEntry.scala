@@ -1008,6 +1008,23 @@ object SparkEntry {
       // weighted by word frequency (per-word work once, not per token)
       Pipeline.bpePairs(t(s, dir, "documents"), "text", topK = 50)),
 
+    "corpus_diff" -> ((s, dir) => {
+      // snapshot delta vs a deterministically simulated next crawl:
+      // md5-bucket 0-9 deleted, 10-19 edited, 90-99 cloned as new ids.
+      // One full-outer join on (id, fingerprint) — no payloads shuffled.
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+        Pipeline.md5Bucket(col("doc_id"), "rev", 100).as("__b"), col("text"))
+      val v1 = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      val v2 = base.filter(col("__b") >= 10)
+        .select(col("doc_id"),
+          when(col("__b") < 20, md5(concat(col("text"), lit("v2"))))
+            .otherwise(md5(col("text"))).as("fp"))
+        .union(base.filter(col("__b") >= 90)
+          .select((col("doc_id") + 1000000L).as("doc_id"), md5(col("text")).as("fp")))
+      Pipeline.corpusDiff(v1, v2, "doc_id", "fp")
+    }),
+
     "graph_pagerank" -> ((s, dir) => {
       // PageRank (2 iterations, exact 2^40 fixed-point integer units)
       // over the bidirected customer↔supplier purchase graph —
@@ -2272,6 +2289,24 @@ object SparkEntry {
                        FROM vocab WHERE length(w) >= 2))
           SELECT pair, CAST(sum(f) AS BIGINT) AS pair_count
           FROM pr GROUP BY 1 ORDER BY pair_count DESC, pair ASC LIMIT 50""",
+
+    "corpus_diff" ->
+      """WITH bk AS (SELECT doc_id,
+                       ('0x' || substr(md5('rev:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b,
+                       text
+                     FROM documents),
+         v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         v2 AS (SELECT doc_id, CASE WHEN b < 20 THEN md5(text || 'v2') ELSE md5(text) END AS fp
+                FROM bk WHERE b >= 10
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp FROM bk WHERE b >= 90),
+         j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+                      CASE WHEN v1.doc_id IS NULL THEN 'added'
+                           WHEN v2.doc_id IS NULL THEN 'removed'
+                           WHEN v1.fp <> v2.fp THEN 'changed'
+                           ELSE 'unchanged' END AS status
+               FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+         SELECT doc_id, status FROM j WHERE status <> 'unchanged'""",
 
     "graph_pagerank" ->
       """WITH b AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS p

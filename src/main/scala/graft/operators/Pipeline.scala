@@ -571,4 +571,24 @@ object Pipeline {
       .orderBy(col("pair_count").desc, col("pair").asc)
       .limit(topK)
   }
+
+  /** Snapshot delta between two corpus versions keyed on id — the
+    * incremental-pipeline workhorse (what must re-embed / re-dedup /
+    * re-shard after a crawl refresh). ONE full-outer hash join
+    * carrying (id, fingerprint) pairs only, never document payloads;
+    * identical docs are filtered out map-side after the join.
+    * Output: (id, status) with status ∈ added | removed | changed. */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+                 fpCol: String): DataFrame = {
+    val a = v1.select(col(idCol).as("__id"), col(fpCol).as("__fp1"))
+    val b = v2.select(col(idCol).as("__id"), col(fpCol).as("__fp2"))
+    a.join(b, Seq("__id"), "full_outer")
+      .withColumn("status",
+        when(col("__fp1").isNull, "added")
+          .when(col("__fp2").isNull, "removed")
+          .when(col("__fp1") =!= col("__fp2"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col("__id").as(idCol), col("status"))
+  }
 }

@@ -374,6 +374,14 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map("ab" -> 4L, "ba" -> 1L))
   }
 
+  test("corpusDiff classifies added/removed/changed and drops identical") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "fp")
+    val v2 = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("id", "fp")
+    val out = Pipeline.corpusDiff(v1, v2, "id", "fp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
   test("bpePairs topK rank is deterministic on count ties") {
     val docs = Seq((1L, "ab cd ab cd ef")).toDF("doc_id", "text")
     // counts: ab 2, cd 2, ef 1 -> topK=2 keeps (ab, cd) by pair ASC on the tie
