@@ -4,7 +4,7 @@ import graft.functions.{TextExpressions, TopKAggregate, VectorExpressions}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 /** SQL-surface registration: `spark.sql.extensions=graft.GraftExtensions`
   * (or `GraftSession.builder`, which wires it in) exposes the native
@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.IntegerType
   *   graft_minhash(norm_text, k, n)  — full n-wide MinHash signature
   *   graft_minhash_bands(norm_text, k, n, b) — LSH band hashes
   *   graft_simhash(norm_text)        — 64-bit SimHash (xxhash64 tokens)
+  *   graft_unicode_normalize(text, form) — NFC/NFKC/NFD/NFKD normalization
   *
   * (text arguments are expected pre-normalized — compose with
   * `trim(regexp_replace(lower(t), '\\s+', ' '))` in SQL, which is
@@ -36,6 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _: StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -77,5 +84,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       info("graft_simhash", classOf[TextExpressions.SimHashSignature]),
       (exprs: Seq[Expression]) => TextExpressions.SimHashSignature(exprs(0), useMd5 = false)))
+
+    ext.injectFunction((FunctionIdentifier("graft_unicode_normalize"),
+      info("graft_unicode_normalize", classOf[TextExpressions.UnicodeNormalize]),
+      (exprs: Seq[Expression]) => TextExpressions.UnicodeNormalize(exprs(0),
+        strLit(exprs(1), "graft_unicode_normalize form"))))
   }
 }

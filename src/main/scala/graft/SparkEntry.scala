@@ -1008,6 +1008,16 @@ object SparkEntry {
       // weighted by word frequency (per-word work once, not per token)
       Pipeline.bpePairs(t(s, dir, "documents"), "text", topK = 50)),
 
+    "text_normalize" -> ((s, dir) => {
+      // Unicode NFC normalization (native codegen expression, ASCII
+      // fast path) — fingerprint + changed flag per doc. The corpus is
+      // ASCII (flag all-false); semantics over composed/decomposed
+      // accents and ligatures are pinned by TextFunctionsSpec.
+      val nfc = graft.functions.TextExpressions.unicodeNormalize(col("text"), "NFC")
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(nfc).as("nfc_fp"), (nfc =!= col("text")).as("changed"))
+    }),
+
     "corpus_diff" -> ((s, dir) => {
       // snapshot delta vs a deterministically simulated next crawl:
       // md5-bucket 0-9 deleted, 10-19 edited, 90-99 cloned as new ids.
@@ -2289,6 +2299,11 @@ object SparkEntry {
                        FROM vocab WHERE length(w) >= 2))
           SELECT pair, CAST(sum(f) AS BIGINT) AS pair_count
           FROM pr GROUP BY 1 ORDER BY pair_count DESC, pair ASC LIMIT 50""",
+
+    "text_normalize" ->
+      """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_fp,
+                nfc_normalize(text) <> text AS changed
+         FROM documents""",
 
     "corpus_diff" ->
       """WITH bk AS (SELECT doc_id,

@@ -168,6 +168,32 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Unicode normalization (NFC / NFKC / NFD / NFKD) — the standard
+    * first step of multilingual corpus cleaning (composed/decomposed
+    * accents and compatibility ligatures otherwise defeat exact and
+    * shingle dedup). ASCII/already-normalized rows take the
+    * `isNormalized` fast path and return the input buffer unchanged —
+    * on a mostly-ASCII corpus the per-row cost is one scan. */
+  case class UnicodeNormalize(child: Expression, form: String) extends UnaryExpression {
+    require(Set("NFC", "NFKC", "NFD", "NFKD")(form), s"unknown form $form")
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(a: Any): Any =
+      UnicodeNormalizeImpl.normalize(a.asInstanceOf[UTF8String], form)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"""${ev.value} = graft.functions.UnicodeNormalizeImpl.normalize($v, "$form");""")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API: Unicode-normalize a string column. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    Bridge.column(UnicodeNormalize(Bridge.expression(text), form))
+
   /** Column API: string word-shingles of the normalized text. */
   def stringShingles(normalizedText: Column, k: Int): Column =
     Bridge.column(StringShingles(Bridge.expression(normalizedText), k))
@@ -179,6 +205,22 @@ object TextExpressions {
   /** Column API: LSH band hashes of the normalized text. */
   def minhashBands(normalizedText: Column, k: Int, numHashes: Int, numBands: Int): Column =
     Bridge.column(MinHashBandHashes(Bridge.expression(normalizedText), k, numHashes, numBands))
+}
+
+/** Top-level so whole-stage codegen can call the Java static
+  * forwarder `graft.functions.UnicodeNormalizeImpl.normalize` directly
+  * (the nested-object Java name is unresolvable by janino). */
+object UnicodeNormalizeImpl {
+  import java.text.Normalizer
+
+  def normalize(s: UTF8String, form: String): UTF8String = {
+    val f = Normalizer.Form.valueOf(form)
+    val str = s.toString
+    // isNormalized is a cheap scan that short-circuits on ASCII —
+    // avoids re-encoding the overwhelmingly-normalized common case
+    if (Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(Normalizer.normalize(str, f))
+  }
 }
 
 /** Top-level so whole-stage codegen can call the Java static

@@ -17,6 +17,7 @@ class CodegenGuardSpec extends SparkSpec {
     "sim_bruteforce_topk",// CosineSimilarity + TopKAggregate
     "sim_ivf_topk",       // NearestCentroids
     "text_repetition",    // StringShingles
+    "text_normalize",     // UnicodeNormalize
   )
 
   test("native-expression queries execute with codegen fallback DISABLED") {

@@ -72,6 +72,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(df.distinct().count == 1)
   }
 
+  test("unicodeNormalize: NFC composes, NFKC folds compatibility, ASCII is identity") {
+    import graft.functions.TextExpressions.unicodeNormalize
+    val decomposed = "e\u0301cole" // e + COMBINING ACUTE ACCENT
+    val composed = "\u00e9cole"    // precomposed e-acute
+    val ligature = "\ufb01le"      // fi ligature + "le"
+    val df = Seq((decomposed, composed, "plain ascii", ligature)).toDF("d", "c", "a", "lig")
+    val r = df.select(
+      unicodeNormalize(col("d"), "NFC").as("nfc_d"),
+      unicodeNormalize(col("c"), "NFD").as("nfd_c"),
+      unicodeNormalize(col("a"), "NFC").as("nfc_a"),
+      unicodeNormalize(col("lig"), "NFKC").as("nfkc_lig"),
+      unicodeNormalize(col("lig"), "NFC").as("nfc_lig")).head
+    assert(r.getString(0) == composed)      // NFC composes the pair
+    assert(r.getString(1) == decomposed)    // NFD decomposes back
+    assert(r.getString(2) == "plain ascii") // identity fast path
+    assert(r.getString(3) == "file")        // NFKC folds the fi ligature
+    assert(r.getString(4) == ligature)      // NFC leaves compatibility chars
+  }
+
   test("qualityStruct fields are sane") {
     val r = one("The quick, brown fox!").select(T.qualityStruct(col("t")).as("q"))
       .select("q.n_chars", "q.n_tokens", "q.punct_ratio", "q.stopword_ratio").head
