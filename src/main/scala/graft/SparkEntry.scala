@@ -1008,6 +1008,42 @@ object SparkEntry {
       // weighted by word frequency (per-word work once, not per token)
       Pipeline.bpePairs(t(s, dir, "documents"), "text", topK = 50)),
 
+    "emb_truncate" -> ((s, dir) => {
+      // Matryoshka-style prefix truncation (first 16 of 64 dims) — the
+      // cheap-ANN representation; retained-mass ratio per vector. Pure
+      // map-side; norms are sequential left-folds (IEEE-identical in
+      // both engines), only the emitted values rounded.
+      val pre = slice(col("embedding"), 1, 16)
+      t(s, dir, "embeddings").select(col("vec_id"),
+        round(V.norm(pre), 6).as("prefix_norm"),
+        round(V.norm(col("embedding")), 6).as("full_norm"),
+        round(V.norm(pre) / V.norm(col("embedding")), 6).as("retained"))
+    }),
+
+    "corpus_quantiles" -> ((s, dir) =>
+      // exact distributed quartiles of doc length per language —
+      // (n−1)·q rank interpolation over INTEGER values with dyadic
+      // fractions {.25, .5, .75} is exact in doubles, so the two
+      // engines' quantile_cont formulas agree bit-for-bit
+      t(s, dir, "documents").groupBy("lang").agg(
+        percentile(col("n_chars"), lit(0.25)).as("q1_chars"),
+        percentile(col("n_chars"), lit(0.5)).as("med_chars"),
+        percentile(col("n_chars"), lit(0.75)).as("q3_chars"))),
+
+    "evt_ab_test" -> ((s, dir) => {
+      // hash-assigned A/B groups (md5 bucket of user — reproducible
+      // across engines/reruns) with exact-decimal purchase metrics
+      val g = when(Pipeline.md5Bucket(col("user_id"), "ab", 2) === 0, "control")
+        .otherwise("treatment")
+      t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(g.as("grp"), col("user_id"), col("value"))
+        .groupBy("grp")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"),
+          round(sum(col("value").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 6).as("mean_value"))
+    }),
+
     "text_normalize" -> ((s, dir) => {
       // Unicode NFC normalization (native codegen expression, ASCII
       // fast path) — fingerprint + changed flag per doc. The corpus is
@@ -2304,6 +2340,33 @@ object SparkEntry {
       """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_fp,
                 nfc_normalize(text) <> text AS changed
          FROM documents""",
+
+    "emb_truncate" ->
+      """SELECT vec_id,
+                round(sqrt(list_reduce(list_transform(embedding[1:16]::DOUBLE[], v -> v * v),
+                                       (x, y) -> x + y)), 6) AS prefix_norm,
+                round(sqrt(list_reduce(list_transform(embedding::DOUBLE[], v -> v * v),
+                                       (x, y) -> x + y)), 6) AS full_norm,
+                round(sqrt(list_reduce(list_transform(embedding[1:16]::DOUBLE[], v -> v * v),
+                                       (x, y) -> x + y))
+                      / sqrt(list_reduce(list_transform(embedding::DOUBLE[], v -> v * v),
+                                         (x, y) -> x + y)), 6) AS retained
+         FROM embeddings""",
+
+    "corpus_quantiles" ->
+      """SELECT lang, quantile_cont(n_chars, 0.25) AS q1_chars,
+                quantile_cont(n_chars, 0.5) AS med_chars,
+                quantile_cont(n_chars, 0.75) AS q3_chars
+         FROM documents GROUP BY lang""",
+
+    "evt_ab_test" ->
+      """SELECT CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                     THEN 'control' ELSE 'treatment' END AS grp,
+                count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+                CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+                round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_value
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1""",
 
     "corpus_diff" ->
       """WITH bk AS (SELECT doc_id,
