@@ -92,6 +92,69 @@ object StreamOps {
       })
   }
 
+  /** One typed funnel event. */
+  final case class FunnelEvent(key: Long, etype: String,
+                               eventTime: java.sql.Timestamp, tsMicros: Long)
+  /** Furthest stage reached + when (micros); stage == stages.length is
+    * the done tombstone. */
+  final case class FunnelState(stage: Int, reachedAt: Long)
+  /** Emitted once per user per stage advance. */
+  final case class StageReached(user_id: Long, stage_idx: Int, stage: String,
+                                reached_at: Long)
+
+  /** Streaming conversion funnel — the incremental twin of
+    * TimeSeries.funnel: each user advances through `stages` in order,
+    * each step strictly after the previous and (optionally) within
+    * `withinSeconds` of it; one StageReached row is emitted per
+    * advance, so per-stage counts equal the batch funnel's when the
+    * stream replays in event-time order.
+    *
+    * State is ONE tiny (int, long) record per user and is kept
+    * deliberately (done/stuck users hold a tombstone): evicting on
+    * timeout would let a late event re-run the funnel from stage 0 and
+    * double-count the user. Memory is bounded by |users| — the same
+    * bound as the batch funnel's per-user relation — not by the event
+    * volume. */
+  def funnelStream(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, stages: Seq[String],
+                   withinSeconds: Option[Long],
+                   watermarkMinutes: Int): Dataset[StageReached] = {
+    require(stages.nonEmpty, "at least one stage")
+    implicit val evEnc = Encoders.product[FunnelEvent]
+    implicit val outEnc = Encoders.product[StageReached]
+    implicit val stEnc = Encoders.product[FunnelState]
+    implicit val longEnc = Encoders.scalaLong
+    val windowMicros = withinSeconds.map(_ * 1000000L)
+    val keyed = events
+      .filter(col(typeCol).isin(stages: _*))
+      .select(col(userCol).cast("long").as("key"),
+        col(typeCol).cast("string").as("etype"),
+        col(tsCol).cast("timestamp").as("eventTime"),
+        unix_micros(col(tsCol).cast("timestamp")).as("tsMicros"))
+      .withWatermark("eventTime", s"$watermarkMinutes minutes")
+      .as[FunnelEvent]
+      .groupByKey(_.key)
+    keyed.flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (key: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) => {
+        val out = scala.collection.mutable.ArrayBuffer.empty[StageReached]
+        var cur = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+        it.toSeq.sortBy(_.tsMicros).foreach { e =>
+          if (cur.stage < stages.length && e.etype == stages(cur.stage)) {
+            val ok = cur.stage == 0 ||
+              (e.tsMicros > cur.reachedAt &&
+                windowMicros.forall(w => e.tsMicros - cur.reachedAt <= w))
+            if (ok) {
+              cur = FunnelState(cur.stage + 1, e.tsMicros)
+              out += StageReached(key, cur.stage, stages(cur.stage - 1), e.tsMicros)
+            }
+          }
+        }
+        state.update(cur)
+        out.iterator
+      })
+  }
+
   /** Streaming exact dedup: drop rows whose `idCols` were already seen
     * within the watermark horizon — the streaming twin of Dedup.exact.
     * State is bounded by the watermark (expired keys are evicted), so

@@ -152,6 +152,31 @@ class StreamingSpec extends SparkSpec {
       s"streamed-only=${streamed -- batch}, batch-only=${batch -- streamed}")
   }
 
+  test("streaming funnel matches batch per-stage counts on in-order replay") {
+    val events = Tables.events(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString + "/events"
+    events.orderBy("ts").coalesce(1).write.parquet(dir)
+
+    val stages = Seq("view", "click", "purchase")
+    val stream = StreamOps.parquetStream(spark, dir, events.schema, maxFilesPerTrigger = 1)
+    val reached = StreamOps.funnelStream(stream, "user_id", "ts", "event_type",
+      stages, withinSeconds = Some(86400L), watermarkMinutes = 0).toDF()
+    val streamed = StreamOps.runToMemory(reached, "funnel", outputMode = "append")
+      .groupBy("stage_idx").agg(count(lit(1)).as("n_users"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    val batch = TimeSeries.funnel(events, "user_id", "ts", "event_type",
+      stages, withinSeconds = Some(86400L))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+
+    assert(streamed == batch.filter(_._2 > 0))
+    assert(streamed.nonEmpty && streamed.keySet.contains(1))
+    // a user emits each stage at most once
+    val perUser = spark.table("funnel").groupBy("user_id", "stage_idx").count()
+      .filter(col("count") > 1).count()
+    assert(perUser == 0)
+  }
+
   test("streaming windowed agg over file source matches the batch result") {
     val events = Tables.events(spark, sfDir)
     // stage the events as a small directory of parquet files (a replayable stream)
