@@ -33,8 +33,18 @@ object Graph {
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
+    // cache the (possibly expensive) edge derivation — without this
+    // every iteration re-executes the upstream lineage (the gate
+    // query's fact-fact join ran 8× for 2 iterations). In-memory
+    // cache, not localCheckpoint: the blocking checkpoint write cost
+    // more than it saved at bench scale, while the cache is free on
+    // first use. Session-scoped (same caller-managed-cache contract
+    // as Dedup's candidate caches; Bench clearCache()s between
+    // queries).
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .cache()
     // out-degrees double as the node relation (every node has out-edges)
-    val deg = edges.groupBy(col(srcCol).as("node"))
+    val deg = e.groupBy(col("__src").as("node"))
       .agg(count(lit(1)).as("__deg"))
     val n = deg.select(count(lit(1)).as("__n"))
     // base = ((3·T div 20) div N): the (1−d) teleport share, one
@@ -42,15 +52,18 @@ object Graph {
     var ranks = deg.crossJoin(broadcast(n))
       .select(col("node"), col("__deg"), col("__n"),
         expr(s"${TotalUnits}L div __n").as("__r"))
-    for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(ranks, col(srcCol) === col("node"))
-        .groupBy(col(dstCol).as("__dst"))
+    for (i <- 1 to iters) {
+      val contrib = e
+        .join(ranks, col("__src") === col("node"))
+        .groupBy(col("__dst"))
         .agg(sum(expr("__r div __deg")).as("__s"))
       ranks = ranks.join(contrib, col("node") === col("__dst"), "left_outer")
         .select(col("node"), col("__deg"), col("__n"),
           (expr(s"(3 * ${TotalUnits}L div 20) div __n") +
             expr("17 * coalesce(__s, 0L) div 20")).as("__r"))
+      // bound plan depth for long runs; short runs skip the (blocking)
+      // checkpoint barrier entirely
+      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("__r").as("rank"))
   }

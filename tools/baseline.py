@@ -17,6 +17,11 @@ HEADLINE = [
     "q4_order_priority", "q6_forecast_revenue", "q15_top_supplier",
     "q18_large_orders", "q19_disjunctive", "q22_dormant_customers",
     "q_window_analytics",
+    # r6 continuation 3: the rest of the expressible TPC-H family +
+    # the BETWEEN range join (DuckDB's IEJoin is the natural physical
+    # plan for it — a strong single-node baseline).
+    "q8_market_share", "q12_ship_delay", "q13_cust_distribution",
+    "q14_promo_revenue", "q17_small_qty_revenue", "q_range_join",
 ]
 
 # Pipeline ops where the oracle SQL is the NATURAL DuckDB formulation
@@ -48,6 +53,14 @@ PIPELINE = [
     "text_dsir", "text_lexical", "text_collocations", "corpus_stats",
     "sample_topk_per_group", "shuffle_shard", "emb_quantize",
     "chunk_tokens", "pack_sequences", "text_search_tf",
+    # r6 continuation 3, natural single-node formulations: distinct +
+    # window/groupby event rollups, vocab unnest, full-outer diff,
+    # quantile_cont, list-fold norms, nfc_normalize, hash-bucket agg,
+    # and the unrolled-CTE pagerank (the standard SQL formulation of a
+    # fixed-iteration propagation).
+    "evt_session_stats", "evt_dau_rolling", "evt_churn", "evt_ab_test",
+    "ds_pivot", "bpe_pairs", "corpus_diff", "corpus_quantiles",
+    "emb_truncate", "text_normalize", "graph_pagerank",
 ]
 
 sf_dir, oracle_path = sys.argv[1], sys.argv[2]
