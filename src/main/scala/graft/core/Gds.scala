@@ -60,6 +60,20 @@ final case class Gds(df: DataFrame) {
       when(col(f.name).cast("string") === lit(from), lit(target).cast(f.dataType))
         .otherwise(col(f.name)).as(f.name)
     }.toSeq: _*))
+  /** eel `replace(field, from, target)` (DataStream.scala:643): value
+    * replace scoped to ONE field. */
+  def replaceValueIn(field: String, from: String, target: Any): Gds = {
+    val dt = df.schema(field).dataType
+    Gds(df.withColumn(field,
+      when(col(field).cast("string") === lit(from), lit(target).cast(dt))
+        .otherwise(col(field))))
+  }
+  /** eel `replaceField(name, field)` (DataStream.scala:356): swap one
+    * field's definition (name + type) in place, position preserved. */
+  def replaceField(name: String, newName: String, dataType: DataType): Gds =
+    Gds(df.select(df.schema.fieldNames.map { fn =>
+      if (fn == name) col(fn).cast(dataType).as(newName) else col(fn)
+    }.toSeq: _*))
   /** Closure escape-hatch for eel's `map(Row => Row)` (DataStream.scala:40). */
   def mapRows(f: Row => Row, outSchema: StructType): Gds =
     Gds(df.map(f)(Encoders.row(outSchema)).toDF())

@@ -196,6 +196,15 @@ import graft.sources.Predicates._
     x.toDF.unpersist()
   }
 
+  test("replaceValueIn scopes to one field; replaceField renames+retypes in place") {
+    val df = Gds(Seq(("x", "x", 1), ("y", "x", 2)).toDF("a", "b", "n"))
+    val rep = df.replaceValueIn("a", "x", "z").toDF.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rep == Seq(("z", "x"), ("y", "x"))) // b untouched
+    val rf = df.replaceField("n", "n_long", org.apache.spark.sql.types.LongType).toDF
+    assert(rf.schema.fieldNames.toSeq == Seq("a", "b", "n_long")) // position kept
+    assert(rf.schema("n_long").dataType.typeName == "long")
+  }
+
   test("semiJoin/antiJoin/leftJoin variants") {
     val left = Gds(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
     // duplicate key on the right: semi must NOT multiply row 1
