@@ -1008,6 +1008,12 @@ object SparkEntry {
       // weighted by word frequency (per-word work once, not per token)
       Pipeline.bpePairs(t(s, dir, "documents"), "text", topK = 50)),
 
+    "sample_importance" -> ((s, dir) =>
+      // importance-weighted Bernoulli sample (p = w/max_w, weight =
+      // doc length) via an EXACT integer keep test — no float rate
+      // boundary, stable across engines/partitionings
+      Pipeline.importanceSample(t(s, dir, "documents"), "doc_id", "n_chars")),
+
     "emb_truncate" -> ((s, dir) => {
       // Matryoshka-style prefix truncation (first 16 of 64 dims) — the
       // cheap-ANN representation; retained-mass ratio per vector. Pure
@@ -1177,6 +1183,12 @@ object SparkEntry {
     * driver's `queries` contract, so CORRECTNESS stays 100%
     * hash-checked. */
   def perfQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_compress_prod" -> ((s, dir) =>
+      // deflate-ratio quality signal (native codegen expression); no
+      // SQL oracle exists (DuckDB has no deflate) → spec-pinned, benched
+      t(s, dir, "documents").select(col("doc_id"),
+        round(graft.functions.TextExpressions.deflateRatio(col("text")), 6).as("deflate_ratio"))),
+
     "dedup_simhash_prod" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")),
 
@@ -2340,6 +2352,13 @@ object SparkEntry {
       """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_fp,
                 nfc_normalize(text) <> text AS changed
          FROM documents""",
+
+    "sample_importance" ->
+      """WITH mx AS (SELECT max(n_chars) AS m FROM documents)
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                ('0x' || substr(md5('imp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT * m
+                  < n_chars * 4294967296 AS keep
+         FROM documents, mx""",
 
     "emb_truncate" ->
       """SELECT vec_id,

@@ -194,6 +194,31 @@ object TextExpressions {
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     Bridge.column(UnicodeNormalize(Bridge.expression(text), form))
 
+  /** Deflate compression ratio (compressed bytes / raw bytes) — the
+    * Gopher/RefinedWeb "too compressible = templated/spammy, too
+    * incompressible = random noise" quality signal. No SQL oracle
+    * exists (DuckDB has no deflate), so this is spec-pinned and
+    * benched, not gated. One streaming Deflater pass per row, output
+    * length only — nothing is buffered. */
+  case class DeflateRatio(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(a: Any): Any =
+      DeflateImpl.ratio(a.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.DeflateImpl.ratio($v);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API: deflate compression ratio of a string column. */
+  def deflateRatio(text: Column): Column =
+    Bridge.column(DeflateRatio(Bridge.expression(text)))
+
   /** Column API: string word-shingles of the normalized text. */
   def stringShingles(normalizedText: Column, k: Int): Column =
     Bridge.column(StringShingles(Bridge.expression(normalizedText), k))
@@ -205,6 +230,25 @@ object TextExpressions {
   /** Column API: LSH band hashes of the normalized text. */
   def minhashBands(normalizedText: Column, k: Int, numHashes: Int, numBands: Int): Column =
     Bridge.column(MinHashBandHashes(Bridge.expression(normalizedText), k, numHashes, numBands))
+}
+
+/** Top-level static forwarder target for [[TextExpressions.DeflateRatio]]. */
+object DeflateImpl {
+  /** compressed/raw byte ratio at deflate level 6 (zlib default — the
+    * level the quality-filter literature assumes). Empty → 1.0. */
+  def ratio(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
+    } finally d.end()
+  }
 }
 
 /** Top-level so whole-stage codegen can call the Java static

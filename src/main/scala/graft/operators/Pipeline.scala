@@ -572,6 +572,27 @@ object Pipeline {
       .limit(topK)
   }
 
+  /** Importance-weighted Bernoulli sampling: keep row i with
+    * probability w_i / max(w) — upweights long/high-quality docs
+    * without a global sort or normalization pass beyond one scalar
+    * max. The keep test is EXACT integer arithmetic (hash32 · max_w <
+    * w · 2^32), so no floating-point rate boundary can disagree
+    * between engines, and the decision is stable across reruns,
+    * partitionings, and engines (hash-seeded like every sampler here).
+    * Weights must be non-negative integers (cast upstream).
+    * Output: (id, weight, keep). */
+  def importanceSample(df: DataFrame, idCol: String, weightCol: String,
+                       seed: String = "imp"): DataFrame = {
+    // 32-bit uniform hash from the md5 prefix (the portable-hash recipe)
+    val h32 = conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val mx = df.select(max(col(weightCol).cast("long")).as("__mx"))
+    df.select(col(idCol), col(weightCol).cast("long").as("weight"), h32.as("__h"))
+      .crossJoin(broadcast(mx))
+      .withColumn("keep", col("__h") * col("__mx") < col("weight") * lit(4294967296L))
+      .select(col(idCol), col("weight"), col("keep"))
+  }
+
   /** Snapshot delta between two corpus versions keyed on id — the
     * incremental-pipeline workhorse (what must re-embed / re-dedup /
     * re-shard after a crawl refresh). ONE full-outer hash join

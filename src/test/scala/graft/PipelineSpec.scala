@@ -374,6 +374,20 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map("ab" -> 4L, "ba" -> 1L))
   }
 
+  test("importanceSample: max weight always kept, zero never, repartition-stable") {
+    val docs = (1L to 400L).map(i => (i, if (i == 1) 0L else i % 100 + 1)).toDF("id", "w")
+    val out = Pipeline.importanceSample(docs, "id", "w")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(!out(1L)._2) // zero weight: h*max < 0 is false
+    val mx = out.values.map(_._1).max
+    out.filter(_._2._1 == mx).foreach { case (id, (_, k)) => assert(k, s"max-weight $id dropped") }
+    val kept = out.count(_._2._2)
+    assert(kept > 50 && kept < 350) // ~E[w]/max ≈ half the corpus
+    val re = Pipeline.importanceSample(docs.repartition(7), "id", "w")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(re == out)
+  }
+
   test("corpusDiff classifies added/removed/changed and drops identical") {
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "fp")
     val v2 = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("id", "fp")

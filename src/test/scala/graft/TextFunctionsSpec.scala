@@ -91,6 +91,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getString(4) == ligature)      // NFC leaves compatibility chars
   }
 
+  test("deflateRatio: templated text compresses far below varied text") {
+    import graft.functions.TextExpressions.deflateRatio
+    val spam = Seq.fill(200)("buy now").mkString(" ")
+    val varied = (1 to 200).map(i => s"tok${i * 7919}").mkString(" ")
+    val r = Seq((spam, varied, "")).toDF("s", "v", "e")
+      .select(deflateRatio(col("s")), deflateRatio(col("v")), deflateRatio(col("e"))).head
+    assert(r.getDouble(0) < 0.1)                       // near-pure repetition
+    assert(r.getDouble(1) > r.getDouble(0) * 3)        // varied ≫ templated
+    assert(r.getDouble(2) == 1.0)                      // empty sentinel
+  }
+
   test("qualityStruct fields are sane") {
     val r = one("The quick, brown fox!").select(T.qualityStruct(col("t")).as("q"))
       .select("q.n_chars", "q.n_tokens", "q.punct_ratio", "q.stopword_ratio").head
