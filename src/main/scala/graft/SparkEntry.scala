@@ -1008,6 +1008,12 @@ object SparkEntry {
       // weighted by word frequency (per-word work once, not per token)
       Pipeline.bpePairs(t(s, dir, "documents"), "text", topK = 50)),
 
+    "evt_rfm" -> ((s, dir) =>
+      // recency/frequency/monetary quintiles over purchase events —
+      // exact metrics, id-tie-broken ntile windows
+      TimeSeries.rfm(t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", "ts", "value")),
+
     "sample_importance" -> ((s, dir) =>
       // importance-weighted Bernoulli sample (p = w/max_w, weight =
       // doc length) via an EXACT integer keep test — no float rate
@@ -2352,6 +2358,18 @@ object SparkEntry {
       """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_fp,
                 nfc_normalize(text) <> text AS changed
          FROM documents""",
+
+    "evt_rfm" ->
+      """WITH m AS (SELECT user_id, CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+                           count(*) AS frequency,
+                           sum(CAST(value AS DECIMAL(18,6))) AS mon
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT user_id, last_us, frequency,
+                CAST(round(mon, 2) AS DOUBLE) AS monetary,
+                CAST(ntile(5) OVER (ORDER BY last_us, user_id) AS INT) AS r_quintile,
+                CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS INT) AS f_quintile,
+                CAST(ntile(5) OVER (ORDER BY mon, user_id) AS INT) AS m_quintile
+         FROM m""",
 
     "sample_importance" ->
       """WITH mx AS (SELECT max(n_chars) AS m FROM documents)

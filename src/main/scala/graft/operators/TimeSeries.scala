@@ -273,6 +273,31 @@ object TimeSeries {
       .select(col(userCol), col("day"), col("n_events"), round(col("__z"), 6).as("z"))
   }
 
+  /** RFM (recency / frequency / monetary) user segmentation. One
+    * partial-agg'd groupBy(user) builds the three exact metrics
+    * (integer last-activity µs, integer count, exact decimal sum),
+    * then three ntile(5) windows rank them — each ORDER BY ends in
+    * the user id, so quintile boundaries cannot flip under
+    * repartitioning (the evt_asof tie lesson). Windows are
+    * un-partitioned (a global sort of ONE ROW PER USER — the already-
+    * aggregated relation, not the event stream; at 1B users that is a
+    * sort of 1B short rows, the standard price of exact quantile
+    * ranks).
+    * Output: (user, recency_us, frequency, monetary, r/f/m quintiles). */
+  def rfm(events: DataFrame, userCol: String, tsCol: String,
+          valueCol: String, buckets: Int = 5): DataFrame = {
+    val m = events.groupBy(col(userCol))
+      .agg(max(expr(s"unix_micros($tsCol)")).as("last_us"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("__mon"))
+    val u = col(userCol)
+    m.select(u, col("last_us"), col("frequency"),
+        round(col("__mon"), 2).cast("double").as("monetary"),
+        ntile(buckets).over(Window.orderBy(col("last_us"), u)).as("r_quintile"),
+        ntile(buckets).over(Window.orderBy(col("frequency"), u)).as("f_quintile"),
+        ntile(buckets).over(Window.orderBy(col("__mon"), u)).as("m_quintile"))
+  }
+
   /** Daily actives + trailing `windowDays`-day actives. Spark has no
     * COUNT(DISTINCT) OVER a range window, and a per-day self-join is
     * O(days²) scans — instead every distinct (user, day) cell fans out
