@@ -1083,6 +1083,18 @@ object SparkEntry {
       Pipeline.corpusDiff(v1, v2, "doc_id", "fp")
     }),
 
+    "graph_labelprop" -> ((s, dir) => {
+      // community detection (2 synchronous LP rounds, min-label ties)
+      // on the same bidirected purchase graph as graph_pagerank
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000000L).as("p"))
+        .distinct()
+      val edges = base.select(col("c").as("src"), col("p").as("dst"))
+        .union(base.select(col("p").as("src"), col("c").as("dst")))
+      operators.Graph.labelPropagation(edges, "src", "dst", iters = 2)
+    }),
+
     "graph_pagerank" -> ((s, dir) => {
       // PageRank (2 iterations, exact 2^40 fixed-point integer units)
       // over the bidirected customer↔supplier purchase graph —
@@ -2422,6 +2434,24 @@ object SparkEntry {
                            ELSE 'unchanged' END AS status
                FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
          SELECT doc_id, status FROM j WHERE status <> 'unchanged'""",
+
+    "graph_labelprop" ->
+      """WITH b AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS p
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT c AS src, p AS dst FROM b
+               UNION ALL SELECT p AS src, c AS dst FROM b),
+         c1 AS (SELECT dst, src AS label, count(*) AS c FROM e GROUP BY 1, 2),
+         a1 AS (SELECT dst AS node, label
+                FROM (SELECT dst, label,
+                             row_number() OVER (PARTITION BY dst ORDER BY c DESC, label ASC) AS rn
+                      FROM c1) WHERE rn = 1),
+         c2 AS (SELECT e.dst, a1.label, count(*) AS c
+                FROM e JOIN a1 ON e.src = a1.node GROUP BY 1, 2),
+         a2 AS (SELECT dst AS node, label
+                FROM (SELECT dst, label,
+                             row_number() OVER (PARTITION BY dst ORDER BY c DESC, label ASC) AS rn
+                      FROM c2) WHERE rn = 1)
+         SELECT node, label FROM a2""",
 
     "graph_pagerank" ->
       """WITH b AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS p

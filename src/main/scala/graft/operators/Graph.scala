@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph analytics. PageRank-style propagation is how
@@ -66,5 +67,35 @@ object Graph {
       if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("__r").as("rank"))
+  }
+
+  /** Label propagation (community detection): every node starts as its
+    * own community and repeatedly adopts its neighbors' most frequent
+    * label. Fully deterministic — the adopt choice ranks (count DESC,
+    * label ASC), so ties cannot flip under partitioning or engine; the
+    * usual random-order LP nondeterminism is deliberately traded for
+    * reproducibility (synchronous updates, min-label tie-break).
+    * Feed a bidirected edge list for undirected graphs.
+    *
+    * Per iteration: one edges⋈labels equi-join, one partial-agg'd
+    * groupBy(dst, label), one per-dst window over the small
+    * (dst, distinct-neighbor-label) relation. Output: (node, label). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).cache()
+    var labels = e.select(col("__src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (i <- 1 to iters) {
+      val counts = e.join(labels, col("__src") === col("node"))
+        .groupBy(col("__dst"), col("label")).agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col("__dst"))
+        .orderBy(col("__c").desc, col("label").asc)
+      labels = counts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__dst").as("node"), col("label"))
+      if (i % 5 == 0 && i < iters) labels = labels.localCheckpoint()
+    }
+    labels
   }
 }

@@ -29,6 +29,20 @@ class GraphSpec extends SparkSpec {
     assert(r(0L) > r(1L) * 2) // hub dominates
   }
 
+  test("labelPropagation: disconnected cliques converge to distinct uniform labels") {
+    val clique1 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val clique2 = Seq((10L, 11L), (11L, 12L), (10L, 12L))
+    val edges = bidirect(clique1 ++ clique2)
+    val out = Graph.labelPropagation(edges, "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).map(out).toSet.size == 1)    // one community
+    assert(Seq(10L, 11L, 12L).map(out).toSet.size == 1) // one community
+    assert(out(1L) != out(10L))                         // distinct communities
+    val re = Graph.labelPropagation(edges.repartition(5), "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == out) // deterministic under repartitioning
+  }
+
   test("pagerank: symmetric pair ranks equal and match the closed form") {
     val edges = bidirect(Seq((7L, 8L)))
     val r = Graph.pagerank(edges, "src", "dst", iters = 2)
