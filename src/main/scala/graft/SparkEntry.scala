@@ -1083,6 +1083,20 @@ object SparkEntry {
       Pipeline.corpusDiff(v1, v2, "doc_id", "fp")
     }),
 
+    "graph_triangles" -> ((s, dir) => {
+      // exact triangle count on the PREFERRED-supplier graph (pairs
+      // sharing ≥8 orders — unthresholded co-occurrence is near-
+      // complete at scale and triangle count on a complete graph is
+      // meaningless); degree-ordered orientation keeps the wedge join
+      // O(m^1.5) — no hub blowup
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") >= 8)
+      operators.Graph.triangleCount(pairs, "a", "b")
+    }),
+
     "graph_labelprop" -> ((s, dir) => {
       // community detection (2 synchronous LP rounds, min-label ties)
       // on the same bidirected purchase graph as graph_pagerank
@@ -2434,6 +2448,21 @@ object SparkEntry {
                            ELSE 'unchanged' END AS status
                FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
          SELECT doc_id, status FROM j WHERE status <> 'unchanged'""",
+
+    "graph_triangles" ->
+      """WITH und AS (SELECT x.l_suppkey AS a, y.l_suppkey AS b
+                      FROM lineitem x JOIN lineitem y
+                        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+                      GROUP BY 1, 2 HAVING count(*) >= 8),
+         deg AS (SELECT n, count(*) AS d
+                 FROM (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+                 GROUP BY 1),
+         o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS src,
+                      CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS dst
+               FROM und JOIN deg da ON a = da.n JOIN deg db ON b = db.n)
+         SELECT count(*) AS n_triangles
+         FROM o e1 JOIN o e2 ON e1.dst = e2.src
+                   JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
 
     "graph_labelprop" ->
       """WITH b AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS p

@@ -43,6 +43,18 @@ class GraphSpec extends SparkSpec {
     assert(re == out) // deterministic under repartitioning
   }
 
+  test("triangleCount: K4 has 4, square 0, square+diagonal 2; dup/loop/direction-proof") {
+    def count(pairs: Seq[(Long, Long)]): Long =
+      Graph.triangleCount(pairs.toDF("a", "b"), "a", "b").head().getLong(0)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(count(k4) == 4)
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(count(square) == 0)
+    assert(count(square :+ (1L, 3L)) == 2)
+    // duplicates, self-loops, and reversed duplicates must not change it
+    assert(count(k4 ++ k4.map(_.swap) :+ (2L, 2L)) == 4)
+  }
+
   test("pagerank: symmetric pair ranks equal and match the closed form") {
     val edges = bidirect(Seq((7L, 8L)))
     val r = Graph.pagerank(edges, "src", "dst", iters = 2)
