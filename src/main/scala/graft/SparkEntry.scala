@@ -1008,6 +1008,12 @@ object SparkEntry {
       // weighted by word frequency (per-word work once, not per token)
       Pipeline.bpePairs(t(s, dir, "documents"), "text", topK = 50)),
 
+    "evt_cohort_ltv" -> ((s, dir) =>
+      // weekly-cohort cumulative purchase revenue (exact decimal sums,
+      // cumsum over the aggregated cohort×offset relation)
+      TimeSeries.cohortLtv(t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", "ts", "value", periodDays = 7)),
+
     "evt_rfm" -> ((s, dir) =>
       // recency/frequency/monetary quintiles over purchase events —
       // exact metrics, id-tie-broken ntile windows
@@ -2384,6 +2390,20 @@ object SparkEntry {
       """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_fp,
                 nfc_normalize(text) <> text AS changed
          FROM documents""",
+
+    "evt_cohort_ltv" ->
+      """WITH ue AS (SELECT user_id AS u, epoch_us(ts) // 604800000000 AS p,
+                            CAST(value AS DECIMAL(18,6)) AS v
+                     FROM events WHERE event_type = 'purchase'),
+         ch AS (SELECT u, min(p) AS cw FROM ue GROUP BY 1),
+         cells AS (SELECT cw AS cohort_period, ue.p - cw AS period_offset,
+                          count(DISTINCT ue.u) AS n_users, sum(v) AS rev
+                   FROM ue JOIN ch ON ue.u = ch.u GROUP BY 1, 2)
+         SELECT cohort_period, period_offset, n_users,
+                CAST(round(rev, 2) AS DOUBLE) AS revenue,
+                CAST(round(sum(rev) OVER (PARTITION BY cohort_period ORDER BY period_offset
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS cum_revenue
+         FROM cells""",
 
     "evt_rfm" ->
       """WITH m AS (SELECT user_id, CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,

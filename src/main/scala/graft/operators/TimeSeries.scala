@@ -273,6 +273,31 @@ object TimeSeries {
       .select(col(userCol), col("day"), col("n_events"), round(col("__z"), 6).as("z"))
   }
 
+  /** Cohort lifetime value: users grouped by first-activity period,
+    * revenue accumulated per (cohort, period-offset) cell. Metrics are
+    * exact decimal sums; the running total is a window over the
+    * ALREADY-AGGREGATED (cohort × offset) relation — cohorts² cells,
+    * not events — ordered by the integer offset, so the cumsum is
+    * order-free and engine-exact. Same integer epoch-µs periods as
+    * [[retention]].
+    * Output: (cohort_period, period_offset, n_users, revenue, cum_revenue). */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+                valueCol: String, periodDays: Int = 7): DataFrame = {
+    val periodUs = periodDays.toLong * 86400L * 1000000L
+    val ue = events.select(col(userCol).as("__u"),
+      expr(s"unix_micros($tsCol) div $periodUs").as("__p"),
+      col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("__v"))
+    val cohort = ue.groupBy(col("__u")).agg(min(col("__p")).as("__cw"))
+    val cells = ue.join(cohort, "__u")
+      .groupBy(col("__cw").as("cohort_period"), (col("__p") - col("__cw")).as("period_offset"))
+      .agg(countDistinct(col("__u")).as("n_users"), sum(col("__v")).as("__rev"))
+    val w = Window.partitionBy(col("cohort_period")).orderBy(col("period_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.select(col("cohort_period"), col("period_offset"), col("n_users"),
+      round(col("__rev"), 2).cast("double").as("revenue"),
+      round(sum(col("__rev")).over(w), 2).cast("double").as("cum_revenue"))
+  }
+
   /** RFM (recency / frequency / monetary) user segmentation. One
     * partial-agg'd groupBy(user) builds the three exact metrics
     * (integer last-activity µs, integer count, exact decimal sum),
