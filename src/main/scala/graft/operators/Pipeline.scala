@@ -377,14 +377,20 @@ object Pipeline {
         T.repetitionRatio(col(textCol), 3) < maxRepetition)
       .withColumn(textCol, P.scrub(col(textCol)))
     val wFp = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    // cached: three consumers (simhash pairs, keep-list, final join)
+    // would otherwise re-run the quality filter + regex scrub + dedup
+    // window each — the scrub regexes dominate the pipeline's cost.
+    // Session-scoped cache, same contract as Dedup's candidate caches
+    // (Bench clearCache()s between queries).
     val exact = cleaned
       .withColumn("__fp", md5(T.normText(col(textCol))))
       .withColumn("__rn", row_number().over(wFp))
       .filter(col("__rn") === 1).drop("__fp", "__rn")
+      .cache()
     val pairs = Dedup.simhashPairs(exact, idCol, textCol, maxHamming = maxHamming)
     val keepIds = Dedup.dedupeKeepList(exact, pairs, idCol)
       .filter(col("keep")).select(col("id").as(idCol))
-    val kept = exact.join(keepIds, idCol)
+    val kept = exact.join(keepIds, idCol).cache()
     shuffleShard(kept.select(col(idCol)), idCol, nShards, hashed = true)
       .join(kept.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol), col(textCol), col("shard"), col("pos"))
