@@ -1020,6 +1020,13 @@ object SparkEntry {
       TimeSeries.rfm(t(s, dir, "events").filter(col("event_type") === "purchase"),
         "user_id", "ts", "value")),
 
+    "text_feature_hash" -> ((s, dir) =>
+      // hashing-trick featurizer (16 slots, md5 gate hash) — dense
+      // vector posexploded to rows for the value-level oracle compare
+      Pipeline.featureHash(t(s, dir, "documents"), "doc_id", "text", dim = 16)
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("slot", "n")))
+        .select(col("doc_id"), col("slot").cast("int").as("slot"), col("n"))),
+
     "sample_importance" -> ((s, dir) =>
       // importance-weighted Bernoulli sample (p = w/max_w, weight =
       // doc length) via an EXACT integer keep test — no float rate
@@ -1221,6 +1228,15 @@ object SparkEntry {
     * driver's `queries` contract, so CORRECTNESS stays 100%
     * hash-checked. */
   def perfQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_quantiles_prod" -> ((s, dir) =>
+      // the 100-TB quantile path: approx_percentile (one-pass
+      // mergeable sketch, no sort) — exactness traded for a fixed
+      // accuracy budget; the exact sort-based twin is gated
+      t(s, dir, "documents").groupBy("lang").agg(
+        approx_percentile(col("n_chars"), lit(0.25), lit(10000)).as("q1_chars"),
+        approx_percentile(col("n_chars"), lit(0.5), lit(10000)).as("med_chars"),
+        approx_percentile(col("n_chars"), lit(0.75), lit(10000)).as("q3_chars"))),
+
     "text_compress_prod" -> ((s, dir) =>
       // deflate-ratio quality signal (native codegen expression); no
       // SQL oracle exists (DuckDB has no deflate) → spec-pinned, benched
@@ -2416,6 +2432,16 @@ object SparkEntry {
                 CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS INT) AS f_quintile,
                 CAST(ntile(5) OVER (ORDER BY mon, user_id) AS INT) AS m_quintile
          FROM m""",
+
+    "text_feature_hash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS t FROM documents),
+          cnt AS (SELECT doc_id, ('0x' || substr(md5('fh:' || t), 1, 8))::BIGINT % 16 AS s,
+                         count(*) AS c
+                  FROM tok GROUP BY 1, 2)
+          SELECT d.doc_id, CAST(r.i AS INT) AS slot, CAST(coalesce(c, 0) AS BIGINT) AS n
+          FROM (SELECT DISTINCT doc_id FROM cnt) d
+          CROSS JOIN (SELECT unnest(range(0, 16)) AS i) r
+          LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.s = r.i""",
 
     "sample_importance" ->
       """WITH mx AS (SELECT max(n_chars) AS m FROM documents)

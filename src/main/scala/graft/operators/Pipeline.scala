@@ -599,6 +599,29 @@ object Pipeline {
       .select(col(idCol), col("weight"), col("keep"))
   }
 
+  /** Hashing-trick featurizer: token counts folded into a fixed
+    * `dim`-wide integer vector by token hash — the classical
+    * vocabulary-free sparse encoder (no dictionary pass, no OOV).
+    * Map-side explode + ONE partial-agg'd groupBy(doc, slot); the
+    * dense array assembles per doc from a slot→count map (key lookup —
+    * collect order irrelevant). Gate mode md5 (oracle-recomputable);
+    * `hashed = true` → xxhash64. Output: (id, features: array<long>). */
+  def featureHash(docs: DataFrame, idCol: String, textCol: String,
+                  dim: Int = 16, seed: String = "fh",
+                  hashed: Boolean = false): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val tok = docs.select(col(idCol), explode(T.tokens(col(textCol))).as("__t"))
+    val slot = if (hashed) pmod(xxhash64(lit(s"$seed:"), col("__t")), lit(dim.toLong))
+      else md5Bucket(col("__t"), seed, dim)
+    tok.select(col(idCol), slot.as("__s"))
+      .groupBy(col(idCol), col("__s")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__s"), col("__c")))).as("__m"))
+      .select(col(idCol),
+        expr(s"transform(sequence(0, ${dim - 1}), i -> coalesce(element_at(__m, CAST(i AS BIGINT)), 0L))")
+          .as("features"))
+  }
+
   /** Snapshot delta between two corpus versions keyed on id — the
     * incremental-pipeline workhorse (what must re-embed / re-dedup /
     * re-shard after a crawl refresh). ONE full-outer hash join

@@ -388,6 +388,21 @@ class PipelineSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("featureHash: counts land in hash slots, sum preserved, hashed twin same shape") {
+    val docs = Seq((1L, "a b a"), (2L, "c")).toDF("doc_id", "text")
+    val out = Pipeline.featureHash(docs, "doc_id", "text", dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L).sum == 3 && out(2L).sum == 1) // token mass preserved
+    assert(out(1L).length == 8 && out(1L).max == 2) // 'a' twice, same slot
+    val hashed = Pipeline.featureHash(docs, "doc_id", "text", dim = 8, hashed = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(hashed(1L).sum == 3 && hashed(1L).length == 8)
+    // deterministic across partitionings
+    val re = Pipeline.featureHash(docs.repartition(3), "doc_id", "text", dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(re == out)
+  }
+
   test("corpusDiff classifies added/removed/changed and drops identical") {
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "fp")
     val v2 = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("id", "fp")
