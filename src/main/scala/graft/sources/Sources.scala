@@ -151,6 +151,32 @@ final case class JsonSink(path: String, mode: SaveMode = SaveMode.Overwrite) ext
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(path)
 }
 
+/** Raw-text ingestion — the LLM-corpus formats eel predates. Two
+  * shapes: line mode (one row per line, the .txt/.jsonl-adjacent
+  * layout; splittable, so a 100 GB file fans out across executors)
+  * and whole-file mode (one row per document file with its path —
+  * `wholetext`, for doc-per-file corpora; NOT splittable, parallelism
+  * = file count). Output: value STRING (+ input_file_name as `path`
+  * in whole-file mode). */
+final case class TextSource(path: String, wholeFile: Boolean = false,
+                            lineSep: Option[String] = None) extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    var r = spark.read
+    if (wholeFile) r = r.option("wholetext", "true")
+    lineSep.foreach(s => r = r.option("lineSep", s))
+    val df = r.text(path)
+    if (wholeFile)
+      df.withColumn("path", org.apache.spark.sql.functions.input_file_name())
+    else df
+  }
+}
+
+/** Line-oriented text sink (single STRING column; the training-export
+  * counterpart of [[TextSource]] line mode). */
+final case class TextSink(path: String, mode: SaveMode = SaveMode.Overwrite) extends Sink {
+  def write(df: DataFrame): Unit = df.write.mode(mode).text(path)
+}
+
 /** reference: eel-orc/src/main/scala/io/eels/component/orc/OrcSource.scala */
 final case class OrcSource(paths: String*) extends Source {
   def read(spark: SparkSession): DataFrame = spark.read.orc(paths: _*)

@@ -168,4 +168,22 @@ class SourcesSpec extends SparkSpec {
       CsvSource(p, schema = Some(schema), mode = "FAILFAST").read(spark).collect()
     }
   }
+
+  test("text source: line mode rows, whole-file mode one row per doc with path") {
+    val base = java.nio.file.Files.createTempDirectory("graft_text").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/a.txt"),
+      "line one\nline two\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/b.txt"),
+      "doc two body\nwith newline\n".getBytes("UTF-8"))
+    val lines = TextSource(base).read(spark).collect().map(_.getString(0)).sorted
+    assert(lines.toSeq == Seq("doc two body", "line one", "line two", "with newline"))
+    val docs = TextSource(base, wholeFile = true).read(spark)
+      .collect().map(r => r.getString(1).split('/').last -> r.getString(0)).toMap
+    assert(docs.keySet == Set("a.txt", "b.txt"))
+    assert(docs("a.txt") == "line one\nline two\n") // whole file, newlines kept
+    // sink roundtrip (line mode)
+    val out = s"$base/out"
+    TextSink(out).write(TextSource(base).read(spark))
+    assert(TextSource(out).read(spark).count() == 4)
+  }
 }
