@@ -1096,6 +1096,18 @@ object SparkEntry {
       Pipeline.corpusDiff(v1, v2, "doc_id", "fp")
     }),
 
+    "graph_pagerank_weighted" -> ((s, dir) => {
+      // weighted pagerank: edge weight = shared-order count, share =
+      // (rank·w) div Σw — still pure integer arithmetic
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"), (col("l_suppkey") + 1000000000L).as("p"))
+        .agg(count(lit(1)).as("w"))
+      val edges = base.select(col("c").as("src"), col("p").as("dst"), col("w"))
+        .union(base.select(col("p").as("src"), col("c").as("dst"), col("w")))
+      operators.Graph.pagerank(edges, "src", "dst", iters = 2, weightCol = Some("w"))
+    }),
+
     "graph_triangles" -> ((s, dir) => {
       // exact triangle count on the PREFERRED-supplier graph (pairs
       // sharing ≥8 orders — unthresholded co-occurrence is near-
@@ -2494,6 +2506,27 @@ object SparkEntry {
                            ELSE 'unchanged' END AS status
                FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
          SELECT doc_id, status FROM j WHERE status <> 'unchanged'""",
+
+    "graph_pagerank_weighted" ->
+      """WITH b AS (SELECT o_custkey AS c, l_suppkey + 1000000000 AS p, count(*) AS w
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+         e AS (SELECT c AS src, p AS dst, w FROM b
+               UNION ALL SELECT p AS src, c AS dst, w FROM b),
+         deg AS (SELECT src AS node, sum(w) AS d FROM e GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM deg),
+         r0 AS (SELECT node, d, 1099511627776 // n AS r FROM deg, nn),
+         s1 AS (SELECT e.dst AS node, sum(r0.r * e.w // r0.d) AS s
+                FROM e JOIN r0 ON e.src = r0.node GROUP BY 1),
+         r1 AS (SELECT r0.node, r0.d,
+                       (3 * 1099511627776 // 20) // n + 17 * coalesce(s1.s, 0) // 20 AS r
+                FROM r0 LEFT JOIN s1 ON r0.node = s1.node, nn),
+         s2 AS (SELECT e.dst AS node, sum(r1.r * e.w // r1.d) AS s
+                FROM e JOIN r1 ON e.src = r1.node GROUP BY 1),
+         r2 AS (SELECT r1.node,
+                       (3 * 1099511627776 // 20) // n + 17 * coalesce(s2.s, 0) // 20 AS r
+                FROM r1 LEFT JOIN s2 ON r1.node = s2.node, nn)
+         SELECT node, CAST(r AS BIGINT) AS rank FROM r2""",
 
     "graph_triangles" ->
       """WITH und AS (SELECT x.l_suppkey AS a, y.l_suppkey AS b

@@ -32,7 +32,7 @@ object Graph {
     *
     * Output: (node, rank) with rank in units of 2^-40 total mass. */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int): DataFrame = {
+               iters: Int, weightCol: Option[String] = None): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     // cache the (possibly expensive) edge derivation — without this
     // every iteration re-executes the upstream lineage (the gate
@@ -42,11 +42,16 @@ object Graph {
     // first use. Session-scoped (same caller-managed-cache contract
     // as Dedup's candidate caches; Bench clearCache()s between
     // queries).
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    // Weighted form: share = (rank · w_e) div Σw(src) — still pure
+    // integer arithmetic; weights must be positive longs with
+    // max_w < 2^22 so rank·w stays inside a 63-bit long.
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        w.as("__w"))
       .cache()
-    // out-degrees double as the node relation (every node has out-edges)
+    // out-weights double as the node relation (every node has out-edges)
     val deg = e.groupBy(col("__src").as("node"))
-      .agg(count(lit(1)).as("__deg"))
+      .agg(sum(col("__w")).as("__deg"))
     val n = deg.select(count(lit(1)).as("__n"))
     // base = ((3·T div 20) div N): the (1−d) teleport share, one
     // integer per graph — broadcast with the node count
@@ -57,7 +62,7 @@ object Graph {
       val contrib = e
         .join(ranks, col("__src") === col("node"))
         .groupBy(col("__dst"))
-        .agg(sum(expr("__r div __deg")).as("__s"))
+        .agg(sum(expr("(__r * __w) div __deg")).as("__s"))
       ranks = ranks.join(contrib, col("node") === col("__dst"), "left_outer")
         .select(col("node"), col("__deg"), col("__n"),
           (expr(s"(3 * ${TotalUnits}L div 20) div __n") +

@@ -29,6 +29,23 @@ class GraphSpec extends SparkSpec {
     assert(r(0L) > r(1L) * 2) // hub dominates
   }
 
+  test("pagerank weighted: unit weights equal unweighted; heavy edge pulls rank") {
+    val edges = bidirect(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    val unw = Graph.pagerank(edges, "src", "dst", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unit = Graph.pagerank(edges.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+      "src", "dst", 2, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unit == unw)
+    // path 1-2-3: edge (2,3) weighted 9 vs (1,2) weight 1 — node 3
+    // receives almost all of node 2's mass, so it must outrank node 1
+    val wEdges = (Seq((1L, 2L, 1L), (2L, 3L, 9L)) ++ Seq((2L, 1L, 1L), (3L, 2L, 9L)))
+      .toDF("src", "dst", "w")
+    val wr = Graph.pagerank(wEdges, "src", "dst", 2, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wr(3L) > wr(1L) * 3)
+  }
+
   test("labelPropagation: disconnected cliques converge to distinct uniform labels") {
     val clique1 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
     val clique2 = Seq((10L, 11L), (11L, 12L), (10L, 12L))
