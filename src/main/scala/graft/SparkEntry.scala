@@ -1008,6 +1008,21 @@ object SparkEntry {
       // weighted by word frequency (per-word work once, not per token)
       Pipeline.bpePairs(t(s, dir, "documents"), "text", topK = 50)),
 
+    "evt_attribution" -> ((s, dir) => {
+      // last-touch attribution: each purchase credits its value to the
+      // most recent preceding view (as-of join), revenue rolled up by
+      // attributed view hour. Tie-immune: same-ts views share the hour.
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("ts").as("touch_ts"))
+      TimeSeries.asofJoin(purchases, views, "user_id", "ts", "view_ts", Seq("touch_ts"))
+        .filter(col("touch_ts").isNotNull)
+        .groupBy(date_trunc("hour", col("touch_ts")).as("view_hour"))
+        .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("revenue"))
+    }),
+
     "evt_cohort_ltv" -> ((s, dir) =>
       // weekly-cohort cumulative purchase revenue (exact decimal sums,
       // cumsum over the aggregated cohort×offset relation)
@@ -2418,6 +2433,15 @@ object SparkEntry {
       """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_fp,
                 nfc_normalize(text) <> text AS changed
          FROM documents""",
+
+    "evt_attribution" ->
+      """SELECT CAST(date_trunc('hour', v.ts) AS TIMESTAMP) AS view_hour,
+                count(*) AS n_purchases,
+                CAST(round(sum(CAST(p.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+         FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+         ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id AND v.ts <= p.ts
+         GROUP BY 1""",
 
     "evt_cohort_ltv" ->
       """WITH ue AS (SELECT user_id AS u, epoch_us(ts) // 604800000000 AS p,
