@@ -1,7 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Headline benchmark. Prints ONE JSON line: total seconds + per-query.
+/** Headline benchmark. The LAST stdout line is one compact totals-only
+  * JSON record (guaranteed to fit the driver's bounded stdout tail);
+  * the full per-query map is written to `BENCH.json` (override with
+  * SPARK_GRAFT_BENCH_OUT).
   *
   * Noise discipline:
   *   - Each query is warmed twice (sf0.001 compiles every generated
@@ -86,9 +89,6 @@ object Bench {
     }
     val gate = measure(gateNames)
     val prod = measure(prodNames)
-    // Millisecond precision keeps the whole line comfortably inside the
-    // driver's 2000-char stdout tail window (full-precision doubles for
-    // 64+ queries overflow it and the driver records parsed:null).
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def toJson(rs: Seq[(String, Double)]) =
@@ -96,7 +96,18 @@ object Bench {
     val total = gate.map(_._2).sum
     val prodTotal = prod.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries":${toJson(gate)},"prod":${toJson(prod)},"prod_total":${fmt(prodTotal)},"failed":$failedJson,"sf":"$sfDir"}""")
+    // The full per-query map outgrew the driver's bounded stdout tail
+    // at 128 gate queries (BENCH_r06.json captured a cut line →
+    // parsed:null). So: the complete per-query JSON goes to a FILE,
+    // and the LAST stdout line is a compact totals-only record that
+    // always fits the captured tail.
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries":${toJson(gate)},"prod":${toJson(prod)},"prod_total":${fmt(prodTotal)},"failed":$failedJson,"sf":"$sfDir"}"""
+    val benchFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json"))
+    java.nio.file.Files.write(benchFile,
+      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[bench] full per-query JSON written to $benchFile")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"n":${gate.size},"prod_total":${fmt(prodTotal)},"prod_n":${prod.size},"failed":$failedJson,"sf":"$sfDir","detail":"BENCH.json"}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -330,15 +330,26 @@ object SparkEntry {
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("profit"))),
 
-    "q10_returned_items" -> ((s, dir) =>
-      // TPC-H Q10 adaptation: top 20 customers by returned-item revenue
-      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    "q10_returned_items" -> ((s, dir) => {
+      // TPC-H Q10 adaptation: top 20 customers by returned-item revenue.
+      // Returned-line revenue is pre-aggregated per order BEFORE the
+      // orders/customer joins: ~4 lines/order collapse to one row, so
+      // the join input shrinks ~4× and the customer-level agg sees one
+      // row per order. Decimal addition is exact and associative, so
+      // the two-level sum is bit-identical to the single-level dsum
+      // (per-term DECIMAL(18,6) cast, round(2) only at the end).
+      val rev = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6))).as("__rev"))
+      rev
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .agg(round(sum(col("__rev")), 2).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
-        .limit(20)),
+        .limit(20)
+    }),
 
     "q_window_topn" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderstatus"))

@@ -234,20 +234,27 @@ object TextExpressions {
 
 /** Top-level static forwarder target for [[TextExpressions.DeflateRatio]]. */
 object DeflateImpl {
+  // One native Deflater per task thread, reset() between rows: the
+  // zlib stream init/teardown of a per-row `new Deflater` dominates
+  // the cost of compressing short documents. ThreadLocal is the right
+  // scope — expression eval is single-threaded per task, and distinct
+  // tasks run on distinct executor threads.
+  private val deflater: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Deflater(6, true))
+
   /** compressed/raw byte ratio at deflate level 6 (zlib default — the
     * level the quality-filter literature assumes). Empty → 1.0. */
   def ratio(s: UTF8String): Double = {
     val bytes = s.getBytes
     if (bytes.length == 0) return 1.0
-    val d = new java.util.zip.Deflater(6, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total.toDouble / bytes.length
-    } finally d.end()
+    val d = deflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
   }
 }
 

@@ -209,6 +209,10 @@ object Dedup {
     * batch arrived), append the new rows. Band geometry must match the
     * store's (it is derived from the same (threshold, numHashes)
     * defaults — pass the same values used at [[writeMinhashState]]).
+    * Re-submitting an already-stored id is a no-op by policy: the
+    * stored signature wins, changed text is NOT re-signed (delete the
+    * store row first to re-ingest), and the id does not count as a
+    * "new side" — so its previously-reported pairs never re-emit.
     * Returns (id_l, id_r, jaccard) like [[minhashPairs]]. */
   def incrementalMinhashPairs(newDocs: DataFrame, idCol: String, textCol: String,
                               statePath: String,
@@ -218,7 +222,11 @@ object Dedup {
     val spark = newDocs.sparkSession
     val newState = minhashState(newDocs, idCol, textCol, shingleK, numHashes, bands).cache()
     val oldState = spark.read.parquet(statePath).select(col(idCol), col("bands"), col("sh"))
+    // ids genuinely absent from the store — derived POST-merge, not
+    // from the raw batch: a re-submitted id keeps its stored state, so
+    // counting it as "new" would re-emit its old pairs every batch
     val newIds = newState.select(col(idCol))
+      .join(oldState.select(col(idCol)), Seq(idCol), "left_anti")
     // a re-submitted id keeps its STORED row (min_by on the boolean:
     // false = old wins — deterministic)
     val all = oldState.select(col(idCol), col("bands"), col("sh"), lit(false).as("__new"))

@@ -34,44 +34,69 @@ object Graph {
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, weightCol: Option[String] = None): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
-    // cache the (possibly expensive) edge derivation — without this
-    // every iteration re-executes the upstream lineage (the gate
-    // query's fact-fact join ran 8× for 2 iterations). In-memory
-    // cache, not localCheckpoint: the blocking checkpoint write cost
-    // more than it saved at bench scale, while the cache is free on
-    // first use. Session-scoped (same caller-managed-cache contract
-    // as Dedup's candidate caches; Bench clearCache()s between
-    // queries).
     // Weighted form: share = (rank · w_e) div Σw(src) — still pure
     // integer arithmetic; weights must be positive longs with
-    // max_w < 2^22 so rank·w stays inside a 63-bit long.
-    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
-        w.as("__w"))
-      .cache()
-    // out-weights double as the node relation (every node has out-edges)
-    val deg = e.groupBy(col("__src").as("node"))
+    // max_w < 2^22 so rank·w stays inside a 63-bit long. Both bounds
+    // are enforced per-row below (a codegen'd compare, no extra
+    // action): a zero/negative weight would silently drop mass via
+    // null division and an oversized one overflows to negative ranks.
+    val w = weightCol match {
+      case Some(c) =>
+        val wc = col(c).cast("long")
+        when(wc.isNull || wc <= 0L || wc >= (1L << 22),
+          raise_error(concat(lit("pagerank: weight out of range (0, 2^22): "),
+            col(c).cast("string"))).cast("long")).otherwise(wc)
+      case None => lit(1L)
+    }
+    // Loop invariants, cached once (in-memory cache, not
+    // localCheckpoint: the blocking checkpoint write cost more than it
+    // saved at bench scale, while the cache is free on first use).
+    // Without the edge cache every iteration re-executes the upstream
+    // lineage (the gate query's fact-fact join ran 8× for 2
+    // iterations). __deg (the out-weight sum) rides ON the edge
+    // relation so the per-iteration plan needs exactly one reference
+    // to the previous ranks — lineage depth stays LINEAR in iters.
+    // (The previous shape joined old ranks twice per iteration —
+    // contrib and the rebuild — doubling the unmaterialized plan every
+    // step: 2^k recompute between checkpoints at production iteration
+    // counts.)
+    val e0 = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      w.as("__w"))
+    val deg = e0.groupBy(col("__src").as("node"))
       .agg(sum(col("__w")).as("__deg"))
+    // out-weights double as the node relation (every node has out-edges)
     val n = deg.select(count(lit(1)).as("__n"))
-    // base = ((3·T div 20) div N): the (1−d) teleport share, one
-    // integer per graph — broadcast with the node count
-    var ranks = deg.crossJoin(broadcast(n))
-      .select(col("node"), col("__deg"), col("__n"),
-        expr(s"${TotalUnits}L div __n").as("__r"))
+    val e = e0.join(deg, e0("__src") === deg("node"))
+      .select(col("__src"), col("__dst"), col("__w"), col("__deg"))
+      .cache()
+    // nodes = (node, __n): the rebuild skeleton. base teleport share
+    // = (3·T div 20) div N, derived per row from the broadcast count.
+    val nodes = deg.select(col("node")).crossJoin(broadcast(n)).cache()
+    var ranks = nodes.select(col("node"), expr(s"${TotalUnits}L div __n").as("__r"))
     for (i <- 1 to iters) {
       val contrib = e
         .join(ranks, col("__src") === col("node"))
         .groupBy(col("__dst"))
         .agg(sum(expr("(__r * __w) div __deg")).as("__s"))
-      ranks = ranks.join(contrib, col("node") === col("__dst"), "left_outer")
-        .select(col("node"), col("__deg"), col("__n"),
+      // rebuild from the cached skeleton ⟕ contrib — NOT from the old
+      // ranks — so ranks_i appears exactly once in ranks_{i+1}'s plan
+      ranks = nodes.join(contrib, col("node") === col("__dst"), "left_outer")
+        .select(col("node"),
           (expr(s"(3 * ${TotalUnits}L div 20) div __n") +
             expr("17 * coalesce(__s, 0L) div 20")).as("__r"))
-      // bound plan depth for long runs; short runs skip the (blocking)
-      // checkpoint barrier entirely
-      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      // bound analyzer/codegen cost for long runs (lineage is linear
+      // now, so this is plan-SIZE hygiene, not a recompute guard);
+      // short runs skip the (blocking) checkpoint barrier entirely
+      if (i % 10 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
-    ranks.select(col("node"), col("__r").as("rank"))
+    // materialize the final ranks (node-count rows — cheap) so the
+    // operator's caches can be dropped before returning: the caller
+    // gets a checkpoint-backed relation with no live cache behind it
+    val out = ranks.select(col("node"), col("__r").as("rank"))
+    if (iters == 0) { e.unpersist(); nodes.unpersist(); return out }
+    val sealed0 = out.localCheckpoint()
+    e.unpersist(); nodes.unpersist()
+    sealed0
   }
 
   /** Label propagation (community detection): every node starts as its
@@ -131,10 +156,16 @@ object Graph {
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
           col("b")).otherwise(col("a")).as("dst"))
       .cache()
-    o.as("e1")
+    // the result is one row — materialize it eagerly (cheap) so the
+    // orientation cache can be dropped before returning instead of
+    // living for the rest of the session
+    val res = o.as("e1")
       .join(o.as("e2"), col("e1.dst") === col("e2.src"))
       .join(o.as("e3"),
         col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint()
+    o.unpersist()
+    res
   }
 }

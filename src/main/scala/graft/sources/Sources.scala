@@ -112,8 +112,26 @@ final case class CsvSource(path: String,
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .option("mode", mode)
     corruptColumn.foreach(c => r = r.option("columnNameOfCorruptRecord", c))
-    val resolved = schema.orElse(
+    val declared = schema.orElse(
       inferrer.map(inf => SchemaInferrer.schemaFor(spark, inf, path, delimiter)))
+    // Spark only honors columnNameOfCorruptRecord when the column is
+    // present in an EXPLICIT read schema — with inference (or the
+    // all-strings default) the option is silently inert. So when a
+    // corrupt column is requested without a declared schema, read once
+    // to obtain the inferred/all-strings schema, then re-read with it
+    // so the corrupt column can be appended.
+    val resolved = declared.orElse {
+      if (corruptColumn.isEmpty) None
+      else {
+        var probe = spark.read
+          .option("header", header.toString)
+          .option("sep", delimiter)
+          .option("nullValue", nullValue)
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        if (inferSchema) probe = probe.option("inferSchema", "true")
+        Some(probe.csv(path).schema)
+      }
+    }
       // the corrupt-record column must exist in the read schema
       .map(s => corruptColumn.filterNot(s.fieldNames.contains)
         .map(c => s.add(c, org.apache.spark.sql.types.StringType)).getOrElse(s))

@@ -311,15 +311,36 @@ object StreamOps {
           val dyn = Map("partitionOverwriteMode" -> "dynamic")
           merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).options(dyn)
             .partitionBy("window_start").parquet(countsPath)
-          merged
+          // TopKAggregate ids are longs; a non-numeric key (string
+          // hashtag — the canonical trending key) would cast to NULL
+          // and corrupt the ranking. Integral keys ride through as
+          // themselves; anything else ranks by xxhash64(key) and
+          // joins the key text back after the top-k.
+          val keyIsIntegral = merged.schema(keyCol).dataType match {
+            case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+            case _ => false
+          }
+          val keyed = merged.withColumn("__kid",
+            if (keyIsIntegral) col(keyCol).cast("long") else xxhash64(col(keyCol)))
+          val ranked = keyed
             .groupBy(col("window_start"))
             .agg(graft.functions.TopKAggregate.topK(
-              col("n_events").cast("double"), col(keyCol).cast("long"), k).as("__top"))
+              col("n_events").cast("double"), col("__kid"), k).as("__top"))
             .select(col("window_start"), posexplode(col("__top")).as(Seq("__r", "__e")))
-            .select(col("window_start"), col("__e.id").as(keyCol),
+            .select(col("window_start"), col("__e.id").as("__kid"),
               col("__e.score").cast("long").as("n_events"),
               (col("__r") + 1).cast("int").as("rank"))
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).options(dyn)
+          val out =
+            if (keyIsIntegral)
+              ranked.select(col("window_start"), col("__kid").as(keyCol),
+                col("n_events"), col("rank"))
+            else
+              ranked.join(
+                  keyed.select(col("window_start"), col("__kid"), col(keyCol)).distinct(),
+                  Seq("window_start", "__kid"))
+                .select(col("window_start"), col(keyCol), col("n_events"), col("rank"))
+          out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).options(dyn)
             .partitionBy("window_start").parquet(rankedPath)
         }
         ()
