@@ -270,6 +270,22 @@ final case class Gds(df: DataFrame) {
     }
   }
 
+  // ---- typed materialization (eel Source.scala:28-33 `load[T]`) --------
+  /** Typed view over the stream. eel's `load[T]` marshals collected
+    * rows into case classes with Jackson AT THE DRIVER; the Spark twin
+    * is an Encoder-backed Dataset — deserialization is codegen'd and
+    * runs distributed, so the typed surface costs nothing until (and
+    * unless) rows are brought local. Columns resolve to constructor
+    * fields by name (case-insensitive); extra columns are dropped. */
+  def as[T <: Product: scala.reflect.runtime.universe.TypeTag]: org.apache.spark.sql.Dataset[T] =
+    df.as[T](Encoders.product[T])
+
+  /** eel `load[T]`: materialize the whole stream as case-class
+    * instances at the driver. Driver-memory-bound by definition —
+    * prefer [[as]]`.map/filter/...` to keep the typed work distributed. */
+  def loadAs[T <: Product: scala.reflect.runtime.universe.TypeTag]: Seq[T] =
+    as[T].collect().toSeq
+
   // ---- actions (eel DataStream.scala:894-1010) -------------------------
   def collect: Seq[Row] = notifying("collect")(df.collect().toSeq)(_.length.toLong)
   def collectValues: Seq[Seq[Any]] = collect.map(_.toSeq)

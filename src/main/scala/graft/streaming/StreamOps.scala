@@ -155,6 +155,90 @@ object StreamOps {
       })
   }
 
+  final case class TouchEvent(key: Long, isView: Boolean, tsMicros: Long,
+                              value: Double, eventTime: java.sql.Timestamp)
+  /** Per-user last-view timestamp (µs). */
+  final case class LastTouchState(viewTs: Long)
+  /** One attributed purchase; touch_ts is None when no view preceded
+    * the purchase inside the lookback window. */
+  final case class AttributedPurchase(user_id: Long, purchase_ts: Long,
+                                      touch_ts: Option[Long], value: Double)
+
+  /** Streaming last-touch attribution — the incremental twin of the
+    * batch as-of join in evt_attribution: each purchase credits its
+    * value to the user's most recent view at-or-before it (equal
+    * timestamps match, like the batch as-of where right rows sort
+    * before left at a tie), provided the view is within
+    * `lookbackHours`.
+    *
+    * State is ONE long per user (the last view time) — bounded by
+    * |active users|, not event volume. Unlike funnelStream's
+    * tombstones (where eviction would let a late event restart the
+    * funnel and double-count), eviction here is SEMANTICALLY correct:
+    * the state expires exactly when the view leaves the attribution
+    * window, i.e. when it could no longer be credited anyway — so the
+    * timeout is the lookback horizon, enforced with an event-time
+    * timer against the watermark.
+    *
+    * In-order replay reproduces the batch result exactly (spec-pinned).
+    * Out-of-order arrival within the watermark degrades safely: a
+    * purchase never credits a view that is AFTER it (the viewTs <=
+    * purchase guard), at worst reporting unattributed where the batch
+    * would have found an older view. */
+  def attributionStream(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, valueCol: String,
+                        viewType: String = "view", purchaseType: String = "purchase",
+                        lookbackHours: Long = 24 * 365, watermarkMinutes: Int = 0): Dataset[AttributedPurchase] = {
+    implicit val evEnc = Encoders.product[TouchEvent]
+    implicit val stEnc = Encoders.product[LastTouchState]
+    implicit val outEnc = Encoders.product[AttributedPurchase]
+    implicit val longEnc = Encoders.scalaLong
+    val lookbackMicros = lookbackHours * 3600L * 1000000L
+    val keyed = events
+      .filter(col(typeCol).isin(viewType, purchaseType))
+      .select(col(userCol).cast("long").as("key"),
+        (col(typeCol) === viewType).as("isView"),
+        unix_micros(col(tsCol).cast("timestamp")).as("tsMicros"),
+        coalesce(col(valueCol).cast("double"), lit(0.0)).as("value"),
+        col(tsCol).cast("timestamp").as("eventTime"))
+      .withWatermark("eventTime", s"$watermarkMinutes minutes")
+      .as[TouchEvent]
+      .groupByKey(_.key)
+    keyed.flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+      (key: Long, it: Iterator[TouchEvent], state: GroupState[LastTouchState]) => {
+        if (state.hasTimedOut) {
+          // the stored view aged out of the lookback window — it can
+          // never be credited again, so removal loses nothing
+          state.remove()
+          Iterator.empty
+        } else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttributedPurchase]
+          var last = state.getOption.map(_.viewTs)
+          // views before purchases at equal ts — the batch as-of's
+          // side ordering
+          it.toSeq.sortBy(e => (e.tsMicros, !e.isView)).foreach { e =>
+            if (e.isView) {
+              if (!last.exists(_ > e.tsMicros)) last = Some(e.tsMicros)
+            } else {
+              val touch = last.filter(v =>
+                v <= e.tsMicros && e.tsMicros - v <= lookbackMicros)
+              out += AttributedPurchase(key, e.tsMicros, touch, e.value)
+            }
+          }
+          last.foreach { v =>
+            state.update(LastTouchState(v))
+            // expire when the view leaves the window; never set a
+            // timer behind the watermark (Spark rejects it)
+            state.setTimeoutTimestamp(
+              math.max(v / 1000L + lookbackMicros / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+        }
+      })
+  }
+
   /** Streaming exact dedup: drop rows whose `idCols` were already seen
     * within the watermark horizon — the streaming twin of Dedup.exact.
     * State is bounded by the watermark (expired keys are evicted), so

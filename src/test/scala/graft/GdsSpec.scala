@@ -215,4 +215,21 @@ import graft.sources.Predicates._
     assert(lj.count == 4) // 1 matches twice, 2 null-filled, 3 once
     assert(lj.filter(col("k") === 2L).head.isNullAt(2))
   }
+
+  test("as[T]/loadAs[T] round-trip case classes (eel load[T] parity)") {
+    // typed view stays distributed: map on the Dataset, then collect
+    val ds = people.filter(col("age") > 26).as[GdsSpec.Person]
+    assert(ds.map(_.name).collect().sorted.toSeq == Seq("alice", "carol"))
+    // loadAs materializes at the driver, null column → null field
+    val all = people.loadAs[GdsSpec.Person]
+    assert(all.length == 4)
+    assert(all.find(_.name == "dave").exists(_.city == null))
+    // extra columns are dropped by the typed projection
+    assert(people.addField("extra", lit(1)).loadAs[GdsSpec.Person].length == 4)
+  }
+}
+
+object GdsSpec {
+  // Encoders need the case class at a stable top-level path
+  final case class Person(name: String, age: Int, city: String)
 }

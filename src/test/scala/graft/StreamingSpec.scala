@@ -197,4 +197,31 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("streaming last-touch attribution matches batch as-of on in-order replay") {
+    val events = Tables.events(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr").toString + "/events"
+    events.orderBy("ts").coalesce(1).write.parquet(dir)
+
+    val stream = StreamOps.parquetStream(spark, dir, events.schema, maxFilesPerTrigger = 1)
+    val attributed = StreamOps.attributionStream(stream, "user_id", "ts",
+      "event_type", "value", watermarkMinutes = 0).toDF()
+    val streamed = StreamOps.runToMemory(attributed, "attr", outputMode = "append")
+      .select(col("user_id"), col("purchase_ts"), col("touch_ts"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+
+    // batch twin = the evt_attribution as-of shape, kept per-purchase
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("ts").as("touch_ts"))
+    val batch = TimeSeries.asofJoin(purchases, views, "user_id", "ts", "view_ts", Seq("touch_ts"))
+      .select(col("user_id"), unix_micros(col("ts")).as("p"),
+        coalesce(unix_micros(col("touch_ts")), lit(-1L)).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.exists(_._3 >= 0))
+  }
 }
