@@ -331,24 +331,34 @@ object SparkEntry {
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("profit"))),
 
     "q10_returned_items" -> ((s, dir) => {
-      // TPC-H Q10 adaptation: top 20 customers by returned-item revenue.
-      // Returned-line revenue is pre-aggregated per order BEFORE the
-      // orders/customer joins: ~4 lines/order collapse to one row, so
-      // the join input shrinks ~4× and the customer-level agg sees one
-      // row per order. Decimal addition is exact and associative, so
-      // the two-level sum is bit-identical to the single-level dsum
-      // (per-term DECIMAL(18,6) cast, round(2) only at the end).
+      // TPC-H Q10 adaptation: top 20 customers by returned-item revenue,
+      // shaped for the scale where neither orders nor customer is
+      // broadcastable (they grow with the corpus): (1) returned-line
+      // revenue pre-aggregated per order before the orders join (the
+      // shuffled fact side shrinks by the lines-per-order collapse);
+      // (2) revenue aggregated to the customer KEY and the top-20 taken
+      // BEFORE the customer join — c_name/c_mktsegment are functionally
+      // dependent on the PK, so the wide customer relation joins
+      // against 20 rows (broadcast) instead of every order. At sf0.1
+      // AQE broadcasts both dims and all shapes measure within stage-
+      // floor noise of each other (recorded in SURVEY §7); the shuffled-
+      // bytes ordering is what survives the 100× scale-up. Decimal
+      // addition is exact and associative, so the two-level sum is
+      // bit-identical to the single-level dsum.
       val rev = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
         .groupBy(col("l_orderkey"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast(DecimalType(18, 6))).as("__rev"))
-      rev
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val top = rev
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
         .agg(round(sum(col("__rev")), 2).cast("double").as("revenue"))
-        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .orderBy(col("revenue").desc, col("o_custkey").asc)
         .limit(20)
+      top.join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
     }),
 
     "q_window_topn" -> ((s, dir) => {
@@ -1283,6 +1293,20 @@ object SparkEntry {
 
     "dedup_simhash_prod" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")),
+
+    "graph_pagerank_prod" -> ((s, dir) => {
+      // production iteration count (10 vs the gate's 2) on the same
+      // purchase graph: benches the LINEAR-lineage iteration shape —
+      // per-iteration marginal cost is the number that holds at a
+      // cluster's 30-50 iteration convergence runs
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000000L).as("p"))
+        .distinct()
+      val edges = base.select(col("c").as("src"), col("p").as("dst"))
+        .union(base.select(col("p").as("src"), col("c").as("dst")))
+      operators.Graph.pagerank(edges, "src", "dst", iters = 10)
+    }),
 
     "dedup_ngram_jaccard_prod" -> ((s, dir) => {
       // identical candidate pairs to the gate entry; hashed shingle

@@ -38,4 +38,30 @@ object Compact {
     fs.delete(old, true)
     originals.length
   }
+
+  /** Byte-size-targeted compaction — the missing half of eel's
+    * RollingParquetWriter contract (reference: eel-core .../parquet/
+    * RollingParquetWriter.scala rolls on maxFileSize bytes; Spark task
+    * writers only roll on maxRecordsPerFile, a record-COUNT proxy).
+    * Spark cannot target output bytes a priori (encoded size isn't
+    * known until written), but a post-write pass can: measure the
+    * directory's actual bytes, derive the file count that lands each
+    * file at ~`targetFileSizeBytes`, and rewrite via [[compactTo]]'s
+    * crash-safe swap. Two jobs total — a 100 TB-safe pattern because
+    * both the measure (a file listing) and the rewrite (one shuffle)
+    * are distributed; compression ratio drift between the two passes
+    * is bounded by the data's own self-similarity, which is what every
+    * size-targeted table-maintenance job (e.g. lakehouse OPTIMIZE)
+    * accepts. Returns (originalFileCount, newFileCount). */
+  def compactToSize(spark: SparkSession, path: String, targetFileSizeBytes: Long,
+                    format: String = "parquet"): (Int, Int) = {
+    require(targetFileSizeBytes > 0, "targetFileSizeBytes must be positive")
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(hPath).filterNot(_.getPath.getName.startsWith("_"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val n = math.max(1L, (totalBytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
+    val before = compactTo(spark, path, n, format)
+    (before, n)
+  }
 }

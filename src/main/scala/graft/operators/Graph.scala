@@ -128,7 +128,11 @@ object Graph {
         .agg(max_by(col("label"), struct(col("__c"), (-col("label")).as("__nl"))).as("label"))
       if (i % 5 == 0 && i < iters) labels = labels.localCheckpoint()
     }
-    labels
+    // node-sized final relation: materialize eagerly so the edge cache
+    // can be dropped before returning (same contract as pagerank)
+    val out = labels.localCheckpoint()
+    e.unpersist()
+    out
   }
 
   /** Exact triangle count via degree-ordered orientation. Each

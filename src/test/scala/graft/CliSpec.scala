@@ -37,4 +37,22 @@ class CliSpec extends SparkSpec {
     assert(ParquetSource(dir).read(spark).count == 200)
     assert(ParquetSource(dir).read(spark).agg(sum(col("n"))).head.getLong(0) == 200L * 201 / 2)
   }
+
+  test("compactToSize targets a byte size per file (RollingParquetWriter byte trigger)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compactsz").toString + "/frag"
+    (1 to 5000).map(i => (i, s"padpadpadpad-$i")).toDF("n", "s")
+      .repartition(25).write.parquet(dir)
+    def files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.length).sum
+    // target a quarter of the data per file → expect ~4 files
+    val target = totalBytes / 4
+    val (before, planned) = graft.operators.Compact.compactToSize(spark, dir, target)
+    assert(before == 25)
+    assert(planned >= 3 && planned <= 5)
+    assert(files.length == planned)
+    // every file lands near the target (2x slack covers codec drift
+    // between the fragmented and compacted layouts)
+    assert(files.forall(_.length <= target * 2))
+    assert(ParquetSource(dir).read(spark).count == 5000)
+  }
 }

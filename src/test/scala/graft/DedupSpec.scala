@@ -230,6 +230,13 @@ class DedupSpec extends SparkSpec {
       docs.filter(col("doc_id") < 0), "doc_id", "text", statePath)
     assert(again.count() == 0)
     assert(spark.read.parquet(statePath).count() == docs.count())
+
+    // RE-submitting already-stored docs is a no-op: no pair re-emits
+    // (the resubmitted ids are not "new sides") and the store does not
+    // grow duplicate rows
+    val resub = Dedup.incrementalMinhashPairs(batch2.limit(100), "doc_id", "text", statePath)
+    assert(resub.count() == 0)
+    assert(spark.read.parquet(statePath).count() == docs.count())
   }
 
   test("dedupeKeepList keeps exactly one doc per cluster") {

@@ -167,6 +167,21 @@ class SourcesSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] {
       CsvSource(p, schema = Some(schema), mode = "FAILFAST").read(spark).collect()
     }
+    // corruptColumn must also work WITHOUT a declared schema (Spark's
+    // inference never adds the column; the source probes the inferred
+    // schema and re-reads with it). A wrong-arity row is the malformed
+    // case inference can't paper over (a bad TYPE would just widen the
+    // inferred column to string).
+    val p2 = tmp("badcsv2") + "/rows.csv"
+    new java.io.File(p2).getParentFile.mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p2),
+      "id,n\n1,10\n2,20,extra\n3,30\n")
+    val inferred = CsvSource(p2, inferSchema = true, corruptColumn = Some("_bad"))
+      .read(spark)
+    assert(inferred.schema.fieldNames.contains("_bad"))
+    val bi = inferred.schema.fieldIndex("_bad")
+    val infBad = inferred.collect().filter(r => !r.isNullAt(bi))
+    assert(infBad.length == 1 && infBad.head.getString(bi) == "2,20,extra")
   }
 
   test("text source: line mode rows, whole-file mode one row per doc with path") {
