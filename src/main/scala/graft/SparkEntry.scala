@@ -1029,6 +1029,14 @@ object SparkEntry {
       // weighted by word frequency (per-word work once, not per token)
       Pipeline.bpePairs(t(s, dir, "documents"), "text", topK = 50)),
 
+    "bpe_train" -> ((s, dir) =>
+      // full iterative BPE merge-rule training (10 rounds); the
+      // sequential argmax→merge loop has no SQL twin → rows-only gate;
+      // rule-by-rule equality with a single-node reference BPE is
+      // spec-pinned (PipelineSpec), and round 1 must equal bpe_pairs'
+      // gated argmax by construction
+      Pipeline.bpeTrain(t(s, dir, "documents"), "text", merges = 10)),
+
     "evt_attribution" -> ((s, dir) => {
       // last-touch attribution: each purchase credits its value to the
       // most recent preceding view (as-of join), revenue rolled up by
@@ -1184,6 +1192,44 @@ object SparkEntry {
       operators.Graph.pagerank(edges, "src", "dst", iters = 2)
     }),
 
+    "q_skew_join" -> ((s, dir) => {
+      // explicit salt-and-replicate skew join (SkewJoin.hotKeyJoin): every
+      // supplier key is a heavy hitter vs the 500-row threshold
+      // (~600 lineitems per supplier at every SF), so the salted path
+      // carries the whole stream — gate-proves the salted result is
+      // row-identical to the plain join (oracle = plain SQL join)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      operators.SkewJoin.hotKeyJoin(li, sup, "l_suppkey", hotThreshold = 500L, salt = 8)
+        .groupBy(col("s_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("nation"))
+    }),
+
+    "graph_concomp" -> ((s, dir) => {
+      // order-burst components: orders by the same customer within 7
+      // days are linked; CC chains OVERLAPPING windows transitively
+      // (a→b and b→c within 7 days puts a,c in one burst even when
+      // they are 10 days apart — exactly what a pairwise filter can't
+      // express). Gate-exercises Graph.connectedComponents' DISTRIBUTED
+      // min-label path — dedup_keeplist's tiny pair sets take the
+      // driver union-find shortcut, so this is the path's only gate.
+      // The edge self-join is keyed on o_custkey: per-customer fanout
+      // is bounded by orders-per-customer (~10 at any corpus scale),
+      // so the pair count stays linear in the order count.
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").cast("date").as("__d"))
+      val e = o.as("x").join(o.as("y"),
+          col("x.o_custkey") === col("y.o_custkey") &&
+            col("x.o_orderkey") < col("y.o_orderkey") &&
+            abs(datediff(col("y.__d"), col("x.__d"))) <= 7)
+        .select(col("x.o_orderkey").as("a"), col("y.o_orderkey").as("b"))
+      operators.Graph.connectedComponents(e, "a", "b").orderBy(col("node"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       // point-in-interval join via the binned equi-join rewrite (a
       // BETWEEN join planned as hash join, not BroadcastNestedLoop):
@@ -1293,6 +1339,12 @@ object SparkEntry {
 
     "dedup_simhash_prod" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")),
+
+    "bpe_train_prod" -> ((s, dir) =>
+      // deeper merge run (50 rules): benches the per-round marginal —
+      // the number that holds when a production 32k-merge run multiplies
+      // the round count, since per-round work is constant by design
+      Pipeline.bpeTrain(t(s, dir, "documents"), "text", merges = 50)),
 
     "graph_pagerank_prod" -> ((s, dir) => {
       // production iteration count (10 vs the gate's 2) on the same
@@ -2639,6 +2691,29 @@ object SparkEntry {
                        (3 * 1099511627776 // 20) // n + 17 * coalesce(s2.s, 0) // 20 AS r
                 FROM r1 LEFT JOIN s2 ON r1.node = s2.node, nn)
          SELECT node, CAST(r AS BIGINT) AS rank FROM r2""",
+
+    "q_skew_join" ->
+      """SELECT s_nationkey AS nation, count(*) AS n_lines,
+                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "graph_concomp" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT x.o_orderkey AS a, y.o_orderkey AS b
+           FROM orders x JOIN orders y
+             ON x.o_custkey = y.o_custkey AND x.o_orderkey < y.o_orderkey
+            AND abs(datediff('day', CAST(x.o_orderdate AS DATE),
+                             CAST(y.o_orderdate AS DATE))) <= 7),
+         edges AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION SELECT b, a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         SELECT id AS node, min(r) AS component FROM reach
+         GROUP BY 1 ORDER BY node""",
 
     "q_range_join" ->
       """WITH w AS (SELECT DISTINCT CAST(datediff('day', DATE '1970-01-01',

@@ -204,6 +204,15 @@ final case class Gds(df: DataFrame) {
     val rhs = if (broadcastOther) broadcast(other.df) else other.df
     Gds(df.join(rhs, Seq(key), "left_outer"))
   }
+  /** Inner join with explicit hot-key salting — row-identical to
+    * [[join]], but keys hotter than `hotThreshold` on this side are
+    * spread over `salt` reducers (see
+    * [[graft.operators.SkewJoin.hotKeyJoin]] for the shape and the 100 TB
+    * rationale). Use when one key holds a disproportionate share of
+    * the stream and AQE's skew rewrite can't see it. */
+  def skewJoin(key: String, other: Gds, hotThreshold: Long = 1000000L,
+               salt: Int = 16): Gds =
+    Gds(graft.operators.SkewJoin.hotKeyJoin(df, other.df, key, hotThreshold, salt))
   /** eel `concat` (DataStream.scala:380) zips two streams positionally.
     * Distributed form: global ordinals from range-partition + in-
     * partition sort + `zipWithIndex` (one small count job for partition

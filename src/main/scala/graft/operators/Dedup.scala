@@ -490,32 +490,21 @@ object Dedup {
       edges.unpersist()
       return out.toDF("id", "canonical_id")
     }
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), first(col("src"))).as("label"))
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIterations) {
-      // each node adopts the min label among itself and its neighbors
-      val neighborLabels = edges
-        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nlabel"), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("nlabel")).as("nmin"))
-      val updated = labels.join(neighborLabels, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
-      val changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = updated
-      converged = changed == 0
-      i += 1
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"canonicalize did not converge in $maxIterations rounds — a duplicate " +
-          s"chain longer than $maxIterations hops exists; raise maxIterations " +
-          "(propagation is one hop per round)")
+    // distributed path: one min-label-propagation implementation lives
+    // in Graph.connectedComponents (sealed result, caches dropped);
+    // the symmetric cached edge relation feeds it directly
+    val cc =
+      try Graph.connectedComponents(edges, "src", "dst", maxIterations)
+      catch {
+        case e: IllegalStateException =>
+          edges.unpersist()
+          throw new IllegalStateException(
+            s"canonicalize did not converge in $maxIterations rounds — a duplicate " +
+              s"chain longer than $maxIterations hops exists; raise maxIterations " +
+              "(propagation is one hop per round)", e)
+      }
     edges.unpersist()
-    labels.select(col("id"), col("label").as("canonical_id"))
+    cc.select(col("node").as("id"), col("component").as("canonical_id"))
   }
 
   /** End-to-end dedup decision: every doc id with the canonical id of

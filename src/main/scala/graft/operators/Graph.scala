@@ -144,6 +144,81 @@ object Graph {
     out
   }
 
+  /** Connected components over an undirected edge list: every node is
+    * labeled with the smallest node id in its component (the same
+    * canonical-min contract as eel-style dedup clustering; reference
+    * semantics io/eels components are per-source — this is the graph
+    * generalization). Input may contain duplicates / self-loops /
+    * either direction; normalized away first.
+    *
+    * Algorithm: synchronous min-label propagation — each round every
+    * node adopts the minimum label among itself and its neighbors, so
+    * a component's min id floods outward one hop per round and the
+    * round count is O(max component diameter), NOT O(nodes). Rounds
+    * are driven by a convergence check (an any-label-changed count),
+    * and the operator THROWS rather than return split components if
+    * `maxRounds` is hit.
+    *
+    * Scale shape per round: one edges⋈labels equi-join on the cached
+    * pre-partitioned edge layout (the same
+    * one-upfront-exchange-instead-of-one-per-round trick as pagerank)
+    * + one partial-agg'd min groupBy; labels are one (long, long) row
+    * per node. Each round's labels are sealed with an EAGER
+    * localCheckpoint, not cache(): the round references the previous
+    * labels three times (neighbor-min, rebuild, convergence probe), so
+    * a cache would stop recompute but the LOGICAL plan would still
+    * triple per round — 3^k tree nodes by round k, and analysis/plan
+    * stringification hangs long before compute does (caught by this
+    * operator's 12-round path-graph spec). The checkpoint makes every
+    * round plan against a leaf; the convergence probe rides the same
+    * barrier. Shuffles carry ids only.
+    *
+    * Output: (node, component). */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val sym = edges
+      .select(col(aCol).as("__src"), col(bCol).as("__dst"))
+      .union(edges.select(col(bCol).as("__src"), col(aCol).as("__dst")))
+      .filter(col("__src") =!= col("__dst"))
+      .distinct()
+      .repartition(col("__dst"))
+      .cache()
+    // seed: min(self, direct neighbors) — one round of flooding for free
+    var labels = sym.groupBy(col("__src").as("node"))
+      .agg(least(min(col("__dst")), first(col("__src"))).as("component"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val neighborMin = sym.join(labels, col("__dst") === col("node"))
+        .groupBy(col("__src").as("node"))
+        .agg(min(col("component")).as("__nmin"))
+      // eager checkpoint = the round's materialization barrier AND
+      // lineage cut (see scaladoc); old checkpoint blocks are released
+      // by the context cleaner once `labels` is rebound
+      val updated = labels
+        .join(neighborMin.withColumnRenamed("node", "__nn"),
+          col("node") === col("__nn"), "left_outer")
+        .select(col("node"),
+          least(col("component"), coalesce(col("__nmin"), col("component"))).as("component"))
+        .localCheckpoint()
+      val changed = updated
+        .join(labels.withColumnRenamed("component", "__old"), "node")
+        .filter(col("component") =!= col("__old")).limit(1).count()
+      labels = updated
+      converged = changed == 0L
+      round += 1
+    }
+    sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds — a component " +
+          s"with diameter > $maxRounds exists; raise maxRounds (propagation is one " +
+          "hop per round)")
+    labels
+  }
+
   /** Exact triangle count via degree-ordered orientation. Each
     * undirected edge is oriented from its (degree, id)-smaller
     * endpoint to the larger; every triangle then appears as exactly

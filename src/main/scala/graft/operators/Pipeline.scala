@@ -578,6 +578,85 @@ object Pipeline {
       .limit(topK)
   }
 
+  /** Full BPE merge-rule training (the iterative continuation of
+    * [[bpePairs]], which computes only round 1's counts): per round,
+    * take the corpus-frequency argmax adjacent symbol pair, emit it as
+    * the next merge rule, and apply it greedily left-to-right to every
+    * word — the standard tokenizer-training loop (Sennrich et al.
+    * 2016, reference semantics only).
+    *
+    * Scale shape: the corpus reduces to its DISTINCT weighted
+    * vocabulary once (one partial-agg'd token shuffle — per-round work
+    * then scales with |vocab|, millions of rows, not corpus tokens,
+    * trillions); each round is one map-side pair explode + one
+    * partial-agg'd count + a 1-row argmax collect (the sanctioned tiny
+    * driver relation — merge rules are inherently sequential), and the
+    * merge itself is a map-side array fold. The symbol relation is
+    * re-cached/materialized each round and its predecessor dropped, so
+    * per-round work is constant (no lineage growth — the pagerank
+    * lesson). Rounds are irreducibly sequential; production 32k-merge
+    * vocabs amortize by batching non-conflicting rules per round —
+    * out of scope here, the per-round plan is what matters at scale.
+    * `maxWordLen` bounds the explode fan-out against pathological
+    * unbroken-text tokens (skew guard).
+    *
+    * Words are tokenized by [[graft.functions.TextFunctions.tokens]];
+    * end-of-word is implicit (pairs never cross word boundaries).
+    * Stops early when no pair remains. Deterministic: argmax ranks
+    * (count DESC, left ASC, right ASC).
+    *
+    * Output: (rank, left, right, merged, pair_count) — ≤ `merges`
+    * rows in rule order. */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int,
+               maxWordLen: Int = 64): DataFrame = {
+    require(merges >= 1, "merges must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs.select(explode(T.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .filter(length(col("__w")).between(2, maxWordLen))
+      .select(col("__f"),
+        expr("transform(sequence(1, length(__w)), i -> substring(__w, i, 1))").as("__s"))
+      .cache()
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    var round = 1
+    while (round <= merges && !exhausted) {
+      val top = vocab
+        .select(col("__f"), explode(expr(
+          "transform(sequence(1, size(__s) - 1), i -> struct(__s[i-1] AS l, __s[i] AS r))")).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum(col("__f")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        rules += ((round, l, r, l + r, c))
+        // greedy left-to-right merge as a map-side fold; Column-built
+        // lambda (never SQL-string-interpolated — symbols may contain
+        // quotes/backslashes)
+        val lLit = lit(l); val rLit = lit(r)
+        val merged = vocab.select(col("__f"),
+            aggregate(col("__s"), array().cast("array<string>"), (acc, s) =>
+              // try_element_at: NULL (not an ANSI index error) on the
+              // empty accumulator; NULL === l is NULL → otherwise branch
+              when(try_element_at(acc, lit(-1)) === lLit && s === rLit,
+                concat(slice(acc, lit(1), size(acc) - 1), array(concat(lLit, rLit))))
+                .otherwise(concat(acc, array(s)))).as("__s"))
+          .filter(size(col("__s")) >= 2) // fully-merged words pair no more
+          .cache()
+        merged.count() // materialize before dropping the predecessor
+        vocab.unpersist()
+        vocab = merged
+        round += 1
+      }
+    }
+    vocab.unpersist()
+    spark.createDataset(rules.toSeq)
+      .toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
   /** Importance-weighted Bernoulli sampling: keep row i with
     * probability w_i / max(w) — upweights long/high-quality docs
     * without a global sort or normalization pass beyond one scalar

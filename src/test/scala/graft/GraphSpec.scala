@@ -72,6 +72,38 @@ class GraphSpec extends SparkSpec {
     assert(count(k4 ++ k4.map(_.swap) :+ (2L, 2L)) == 4)
   }
 
+  test("connectedComponents: chains, isolation, input-noise-proof, diameter guard") {
+    // two chains and a singleton pair: components = min id of each
+    val edges = Seq((5L, 3L), (3L, 9L), (9L, 12L),   // chain {3,5,9,12} min 3
+                    (20L, 25L), (25L, 21L),           // chain {20,21,25} min 20
+                    (40L, 41L)).toDF("a", "b")        // pair {40,41}
+    val out = Graph.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(3L, 5L, 9L, 12L).map(out).toSet == Set(3L))
+    assert(Seq(20L, 21L, 25L).map(out).toSet == Set(20L))
+    assert(Seq(40L, 41L).map(out).toSet == Set(40L))
+    assert(out.size == 9)
+    // duplicates, self-loops, and reversed edges must not change it
+    val noisy = Seq((3L, 5L), (5L, 3L), (3L, 9L), (9L, 12L), (3L, 3L),
+                    (20L, 25L), (25L, 21L), (40L, 41L), (41L, 40L)).toDF("a", "b")
+    val out2 = Graph.connectedComponents(noisy, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == out)
+    // deterministic under repartitioning
+    val re = Graph.connectedComponents(edges.repartition(5), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == out)
+    // a long path exceeds the round budget → throw, never split output
+    val path = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Graph.connectedComponents(path, "a", "b", maxRounds = 2)
+    }
+    // ... and with enough rounds the same path is one component
+    val ok = Graph.connectedComponents(path, "a", "b", maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet == Set(0L) && ok.size == 13)
+  }
+
   test("pagerank: symmetric pair ranks equal and match the closed form") {
     val edges = bidirect(Seq((7L, 8L)))
     val r = Graph.pagerank(edges, "src", "dst", iters = 2)

@@ -411,6 +411,75 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
   }
 
+  /** Single-node reference BPE (Sennrich-style, greedy left-to-right
+    * merges, count DESC / pair ASC tie-break) — the spec oracle for
+    * the distributed trainer. */
+  private def refBpe(words: Map[String, Long], merges: Int): Seq[(Int, String, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = words.collect {
+      case (w, f) if w.length >= 2 => w.map(_.toString).toVector -> f
+    }
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (round <- 1 to merges if vocab.nonEmpty) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach { p =>
+          if (p.size == 2) counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        rules += ((round, l, r, l + r, c))
+        vocab = vocab.map { case (syms, f) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { s =>
+            if (acc.nonEmpty && acc.last == l && s == r) acc(acc.size - 1) = l + r
+            else acc += s
+          }
+          acc.toVector -> f
+        }.filter(_._1.size >= 2).groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    rules.toSeq
+  }
+
+  test("bpeTrain matches single-node reference BPE rule-for-rule") {
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "new newer newest new"),
+      (3L, "wide wider widest lower")).toDF("doc_id", "text")
+    // the reference consumes the SAME word frequencies (tokenization
+    // is not under test — the merge loop is)
+    val words = docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = refBpe(words, merges = 12)
+    val got = Pipeline.bpeTrain(docs, "text", merges = 12)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+      .sortBy(_._1)
+    assert(got == want)
+    // round 1 must equal bpePairs' argmax by construction
+    val firstPair = Pipeline.bpePairs(docs, "text", topK = 1).head()
+    assert(got.head._2 + got.head._3 == firstPair.getString(0))
+    assert(got.head._5 == firstPair.getLong(1))
+    // deterministic under repartitioning
+    val re = Pipeline.bpeTrain(docs.repartition(5), "text", merges = 12)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+      .sortBy(_._1)
+    assert(re == got)
+  }
+
+  test("bpeTrain: repeated-symbol greedy merge and early exhaustion") {
+    // "aaaa" x3: rule 1 = (a,a)->aa applied greedily left-to-right
+    val docs = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val out = Pipeline.bpeTrain(docs, "text", merges = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    // r1: (a,a) count 9 (3 per word: positions 1-2,2-3,3-4... weighted);
+    // merged word = [aa, aa]; r2: (aa,aa) count 3; then single-symbol
+    // words drop out and training stops early — no further rules
+    assert(out.map(t => (t._2, t._3)) == Seq(("a", "a"), ("aa", "aa")))
+    assert(out.map(_._4) == Seq(9L, 3L))
+    assert(out.size == 2) // exhausted before the merge budget
+  }
+
   test("bpePairs topK rank is deterministic on count ties") {
     val docs = Seq((1L, "ab cd ab cd ef")).toDF("doc_id", "text")
     // counts: ab 2, cd 2, ef 1 -> topK=2 keeps (ab, cd) by pair ASC on the tie
