@@ -1029,6 +1029,22 @@ object SparkEntry {
       // weighted by word frequency (per-word work once, not per token)
       Pipeline.bpePairs(t(s, dir, "documents"), "text", topK = 50)),
 
+    "text_html_extract" -> ((s, dir) => {
+      // HTML→text boilerplate strip (stripHtml) over a deterministic
+      // HTML-ification of the corpus (same simulate-the-input trick as
+      // corpus_diff): wrap each doc in markup with a script block and
+      // entities, extract, fingerprint. Patterns are Java-regex/RE2
+      // agreeing (classes + lazy quantifiers only) so DuckDB
+      // recomputes the extraction exactly.
+      val html = concat(
+        lit("<html><body><h1 class=\"t\">"), substring(col("text"), 1, 40),
+        lit("</h1><script>var x = 1 < 2;</script><p>"), col("text"),
+        lit(" &amp; more &lt;tail&gt;</p></body></html>"))
+      val clean = graft.functions.TextFunctions.stripHtml(html)
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(clean).as("clean_fp"), length(clean).cast("long").as("n_chars"))
+    }),
+
     "bpe_train" -> ((s, dir) =>
       // full iterative BPE merge-rule training (10 rounds); the
       // sequential argmax→merge loop has no SQL twin → rows-only gate;
@@ -2520,6 +2536,28 @@ object SparkEntry {
       """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_fp,
                 nfc_normalize(text) <> text AS changed
          FROM documents""",
+
+    "text_html_extract" ->
+      """WITH h AS (
+           SELECT doc_id, '<html><body><h1 class="t">' || substring(text, 1, 40) ||
+                  '</h1><script>var x = 1 < 2;</script><p>' || text ||
+                  ' &amp; more &lt;tail&gt;</p></body></html>' AS html
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(html,
+                     '(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                 '&nbsp;', ' '), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS clean
+           FROM h)
+         SELECT doc_id, md5(clean) AS clean_fp,
+                CAST(length(clean) AS BIGINT) AS n_chars
+         FROM s""",
 
     "evt_attribution" ->
       """SELECT CAST(date_trunc('hour', v.ts) AS TIMESTAMP) AS view_hour,

@@ -108,4 +108,27 @@ object TextFunctions {
     * lambdas per shingle. */
   def shingles(c: Column, k: Int): Column =
     TextExpressions.stringShingles(normText(c), k)
+
+  /** HTML → text extraction (the CCNet/RefinedWeb-style boilerplate
+    * strip that precedes every quality/dedup pass on web crawl):
+    * drop <script>/<style> subtrees wholesale (their CONTENT is
+    * boilerplate, not prose), strip remaining tags, decode the core
+    * entities (&amp; decoded LAST — single-pass rule, so "&amp;lt;"
+    * yields the literal "&lt;" and never double-decodes), collapse
+    * whitespace. Map-side codegen'd regexp/replace chain — patterns
+    * chosen to evaluate identically under Java regex (Spark) and RE2
+    * (DuckDB): character classes + lazy quantifiers only, no
+    * backreferences or lookaround, so the gate can hash-compare
+    * against a DuckDB twin. Not a full HTML5 parser (malformed
+    * markup degrades to tag-stripping — the right failure mode for
+    * corpus prep). */
+  def stripHtml(c: Column): Column = {
+    val noBlocks = regexp_replace(c, "(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (ent, ch)) => replace(acc, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

@@ -102,6 +102,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getDouble(2) == 1.0)                      // empty sentinel
   }
 
+  test("stripHtml: tags out, script/style content out, entities decoded once") {
+    val html = """<html><head><style>p { color: red }</style></head>
+      |<body><h1 id="t">Title</h1>
+      |<script type="text/javascript">var x = "<p>not text</p>";</script>
+      |<p class="a">Hello &amp; welcome &lt;here&gt;&nbsp;&quot;now&quot; &#39;ok&#39;</p>
+      |<p>&amp;lt; stays encoded</p></body></html>""".stripMargin
+    val r = one(html).select(T.stripHtml(col("t"))).head.getString(0)
+    assert(r == """Title Hello & welcome <here> "now" 'ok' &lt; stays encoded""")
+    // script/style CONTENT never leaks (not even the quoted "<p>")
+    assert(!r.contains("var x") && !r.contains("color"))
+    // malformed markup degrades to tag-stripping, never throws
+    val bad = one("a <b unclosed attr='x b < c </p whatever> d")
+      .select(T.stripHtml(col("t"))).head.getString(0)
+    assert(bad.startsWith("a") && bad.endsWith("d"))
+    // plain text is (whitespace-collapsed) identity
+    val plain = one("  no  markup here  ").select(T.stripHtml(col("t"))).head.getString(0)
+    assert(plain == "no markup here")
+  }
+
   test("qualityStruct fields are sane") {
     val r = one("The quick, brown fox!").select(T.qualityStruct(col("t")).as("q"))
       .select("q.n_chars", "q.n_tokens", "q.punct_ratio", "q.stopword_ratio").head
