@@ -19,6 +19,7 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   *   graft_minhash_bands(norm_text, k, n, b) — LSH band hashes
   *   graft_simhash(norm_text)        — 64-bit SimHash (xxhash64 tokens)
   *   graft_unicode_normalize(text, form) — NFC/NFKC/NFD/NFKD normalization
+  *   graft_upper_tri(codes)          — upper-triangular self-products (PCA moments)
   *
   * (text arguments are expected pre-normalized — compose with
   * `trim(regexp_replace(lower(t), '\\s+', ' '))` in SQL, which is
@@ -89,5 +90,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_unicode_normalize", classOf[TextExpressions.UnicodeNormalize]),
       (exprs: Seq[Expression]) => TextExpressions.UnicodeNormalize(exprs(0),
         strLit(exprs(1), "graft_unicode_normalize form"))))
+
+    ext.injectFunction((FunctionIdentifier("graft_upper_tri"),
+      info("graft_upper_tri", classOf[VectorExpressions.UpperTriProducts]),
+      (exprs: Seq[Expression]) => VectorExpressions.UpperTriProducts(exprs(0))))
   }
 }

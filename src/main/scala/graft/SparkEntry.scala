@@ -376,6 +376,15 @@ object SparkEntry {
         .rollup("l_returnflag", "l_linestatus")
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))),
 
+    "q_cube" -> ((s, dir) =>
+      // full CUBE with grouping_id — all four aggregation lattices of
+      // (status, priority) in one pass (Spark expands the cube into a
+      // single partial-agg'd Expand, not four scans)
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"),
+          grouping_id().as("gid"))),
+
     "q4_order_priority" -> ((s, dir) => {
       // TPC-H Q4 adaptation (corpus has no commitdate): orders counted
       // per priority when at least one line shipped after the order
@@ -1053,6 +1062,21 @@ object SparkEntry {
       // gated argmax by construction
       Pipeline.bpeTrain(t(s, dir, "documents"), "text", merges = 10)),
 
+    "bpe_encode" -> ((s, dir) => {
+      // train 10 merge rules, then BPE-segment the whole corpus with
+      // them (the apply half of the tokenizer-prep pair). No SQL twin
+      // for the segmentation → rows-only gate; symbol fingerprints
+      // keep the dump value-sensitive, and the concatenation/greedy
+      // semantics are spec-pinned (PipelineSpec)
+      val docs = t(s, dir, "documents")
+      val rules = Pipeline.bpeCollectRules(Pipeline.bpeTrain(docs, "text", merges = 10))
+      val syms = Pipeline.bpeEncode(col("text"), rules)
+      docs.select(col("doc_id"),
+        size(T.tokens(col("text"))).cast("long").as("n_words"),
+        size(syms).cast("long").as("n_symbols"),
+        md5(concat_ws(" ", syms)).as("symbols_fp"))
+    }),
+
     "evt_attribution" -> ((s, dir) => {
       // last-touch attribution: each purchase credits its value to the
       // most recent preceding view (as-of join), revenue rolled up by
@@ -1066,6 +1090,18 @@ object SparkEntry {
         .filter(col("touch_ts").isNotNull)
         .groupBy(date_trunc("hour", col("touch_ts")).as("view_hour"))
         .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("revenue"))
+    }),
+
+    "evt_attribution_multi" -> ((s, dir) => {
+      // linear multi-touch: every view in the 3-day window before a
+      // purchase shares its value equally; revenue by view hour
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"))
+      TimeSeries.multiTouchAttribution(purchases, views,
+        "event_id", "user_id", "ts", "view_ts", "value", lookbackDays = 3)
     }),
 
     "evt_cohort_ltv" -> ((s, dir) =>
@@ -1092,6 +1128,23 @@ object SparkEntry {
       // doc length) via an EXACT integer keep test — no float rate
       // boundary, stable across engines/partitionings
       Pipeline.importanceSample(t(s, dir, "documents"), "doc_id", "n_chars")),
+
+    "text_classify" -> ((s, dir) =>
+      // trained centroid classifier (lang as the label): integer
+      // fixed-point token rates per class, token-keyed scoring join,
+      // argmax per doc — engine-exact by construction
+      Pipeline.classifyCentroid(t(s, dir, "documents"), "doc_id", "text", "lang")),
+
+    "emb_pca" -> ((s, dir) => {
+      // distributed PCA's corpus-sized pass: the integer second-moment
+      // (Gram) relation over SQ8 codes — exact BIGINT sums, one
+      // partial-agg'd aggregation (d(d+1)/2 rows per map task into the
+      // shuffle); the driver-side Jacobi + projection halves are
+      // spec-pinned (PcaSpec) and benched as emb_pca_prod
+      val codes = Quantize.scalarQuantize(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64)
+      operators.Pca.gram(codes, "codes", 64)
+    }),
 
     "emb_truncate" -> ((s, dir) => {
       // Matryoshka-style prefix truncation (first 16 of 64 dims) — the
@@ -1246,6 +1299,44 @@ object SparkEntry {
       operators.Graph.connectedComponents(e, "a", "b").orderBy(col("node"))
     }),
 
+    "graph_bfs" -> ((s, dir) => {
+      // multi-source shortest-hop BFS over the bidirected order-burst
+      // graph (same edge construction as graph_concomp), seeded by a
+      // sparse deterministic order subset (o_orderkey % 97 == 0).
+      // Components are per-customer bursts, so distances stay small
+      // but genuinely multi-hop; unreachable orders are absent.
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").cast("date").as("__d"))
+      val pairs = o.as("x").join(o.as("y"),
+          col("x.o_custkey") === col("y.o_custkey") &&
+            col("x.o_orderkey") < col("y.o_orderkey") &&
+            abs(datediff(col("y.__d"), col("x.__d"))) <= 7)
+        .select(col("x.o_orderkey").as("a"), col("y.o_orderkey").as("b"))
+      val e = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      val seeds = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 === 0).select(col("o_orderkey"))
+      operators.Graph.bfs(e, "a", "b", seeds, "o_orderkey").orderBy(col("node"))
+    }),
+
+    "graph_sssp" -> ((s, dir) => {
+      // weighted shortest paths over the burst graph: edge cost =
+      // 1 + day gap, explored within a 21-cost budget (the bounded-
+      // radius variant that keeps the recursive-CTE oracle finite)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").cast("date").as("__d"))
+      val pairs = o.as("x").join(o.as("y"),
+          col("x.o_custkey") === col("y.o_custkey") &&
+            col("x.o_orderkey") < col("y.o_orderkey") &&
+            abs(datediff(col("y.__d"), col("x.__d"))) <= 7)
+        .select(col("x.o_orderkey").as("a"), col("y.o_orderkey").as("b"),
+          (abs(datediff(col("y.__d"), col("x.__d"))) + 1).cast("long").as("w"))
+      val e = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
+      val seeds = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 === 0).select(col("o_orderkey"))
+      operators.Graph.sssp(e, "a", "b", "w", seeds, "o_orderkey", maxCost = 21L)
+        .orderBy(col("node"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       // point-in-interval join via the binned equi-join rewrite (a
       // BETWEEN join planned as hash join, not BroadcastNestedLoop):
@@ -1355,6 +1446,19 @@ object SparkEntry {
 
     "dedup_simhash_prod" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")),
+
+    "text_classify_prod" -> ((s, dir) =>
+      // production scoring path: xxhash64 token keys — the scoring
+      // shuffle carries longs, never token strings
+      Pipeline.classifyCentroid(t(s, dir, "documents"), "doc_id", "text", "lang",
+        hashed = true)),
+
+    "emb_pca_prod" -> ((s, dir) =>
+      // the full PCA path: quantize → moment aggregate → driver Jacobi
+      // → map-side top-4 projection (no SQL eigensolve → benched;
+      // component/projection semantics spec-pinned in PcaSpec)
+      operators.Pca.fitTransform(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, k = 4)),
 
     "bpe_train_prod" -> ((s, dir) =>
       // deeper merge run (50 rules): benches the per-round marginal —
@@ -1918,6 +2022,12 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+                 CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
@@ -2568,6 +2678,20 @@ object SparkEntry {
            ON p.user_id = v.user_id AND v.ts <= p.ts
          GROUP BY 1""",
 
+    "evt_attribution_multi" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                    WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+         j AS (SELECT p.event_id, p.value, v.view_ts
+               FROM p JOIN v ON p.user_id = v.user_id
+                AND v.view_ts <= p.ts AND v.view_ts >= p.ts - INTERVAL 3 DAY),
+         n AS (SELECT event_id, count(*) AS nt FROM j GROUP BY 1)
+         SELECT CAST(date_trunc('hour', j.view_ts) AS TIMESTAMP) AS view_hour,
+                count(*) AS n_credits,
+                CAST(round(sum(CAST(j.value / n.nt AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+         FROM j JOIN n USING (event_id)
+         GROUP BY 1""",
+
     "evt_cohort_ltv" ->
       """WITH ue AS (SELECT user_id AS u, epoch_us(ts) // 604800000000 AS p,
                             CAST(value AS DECIMAL(18,6)) AS v
@@ -2604,12 +2728,44 @@ object SparkEntry {
           CROSS JOIN (SELECT unnest(range(0, 16)) AS i) r
           LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.s = r.i""",
 
+    "text_classify" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split($normSql, ' ')) AS t
+                       FROM documents),
+          ct AS (SELECT lang, count(*) AS tot FROM tok GROUP BY 1),
+          w AS (SELECT t, tok.lang AS mlab, count(*) * 1048576 // tot AS w
+                FROM tok JOIN ct USING (lang) GROUP BY t, tok.lang, tot),
+          dt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+          sc AS (SELECT dt.doc_id, w.mlab, CAST(sum(dt.c * w.w) AS BIGINT) AS score
+                 FROM dt JOIN w ON dt.t = w.t GROUP BY 1, 2),
+          rk AS (SELECT doc_id, mlab AS predicted, score,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, mlab DESC) AS rn
+                 FROM sc)
+          SELECT d.doc_id, d.lang AS label, rk.predicted, rk.score
+          FROM rk JOIN documents d USING (doc_id) WHERE rn = 1""",
+
     "sample_importance" ->
       """WITH mx AS (SELECT max(n_chars) AS m FROM documents)
          SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
                 ('0x' || substr(md5('imp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT * m
                   < n_chars * 4294967296 AS keep
          FROM documents, mx""",
+
+    "emb_pca" ->
+      """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                            CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+         dims AS (SELECT d, min(v) AS mn, max(v) AS mx FROM ex GROUP BY d),
+         codes AS (SELECT vec_id, ex.d AS d,
+                          CAST(CASE WHEN mx = mn THEN 0
+                               ELSE least(255, floor((v - mn) * 256 / (mx - mn))) END AS BIGINT) AS c
+                   FROM ex JOIN dims ON ex.d = dims.d),
+         sums AS (SELECT d, CAST(sum(c) AS BIGINT) AS s, count(*) AS n FROM codes GROUP BY d),
+         pairs AS (SELECT a.d AS i, b.d AS j, CAST(sum(a.c * b.c) AS BIGINT) AS sxy
+                   FROM codes a JOIN codes b ON a.vec_id = b.vec_id AND a.d <= b.d
+                   GROUP BY 1, 2)
+         SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, p.sxy,
+                si.s AS si, sj.s AS sj, CAST(si.n AS BIGINT) AS cnt
+         FROM pairs p JOIN sums si ON p.i = si.d JOIN sums sj ON p.j = sj.d""",
 
     "emb_truncate" ->
       """SELECT vec_id,
@@ -2751,6 +2907,42 @@ object SparkEntry {
            UNION
            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
          SELECT id AS node, min(r) AS component FROM reach
+         GROUP BY 1 ORDER BY node""",
+
+    "graph_bfs" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT x.o_orderkey AS a, y.o_orderkey AS b
+           FROM orders x JOIN orders y
+             ON x.o_custkey = y.o_custkey AND x.o_orderkey < y.o_orderkey
+            AND abs(datediff('day', CAST(x.o_orderdate AS DATE),
+                             CAST(y.o_orderdate AS DATE))) <= 7),
+         edges AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION SELECT b, a FROM pairs),
+         reach(id, d) AS (
+           SELECT o_orderkey, 0 FROM orders WHERE o_orderkey % 97 = 0
+           UNION
+           SELECT e.dst, reach.d + 1 FROM edges e JOIN reach ON e.src = reach.id
+           WHERE reach.d < 20)
+         SELECT id AS node, CAST(min(d) AS BIGINT) AS dist FROM reach
+         GROUP BY 1 ORDER BY node""",
+
+    "graph_sssp" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT x.o_orderkey AS a, y.o_orderkey AS b,
+                  CAST(1 + abs(datediff('day', CAST(x.o_orderdate AS DATE),
+                                        CAST(y.o_orderdate AS DATE))) AS BIGINT) AS w
+           FROM orders x JOIN orders y
+             ON x.o_custkey = y.o_custkey AND x.o_orderkey < y.o_orderkey
+            AND abs(datediff('day', CAST(x.o_orderdate AS DATE),
+                             CAST(y.o_orderdate AS DATE))) <= 7),
+         edges AS (SELECT a AS src, b AS dst, w FROM pairs
+                   UNION ALL SELECT b, a, w FROM pairs),
+         reach(id, d) AS (
+           SELECT o_orderkey, CAST(0 AS BIGINT) FROM orders WHERE o_orderkey % 97 = 0
+           UNION
+           SELECT e.dst, reach.d + e.w FROM edges e JOIN reach ON e.src = reach.id
+           WHERE reach.d + e.w <= 21)
+         SELECT id AS node, min(d) AS dist FROM reach
          GROUP BY 1 ORDER BY node""",
 
     "q_range_join" ->

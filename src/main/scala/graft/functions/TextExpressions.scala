@@ -190,6 +190,45 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** BPE segmentation of ONE (pre-normalized) word into subword
+    * symbols, applying trained merge rules in rank order, each
+    * greedily left-to-right — EXACTLY the fold [[graft.operators
+    * .Pipeline.bpeTrain]] applies during training, so encoding a
+    * training-vocab word reproduces the training's final symbol
+    * sequence by construction. Unseen words degrade to characters;
+    * symbols always concatenate back to the input word.
+    *
+    * The rule table is per-expression constant state, handed to
+    * codegen as a referenced object (a flat String[] — janino-
+    * resolvable, unlike a Scala Seq) — cost is O(rules · len) per
+    * word with zero per-row allocation of the table. Inside a
+    * higher-order `transform` the interpreted eval path runs; both
+    * paths share [[BpeEncodeImpl.encode]]. */
+  case class BpeEncodeWord(child: Expression, rules: Seq[(String, String)])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    private lazy val flat: Array[String] =
+      rules.flatMap(lr => Seq(lr._1, lr._2)).toArray
+
+    override def nullSafeEval(a: Any): Any =
+      BpeEncodeImpl.encode(a.asInstanceOf[UTF8String], flat)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tbl = ctx.addReferenceObj("bpeRules", flat, "java.lang.String[]")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.BpeEncodeImpl.encode($v, $tbl);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API: BPE-encode one word column into subword symbols. */
+  def bpeEncodeWord(word: Column, rules: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncodeWord(Bridge.expression(word), rules))
+
   /** Column API: Unicode-normalize a string column. */
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     Bridge.column(UnicodeNormalize(Bridge.expression(text), form))
@@ -255,6 +294,49 @@ object DeflateImpl {
     var total = 0L
     while (!d.finished()) total += d.deflate(buf)
     total.toDouble / bytes.length
+  }
+}
+
+/** Top-level so whole-stage codegen can call the Java static
+  * forwarder `graft.functions.BpeEncodeImpl.encode` directly. */
+object BpeEncodeImpl {
+  /** Apply merge rules (flat [l0,r0,l1,r1,…], rank order) to one word.
+    * Per rule: one greedy left-to-right pass — if the last emitted
+    * symbol equals l and the incoming equals r, the last becomes l+r
+    * (the merged symbol immediately re-eligible against the NEXT
+    * incoming token, mirroring the training fold exactly). Initial
+    * symbols are Unicode code points (the training's
+    * substring-by-character split). */
+  def encode(word: UTF8String, rules: Array[String]): GenericArrayData = {
+    val w = word.toString
+    val n = w.codePointCount(0, w.length)
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    var syms = new java.util.ArrayList[String](n)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      syms.add(new String(Character.toChars(cp)))
+      i += Character.charCount(cp)
+    }
+    var k = 0
+    while (k < rules.length && syms.size > 1) {
+      val l = rules(k); val r = rules(k + 1)
+      val next = new java.util.ArrayList[String](syms.size)
+      var j = 0
+      while (j < syms.size) {
+        val s = syms.get(j)
+        if (!next.isEmpty && next.get(next.size - 1) == l && s == r)
+          next.set(next.size - 1, l + r)
+        else next.add(s)
+        j += 1
+      }
+      syms = next
+      k += 2
+    }
+    val out = new Array[Any](syms.size)
+    var m = 0
+    while (m < syms.size) { out(m) = UTF8String.fromString(syms.get(m)); m += 1 }
+    new GenericArrayData(out)
   }
 }
 

@@ -252,6 +252,34 @@ object VectorExpressions {
     flat
   }
 
+  /** All pairwise products c_i·c_j (i ≤ j) of an integer code vector,
+    * flattened row-major upper-triangular — the per-row term of a
+    * distributed second-moment (Gram/covariance) aggregation. One
+    * codegen'd pass, d(d+1)/2 longs out; downstream posexplode +
+    * groupBy(pos) partial-aggregates them, so the shuffle carries
+    * d(d+1)/2 rows PER MAP TASK, not per input row. Integer products
+    * of int8-quantized codes: exact, order-free, engine-portable
+    * (the fixed-point covariance recipe). */
+  case class UpperTriProducts(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(a: Any): Any =
+      new GenericArrayData(UpperTriImpl.compute(a.asInstanceOf[ArrayData]))
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  graft.functions.UpperTriImpl.compute($v));""".stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API: upper-triangular self-products of an int code array. */
+  def upperTriProducts(codes: Column): Column =
+    Bridge.column(UpperTriProducts(Bridge.expression(codes)))
+
   /** LSH buckets with caller-supplied planes (flattened
     * [table*nBits+bit][dim] row-major, as in [[LshSignBuckets]]). */
   def lshBucketsWith(v: Column, planes: Array[Double], dim: Int, nBits: Int, nTables: Int): Column =
@@ -267,6 +295,26 @@ object VectorExpressions {
         flat((t * nBits + b) * dim + d) = rnd.nextGaussian()
     }
     Bridge.column(LshSignBuckets(Bridge.expression(v), flat, dim, nBits, nTables))
+  }
+}
+
+/** Top-level so whole-stage codegen can call the Java static
+  * forwarder `graft.functions.UpperTriImpl.compute` directly. */
+object UpperTriImpl {
+  /** [c_0·c_0, c_0·c_1, …, c_0·c_{d-1}, c_1·c_1, …, c_{d-1}·c_{d-1}]:
+    * row-major upper triangular, p(i,j) = i·d − i(i−1)/2 + (j−i). */
+  def compute(codes: ArrayData): Array[Long] = {
+    val d = codes.numElements()
+    val out = new Array[Long](d * (d + 1) / 2)
+    var p = 0
+    var i = 0
+    while (i < d) {
+      val ci = codes.getInt(i).toLong
+      var j = i
+      while (j < d) { out(p) = ci * codes.getInt(j); p += 1; j += 1 }
+      i += 1
+    }
+    out
   }
 }
 

@@ -219,6 +219,144 @@ object Graph {
     labels
   }
 
+  /** Multi-source BFS: shortest hop distance from a seed set, over a
+    * directed edge list (feed a bidirected list for undirected
+    * graphs). Nodes unreachable from every seed are absent from the
+    * output — the caller decides the sentinel. Reference semantics:
+    * graph reachability is the transitive generalization of eel's
+    * join-chain lookups; this is the hop-count variant of
+    * connectedComponents' flooding.
+    *
+    * Algorithm: synchronous distance flooding — each round every node
+    * adopts min(own dist, min over in-neighbors' dist + 1), so the
+    * frontier advances one hop per round and the round count is the
+    * graph's seed eccentricity (max shortest-path dist), NOT node
+    * count. Convergence-probed like connectedComponents; THROWS on
+    * round exhaustion rather than return truncated distances.
+    *
+    * Scale shape per round: one edges⋈dist equi-join on the cached
+    * pre-partitioned edge layout + one partial-agg'd min groupBy; the
+    * dist relation is one (long, long) row per REACHED node (grows
+    * monotonically to the reachable set, never the full graph).
+    * Rounds are sealed by an eager localCheckpoint — the round
+    * references the previous dist three times (propagate, merge,
+    * probe), so a cache would leave the logical plan tripling per
+    * round (the connectedComponents 3^k lesson). Shuffles carry id/
+    * dist longs only.
+    *
+    * Output: (node, dist) for every node reachable from a seed
+    * (seeds themselves at dist 0, present even if edge-less). */
+  def bfs(edges: DataFrame, srcCol: String, dstCol: String,
+          seeds: DataFrame, seedCol: String,
+          maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val e = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .filter(col("__src") =!= col("__dst"))
+      .distinct()
+      .repartition(col("__src"))
+      .cache()
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val prop = e.join(dist, col("__src") === col("node"))
+        .groupBy(col("__dst").as("__nn"))
+        .agg(min(col("dist") + 1L).as("__nd"))
+      // full outer merge: newly-reached nodes enter, known nodes keep
+      // min(old, propagated); seeds stay at 0 by the min
+      val updated = dist
+        .join(prop, col("node") === col("__nn"), "full_outer")
+        .select(coalesce(col("node"), col("__nn")).as("node"),
+          least(coalesce(col("dist"), col("__nd")),
+            coalesce(col("__nd"), col("dist"))).as("dist"))
+        .localCheckpoint()
+      val changed = updated
+        .join(dist.withColumnRenamed("dist", "__old"), Seq("node"), "left_outer")
+        .filter(col("__old").isNull || col("dist") =!= col("__old"))
+        .limit(1).count()
+      dist = updated
+      converged = changed == 0L
+      round += 1
+    }
+    e.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"bfs did not converge in $maxRounds rounds — a shortest path longer than " +
+          s"$maxRounds hops exists; raise maxRounds (the frontier advances one hop per round)")
+    dist
+  }
+
+  /** Multi-source single-source-shortest-paths over POSITIVE integer
+    * edge weights (min-plus flooding — the weighted generalization of
+    * [[bfs]]): each round every node adopts min(own dist, min over
+    * in-neighbors' dist + w). With positive integer weights every
+    * improvement lowers an integer, so the loop converges to the
+    * exact Bellman-Ford fixed point; round count ≤ the longest
+    * shortest-PATH edge count. `maxCost` bounds the explored radius
+    * (dist > maxCost rows are dropped each round): the
+    * bounded-budget reachability query shape — and the bound that
+    * keeps a DuckDB recursive-CTE oracle finite. THROWS on round
+    * exhaustion rather than return non-converged distances.
+    *
+    * Scale shape: identical to [[bfs]] — per round one equi-join on
+    * the cached pre-partitioned edge layout + one partial-agg'd min
+    * groupBy, rounds sealed by eager localCheckpoint, shuffles carry
+    * (id, dist) longs. Weights are guarded per-row (w ≥ 1, codegen'd
+    * raise_error — a zero/negative weight would loop or corrupt the
+    * fixed point silently).
+    *
+    * Output: (node, dist) for nodes reachable within `maxCost`. */
+  def sssp(edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+           seeds: DataFrame, seedCol: String,
+           maxCost: Long = Long.MaxValue, maxRounds: Int = 30): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    require(maxCost >= 0, "maxCost must be >= 0")
+    val wc = col(weightCol).cast("long")
+    val w = when(wc.isNull || wc <= 0L,
+      raise_error(concat(lit("sssp: weight must be a positive integer: "),
+        col(weightCol).cast("string"))).cast("long")).otherwise(wc)
+    val e = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"), w.as("__w"))
+      .filter(col("__src") =!= col("__dst"))
+      .groupBy(col("__src"), col("__dst")).agg(min(col("__w")).as("__w"))
+      .repartition(col("__src"))
+      .cache()
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val prop = e.join(dist, col("__src") === col("node"))
+        .select(col("__dst"), (col("dist") + col("__w")).as("__cand"))
+        .filter(col("__cand") <= maxCost)
+        .groupBy(col("__dst").as("__nn"))
+        .agg(min(col("__cand")).as("__nd"))
+      val updated = dist
+        .join(prop, col("node") === col("__nn"), "full_outer")
+        .select(coalesce(col("node"), col("__nn")).as("node"),
+          least(coalesce(col("dist"), col("__nd")),
+            coalesce(col("__nd"), col("dist"))).as("dist"))
+        .localCheckpoint()
+      val changed = updated
+        .join(dist.withColumnRenamed("dist", "__old"), Seq("node"), "left_outer")
+        .filter(col("__old").isNull || col("dist") =!= col("__old"))
+        .limit(1).count()
+      dist = updated
+      converged = changed == 0L
+      round += 1
+    }
+    e.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"sssp did not converge in $maxRounds rounds — a shortest path with more than " +
+          s"$maxRounds edges exists inside the cost budget; raise maxRounds")
+    dist
+  }
+
   /** Exact triangle count via degree-ordered orientation. Each
     * undirected edge is oriented from its (degree, id)-smaller
     * endpoint to the larger; every triangle then appears as exactly

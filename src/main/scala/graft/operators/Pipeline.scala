@@ -592,9 +592,14 @@ object Pipeline {
     * partial-agg'd count + a 1-row argmax collect (the sanctioned tiny
     * driver relation — merge rules are inherently sequential), and the
     * merge itself is a map-side array fold. The symbol relation is
-    * re-cached/materialized each round and its predecessor dropped, so
-    * per-round work is constant (no lineage growth — the pagerank
-    * lesson). Rounds are irreducibly sequential; production 32k-merge
+    * sealed by an EAGER localCheckpoint each round (the concomp/bfs
+    * recipe) — cache+count+unpersist is NOT enough here: the
+    * non-cascading unpersist of round k-1 forces the CacheManager to
+    * rebuild round k's dependent cache entry from the full logical
+    * tower of nested interpreted HOF folds, and per-round cost goes
+    * exponential (measured: 42 s/round + OOM by round 16 at 500 docs;
+    * checkpointed: flat 0.15 s/round through 50). Rounds are
+    * irreducibly sequential; production 32k-merge
     * vocabs amortize by batching non-conflicting rules per round —
     * out of scope here, the per-round plan is what matters at scale.
     * `maxWordLen` bounds the explode fan-out against pathological
@@ -617,7 +622,7 @@ object Pipeline {
       .filter(length(col("__w")).between(2, maxWordLen))
       .select(col("__f"),
         expr("transform(sequence(1, length(__w)), i -> substring(__w, i, 1))").as("__s"))
-      .cache()
+      .localCheckpoint()
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var exhausted = false
     var round = 1
@@ -645,14 +650,11 @@ object Pipeline {
                 concat(slice(acc, lit(1), size(acc) - 1), array(concat(lLit, rLit))))
                 .otherwise(concat(acc, array(s)))).as("__s"))
           .filter(size(col("__s")) >= 2) // fully-merged words pair no more
-          .cache()
-        merged.count() // materialize before dropping the predecessor
-        vocab.unpersist()
+          .localCheckpoint() // eager: materializes AND severs the fold tower
         vocab = merged
         round += 1
       }
     }
-    vocab.unpersist()
     spark.createDataset(rules.toSeq)
       .toDF("rank", "left", "right", "merged", "pair_count")
   }
@@ -699,6 +701,76 @@ object Pipeline {
       .select(col(idCol),
         expr(s"transform(sequence(0, ${dim - 1}), i -> coalesce(element_at(__m, CAST(i AS BIGINT)), 0L))")
           .as("features"))
+  }
+
+  /** Doc-level BPE encode: tokenize and segment every word with the
+    * trained merge rules, one flat subword-symbol stream per doc —
+    * the apply step pairing [[bpeTrain]] (train once, encode the
+    * corpus). The rule table is embedded in a native expression
+    * ([[graft.functions.TextExpressions.BpeEncodeWord]]): no join, no
+    * broadcast, no per-row table work — the encode is one map-side
+    * pass, trivially parallel at any corpus scale. */
+  def bpeEncode(textCol: Column, rules: Seq[(String, String)]): Column =
+    flatten(transform(T.tokens(textCol), w => X.bpeEncodeWord(w, rules)))
+
+  /** Collect a [[bpeTrain]] result into the rank-ordered driver-side
+    * rule table [[bpeEncode]] embeds. Merge rules are ≤ `merges` rows
+    * by construction — the sanctioned tiny collect (the IVF-centroid
+    * contract), NOT a corpus-sized relation. */
+  def bpeCollectRules(rulesDf: DataFrame): Seq[(String, String)] =
+    rulesDf.select(col("rank"), col("left"), col("right")).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Centroid (multinomial-rate) text classifier, trained and applied
+    * in one job over a labeled corpus — the trained counterpart to the
+    * heuristic langid scorer (reference-style quality/domain
+    * classifiers, e.g. source-vs-source filters, are this shape).
+    * weight(t, c) = count(t in c) · scale div total_tokens(c), an
+    * integer fixed-point token rate per class; a document's class
+    * score is Σ_t count_d(t) · weight(t, c). The add-free rate form
+    * (no log, no smoothing) keeps every update BIGINT arithmetic, so
+    * scores are order-free under any partitioning and bit-identical
+    * in any engine (the kmeans/pagerank fixed-point recipe; sound
+    * while class token counts stay below 2^63/scale). Prediction =
+    * argmax score, ties to the larger label — max over a
+    * (score, label) struct, deterministic.
+    *
+    * Scale shape: token/class and doc/token counts are partial-agg'd;
+    * the scoring join is keyed on the token, so the shuffle carries
+    * (token, class, weight) / (id, token, count) — never document
+    * text — and argmax is one more partial agg. The model is a
+    * RELATION, not a driver-side object: vocab grows with the corpus,
+    * nothing collects or broadcasts (the per-class totals relation is
+    * |classes| rows — AQE broadcasts it on its own). `hashed = true`
+    * swaps the join key to xxhash64(token): the production path — the
+    * scoring shuffle then carries longs instead of token strings
+    * (gate mode keeps strings so DuckDB can rebuild the join).
+    *
+    * Classes sharing no token with a doc score no row for it (absent
+    * from its argmax, never zero-filled — at corpus scale the dense
+    * doc×class matrix is exactly what must not materialize).
+    * Output: (id, label, predicted, score). */
+  def classifyCentroid(docs: DataFrame, idCol: String, textCol: String,
+                       labelCol: String, scale: Long = 1L << 20,
+                       hashed: Boolean = false): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    val raw = docs.select(col(idCol), col(labelCol).as("__lab"),
+      explode(T.tokens(col(textCol))).as("__t"))
+    val tok = if (hashed) raw.withColumn("__t", xxhash64(col("__t"))) else raw
+    val classTot = tok.groupBy(col("__lab")).agg(count(lit(1)).as("__tot"))
+    val model = tok.groupBy(col("__t"), col("__lab")).agg(count(lit(1)).as("__c"))
+      .join(classTot, "__lab")
+      .select(col("__t"), col("__lab").as("__mlab"),
+        expr(s"__c * ${scale}L div __tot").as("__w"))
+    val docTok = tok.groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__dc"))
+    docTok.join(model, "__t")
+      .groupBy(col(idCol), col("__mlab"))
+      .agg(sum(col("__dc") * col("__w")).as("__score"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__score").as("s"), col("__mlab").as("l"))).as("__m"))
+      .join(docs.select(col(idCol), col(labelCol).as("label")), Seq(idCol))
+      .select(col(idCol), col("label"), col("__m.l").as("predicted"),
+        col("__m.s").as("score"))
   }
 
   /** Snapshot delta between two corpus versions keyed on id — the

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Event-stream operators (batch forms; streaming variants in
   * graft.streaming). All partition by the entity key — per-key sorted
@@ -378,5 +379,34 @@ object TimeSeries {
       .agg(count(lit(1)).as("active"), sum(col("__churned")).as("churned"))
       .select(col("__p").as("period"), col("active"), col("churned"),
         round(col("churned").cast("double") / col("active"), 6).as("churn_rate"))
+  }
+
+  /** Linear multi-touch attribution: every view in the `lookbackDays`
+    * window before a purchase gets an equal share value/n of it (the
+    * position-free counterpart of as-of last-touch — see
+    * evt_attribution). Touches and conversions pair inside one
+    * user-keyed equi-join with a bounded range predicate (per-user
+    * fan-out is events-per-user × window — corpus-rate-bounded, never
+    * quadratic in the corpus); the per-purchase touch count is a
+    * partial-agg'd groupBy rejoined on the purchase id, NOT a
+    * window over the pair relation (no sort). Credit = value/n per
+    * row (IEEE-identical across engines), summed via the exact
+    * decimal-sum recipe. `purchases`/`views` need (idCol, userCol,
+    * tsCol[, valueCol]) columns.
+    * Output: (view_hour, n_credits, revenue). */
+  def multiTouchAttribution(purchases: DataFrame, views: DataFrame,
+                            idCol: String, userCol: String, tsCol: String,
+                            viewTsCol: String, valueCol: String,
+                            lookbackDays: Int = 3): DataFrame = {
+    val j = purchases.join(views, Seq(userCol))
+      .filter(col(viewTsCol) <= col(tsCol) &&
+        col(viewTsCol) >= col(tsCol) - expr(s"INTERVAL $lookbackDays DAYS"))
+      .select(col(idCol), col(valueCol), col(viewTsCol))
+    val n = j.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    j.join(n, Seq(idCol))
+      .groupBy(date_trunc("hour", col(viewTsCol)).as("view_hour"))
+      .agg(count(lit(1)).as("n_credits"),
+        round(sum((col(valueCol) / col("__n")).cast(DecimalType(18, 6))), 2)
+          .cast("double").as("revenue"))
   }
 }

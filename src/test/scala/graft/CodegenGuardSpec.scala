@@ -18,6 +18,7 @@ class CodegenGuardSpec extends SparkSpec {
     "sim_ivf_topk",       // NearestCentroids
     "text_repetition",    // StringShingles
     "text_normalize",     // UnicodeNormalize
+    "emb_pca",            // UpperTriProducts (r7)
   )
 
   test("native-expression queries execute with codegen fallback DISABLED") {
@@ -28,6 +29,28 @@ class CodegenGuardSpec extends SparkSpec {
         val n = SparkEntry.queries(name)(spark, sfDir).count()
         assert(n >= 0, s"$name failed under fallback=false")
       }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
+  test("BpeEncodeWord codegen path compiles (direct projection, fallback DISABLED)") {
+    // inside the bpe_encode query the expression sits under a
+    // higher-order transform (interpreted), so the query-level guard
+    // above never exercises its doGenCode — project it directly
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = Seq("lowest", "cat").toDF("w")
+        .select(graft.functions.TextExpressions.bpeEncodeWord(
+          org.apache.spark.sql.functions.col("w"),
+          Seq(("l", "o"), ("lo", "w"))).as("s"))
+        .collect().map(_.getSeq[String](0))
+      assert(out(0) == Seq("low", "e", "s", "t") && out(1) == Seq("c", "a", "t"))
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)

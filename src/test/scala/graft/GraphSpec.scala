@@ -104,6 +104,56 @@ class GraphSpec extends SparkSpec {
     assert(ok.values.toSet == Set(0L) && ok.size == 13)
   }
 
+  test("bfs: multi-source shortest hops, direction, unreachable absent, round guard") {
+    // directed path 0→1→2→3→4 plus a detour 0→3: dist(3) must take the
+    // shortcut (1), not the path (3); 4 is behind it at 2
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L)).toDF("src", "dst")
+    val one = Graph.bfs(edges, "src", "dst", Seq(0L).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L))
+    // multi-source: each node takes the NEAREST seed; edge-less seed 99
+    // still appears at 0; node 0 is unreachable (edges are directed)
+    val multi = Graph.bfs(edges, "src", "dst", Seq(2L, 99L).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi == Map(2L -> 0L, 3L -> 1L, 4L -> 2L, 99L -> 0L))
+    // deterministic under repartitioning
+    val re = Graph.bfs(edges.repartition(5), "src", "dst", Seq(0L).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == one)
+    // eccentricity beyond the round budget → throw, never truncated dists
+    val path = (0L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Graph.bfs(path, "src", "dst", Seq(0L).toDF("id"), "id", maxRounds = 3)
+    }
+    val full = Graph.bfs(path, "src", "dst", Seq(0L).toDF("id"), "id", maxRounds = 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == (0L to 12L).map(i => i -> i).toMap)
+  }
+
+  test("sssp: weighted min-plus distances, cost budget, weight guard") {
+    // 0→1→2 cheap chain (1+1) vs direct 0→2 heavy edge (5): min wins
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (0L, 2L, 5L), (2L, 3L, 10L))
+      .toDF("src", "dst", "w")
+    val out = Graph.sssp(edges, "src", "dst", "w", Seq(0L).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 12L))
+    // cost budget drops the far node but keeps the budget-interior ones
+    val capped = Graph.sssp(edges, "src", "dst", "w", Seq(0L).toDF("id"), "id",
+        maxCost = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    // parallel edges keep the min weight; repartition-stable
+    val par = edges.union(Seq((0L, 1L, 7L)).toDF("src", "dst", "w")).repartition(5)
+    val re = Graph.sssp(par, "src", "dst", "w", Seq(0L).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == out)
+    // non-positive weight → per-row error, never a silent wrong fixed point
+    val bad = Seq((0L, 1L, 0L)).toDF("src", "dst", "w")
+    intercept[Exception] {
+      Graph.sssp(bad, "src", "dst", "w", Seq(0L).toDF("id"), "id").collect()
+    }
+  }
+
   test("pagerank: symmetric pair ranks equal and match the closed form") {
     val edges = bidirect(Seq((7L, 8L)))
     val r = Graph.pagerank(edges, "src", "dst", iters = 2)

@@ -403,6 +403,33 @@ class PipelineSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("classifyCentroid: training docs classified, tie → larger label, hashed path identical") {
+    val docs = Seq(
+      (1L, "apple apple banana", "A"),
+      (2L, "banana banana cherry", "B"),
+      (3L, "apple apple apple", "A")).toDF("doc_id", "text", "lang")
+    val out = Pipeline.classifyCentroid(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    // clearly-separated training docs classify to their own class
+    assert(out(1L)._2 == "A" && out(2L)._2 == "B" && out(3L)._2 == "A")
+    assert(out.values.forall { case (label, pred, score) => score > 0 && (label == pred) })
+    // hashed production path: identical predictions (join keys change,
+    // counts don't — xxhash64 collisions on a real vocab are negligible)
+    val hashed = Pipeline.classifyCentroid(docs, "doc_id", "text", "lang", hashed = true)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    assert(hashed == out)
+    // exact score tie: both classes emit identical weights → the
+    // larger label wins, deterministically, for every doc
+    val tied = Seq((1L, "x", "A"), (2L, "x", "B")).toDF("doc_id", "text", "lang")
+    val tout = Pipeline.classifyCentroid(tied, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(tout == Map(1L -> "B", 2L -> "B"))
+    // deterministic across partitionings
+    val re = Pipeline.classifyCentroid(docs.repartition(5), "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    assert(re == out)
+  }
+
   test("corpusDiff classifies added/removed/changed and drops identical") {
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "fp")
     val v2 = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("id", "fp")
@@ -478,6 +505,38 @@ class PipelineSpec extends SparkSpec {
     assert(out.map(t => (t._2, t._3)) == Seq(("a", "a"), ("aa", "aa")))
     assert(out.map(_._4) == Seq(9L, 3L))
     assert(out.size == 2) // exhausted before the merge budget
+  }
+
+  test("bpeEncode segments with trained rules; vocab words reproduce training state") {
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    // hand-derived rule sequence for this corpus (count DESC, l ASC,
+    // r ASC ties): lo, low, lowe, lower, lowes, lowest — then exhausted
+    val rules = Pipeline.bpeCollectRules(Pipeline.bpeTrain(docs, "text", merges = 10))
+    assert(rules == Seq(("l", "o"), ("lo", "w"), ("low", "e"),
+      ("lowe", "r"), ("lowe", "s"), ("lowes", "t")))
+    def enc(word: String, rs: Seq[(String, String)] = rules): Seq[String] = {
+      val df = Seq(word).toDF("w")
+      df.select(graft.functions.TextExpressions.bpeEncodeWord(col("w"), rs).as("s"))
+        .head().getSeq[String](0)
+    }
+    // training-vocab words encode to their fully-merged training state
+    assert(enc("low") == Seq("low"))
+    assert(enc("lower") == Seq("lower"))
+    assert(enc("lowest") == Seq("lowest"))
+    // unseen word: longest learned prefixes apply, remainder stays split
+    assert(enc("lowers") == Seq("lower", "s"))
+    // fully-unseen word degrades to characters
+    assert(enc("cat") == Seq("c", "a", "t"))
+    // no rules → pure character split (code-point aware)
+    assert(enc("naïve", Nil) == Seq("n", "a", "ï", "v", "e"))
+    // symbols always concatenate back to the word
+    for (w <- Seq("low", "lowers", "lowestest", "cat"))
+      assert(enc(w).mkString == w)
+    // doc-level: flat symbol stream across words
+    val doc = Seq((1L, "low lowers")).toDF("doc_id", "text")
+    val syms = doc.select(Pipeline.bpeEncode(col("text"), rules).as("s"))
+      .head().getSeq[String](0)
+    assert(syms == Seq("low", "lower", "s"))
   }
 
   test("bpePairs topK rank is deterministic on count ties") {

@@ -51,6 +51,14 @@ class SqlContextSpec extends SparkSpec {
     }
   }
 
+  test("graft_upper_tri from SQL matches the Column API") {
+    GraftSqlContext.withTables(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    val viaSql = spark.sql(
+      "SELECT graft_upper_tri(array(1, 2, 3)) AS p").head.getSeq[Long](0)
+    assert(viaSql == Seq(1L, 2L, 3L, 4L, 6L, 9L))
+  }
+
   test("withTables registers the whole corpus") {
     GraftSqlContext.withTables(spark, sfDir)
     assert(spark.sql("SELECT count(*) FROM region").head.getLong(0) == 5)

@@ -113,6 +113,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(open == Map("view" -> 3L, "click" -> 2L, "buy" -> 1L))
   }
 
+  test("multiTouchAttribution splits value equally over in-window views") {
+    val purchases = Seq(
+      (100L, 1L, ts("2024-01-05 12:00:00"), 30.0),
+      (101L, 2L, ts("2024-01-05 12:00:00"), 8.0)).toDF("event_id", "user_id", "t", "value")
+    val views = Seq(
+      (1L, ts("2024-01-03 09:00:00")), // in window (2d before)
+      (1L, ts("2024-01-05 11:00:00")), // in window
+      (1L, ts("2024-01-05 11:30:00")), // in window, same hour as above
+      (1L, ts("2024-01-01 09:00:00")), // OUT: 4 days before
+      (2L, ts("2024-01-05 10:00:00")), // user 2, in window
+      (3L, ts("2024-01-05 10:00:00"))  // other user: never credited
+    ).toDF("user_id", "view_ts")
+    val out = TimeSeries.multiTouchAttribution(purchases, views,
+        "event_id", "user_id", "t", "view_ts", "value", lookbackDays = 3)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).toSet
+    // purchase 100: 3 views → 10 each; 11:00 hour holds two credits
+    assert(out == Set(
+      ("2024-01-03 09:00:00.0", 1L, 10.0),
+      ("2024-01-05 11:00:00.0", 2L, 20.0),
+      ("2024-01-05 10:00:00.0", 1L, 8.0)))
+    // repartition-stable (decimal credit sums are order-free)
+    val re = TimeSeries.multiTouchAttribution(purchases.repartition(4),
+        views.repartition(3), "event_id", "user_id", "t", "view_ts", "value", 3)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).toSet
+    assert(re == out)
+  }
+
   test("retention builds the cohort x offset activity matrix") {
     // u1 first active day 0, returns day 1; u2 first active day 1 only
     val events = Seq(
