@@ -1146,6 +1146,14 @@ object SparkEntry {
       operators.Pca.gram(codes, "codes", 64)
     }),
 
+    "emb_outlier" -> ((s, dir) =>
+      // embedding-space outlier scoring: exact integer squared distance
+      // to the per-label integer centroid (codes, not floats), flagged
+      // by the integer cross-multiplication dist2·n > 4·Σdist2 — no
+      // float threshold anywhere, engine-exact by construction
+      Quantize.codeOutliers(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, labelCol = Some("label"))),
+
     "emb_truncate" -> ((s, dir) => {
       // Matryoshka-style prefix truncation (first 16 of 64 dims) — the
       // cheap-ANN representation; retained-mass ratio per vector. Pure
@@ -1337,6 +1345,24 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    "graph_kcore" -> ((s, dir) => {
+      // 3-core of the bidirected order-burst graph: peel nodes of
+      // degree < 3 until stable — sparse burst chains die in round 1
+      // (internal path nodes have degree 2), so only genuinely dense
+      // same-week clusters survive; oracle = the same peeling unrolled
+      // maxRounds times (idempotent once converged)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").cast("date").as("__d"))
+      val pairs = o.as("x").join(o.as("y"),
+          col("x.o_custkey") === col("y.o_custkey") &&
+            col("x.o_orderkey") < col("y.o_orderkey") &&
+            abs(datediff(col("y.__d"), col("x.__d"))) <= 7)
+        .select(col("x.o_orderkey").as("a"), col("y.o_orderkey").as("b"))
+      val e = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      operators.Graph.kcore(e, "a", "b", k = 3, maxRounds = 8)
+        .orderBy(col("node"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       // point-in-interval join via the binned equi-join rewrite (a
       // BETWEEN join planned as hash join, not BroadcastNestedLoop):
@@ -1390,6 +1416,12 @@ object SparkEntry {
       // text_bm25_prod (log() is transcendental — not oracle-gated)
       Search.searchTopK(t(s, dir, "documents"), "doc_id", "text",
         terms = searchTerms, k = 10)),
+
+    "text_keyphrase" -> ((s, dir) =>
+      // per-doc TF-IDF keyphrases: integer fixed-point idf (N·1024 div
+      // df), >50%-df stopword cut, top-5 per doc with (score DESC,
+      // term ASC) ties — all-integer, engine-exact
+      Search.keyphrases(t(s, dir, "documents"), "doc_id", "text", k = 5)),
   )
 
   /** Query terms for the search gate/bench entries — common corpus
@@ -2767,6 +2799,28 @@ object SparkEntry {
                 si.s AS si, sj.s AS sj, CAST(si.n AS BIGINT) AS cnt
          FROM pairs p JOIN sums si ON p.i = si.d JOIN sums sj ON p.j = sj.d""",
 
+    "emb_outlier" ->
+      """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                            CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+         dims AS (SELECT d, min(v) AS mn, max(v) AS mx FROM ex GROUP BY d),
+         codes AS (SELECT vec_id, ex.d AS d,
+                          CAST(CASE WHEN mx = mn THEN 0
+                               ELSE least(255, floor((v - mn) * 256 / (mx - mn))) END AS BIGINT) AS c
+                   FROM ex JOIN dims ON ex.d = dims.d),
+         lab AS (SELECT vec_id, label FROM embeddings),
+         cs AS (SELECT label, d, sum(c) AS s, count(*) AS n
+                FROM codes JOIN lab USING (vec_id) GROUP BY 1, 2),
+         cent AS (SELECT label, d, s // n AS cd FROM cs),
+         d2 AS (SELECT codes.vec_id, lab.label,
+                       CAST(sum((c - cd) * (c - cd)) AS BIGINT) AS dist2
+                FROM codes JOIN lab USING (vec_id)
+                JOIN cent ON cent.label = lab.label AND cent.d = codes.d
+                GROUP BY 1, 2),
+         st AS (SELECT label, sum(dist2) AS sumd, count(*) AS cnt FROM d2 GROUP BY 1)
+         SELECT d2.vec_id, d2.label, d2.dist2,
+                d2.dist2 * st.cnt > st.sumd * 4 AS is_outlier
+         FROM d2 JOIN st USING (label)""",
+
     "emb_truncate" ->
       """SELECT vec_id,
                 round(sqrt(list_reduce(list_transform(embedding[1:16]::DOUBLE[], v -> v * v),
@@ -2945,6 +2999,8 @@ object SparkEntry {
          SELECT id AS node, min(d) AS dist FROM reach
          GROUP BY 1 ORDER BY node""",
 
+    "graph_kcore" -> kcoreSql,
+
     "q_range_join" ->
       """WITH w AS (SELECT DISTINCT CAST(datediff('day', DATE '1970-01-01',
                       CAST(date_trunc('month', o_orderdate) AS DATE)) AS BIGINT) AS w_lo
@@ -2979,9 +3035,52 @@ object SparkEntry {
                  FROM tf)
           SELECT rk.term, rk.doc_id, rk.tf, dfreq.df, CAST(rk.rnk AS INT) AS rank
           FROM rk JOIN dfreq USING (term) WHERE rnk <= 10""",
+
+    "text_keyphrase" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                 WHERE length(term) >= 3 GROUP BY 1, 2),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS nn FROM documents),
+          idf AS (SELECT term, df, (nn * 1024) // df AS idf
+                  FROM dfreq, n WHERE df * 2 <= nn),
+          rk AS (SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+                        CAST(tf.tf * idf.idf AS BIGINT) AS score,
+                        row_number() OVER (PARTITION BY tf.doc_id
+                                           ORDER BY tf.tf * idf.idf DESC, tf.term ASC) AS rnk
+                 FROM tf JOIN idf USING (term))
+          SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rank
+          FROM rk WHERE rnk <= 5""",
   )
 
   private def searchTermsSqlIn: String = searchTerms.map(t => s"'$t'").mkString(", ")
+
+  /** Unrolled peeling twin of Graph.kcore(k=3, maxRounds=8) on the
+    * bidirected order-burst graph: each round keeps only edges whose
+    * BOTH endpoints still have degree ≥ 3 — written as a fixed CTE
+    * chain of exactly maxRounds rounds (peeling is idempotent once
+    * converged, and the operator THROWS if 8 rounds don't converge,
+    * so round counts can never silently disagree). */
+  private val kcoreSql: String = {
+    // MATERIALIZED: each e_i is referenced 3× by round i+1 — inlined
+    // CTEs would expand 3^rounds-fold (DuckDB ran out of file handles)
+    val rounds = (1 to 8).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= 3),
+         e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+                 JOIN a$i x ON e.src = x.src JOIN a$i y ON e.dst = y.src)"""
+    }.mkString(",\n         ")
+    s"""WITH pairs AS (
+           SELECT x.o_orderkey AS a, y.o_orderkey AS b
+           FROM orders x JOIN orders y
+             ON x.o_custkey = y.o_custkey AND x.o_orderkey < y.o_orderkey
+            AND abs(datediff('day', CAST(x.o_orderdate AS DATE),
+                             CAST(y.o_orderdate AS DATE))) <= 7),
+         e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+                UNION SELECT b, a FROM pairs),
+         $rounds
+         SELECT src AS node, count(*) AS core_degree FROM e8
+         GROUP BY 1 ORDER BY node"""
+  }
 
   /** Unrolled 2-iteration Lloyd twin of Cluster.kmeans(k=8, iters=2):
     * md5-sampled init, argmax-cosine assignment (ties → smaller

@@ -394,4 +394,58 @@ object Graph {
     o.unpersist()
     res
   }
+
+  /** k-core extraction by synchronous peeling: repeatedly delete every
+    * node with (undirected) degree &lt; k until the survivor set is
+    * stable — the standard density filter (community cores, spam/bot
+    * subgraph mining, the "is this node structurally embedded" signal
+    * for graph-side corpus curation). Feed a BIDIRECTED edge list
+    * (like [[bfs]]); degree is then out-degree. Returns each k-core
+    * node with its within-core degree; an empty result means the
+    * graph has no k-core.
+    *
+    * Scale shape per round: one partial-agg'd degree count + two
+    * semi-joins of the edge relation against the |alive-nodes| set
+    * (node-sized; AQE broadcasts it while it fits, hash-join
+    * otherwise) — shuffles carry (long, long) edges only, and the
+    * edge relation only ever SHRINKS. Rounds are sealed by eager
+    * localCheckpoints (the concomp plan-growth lesson). Round count =
+    * peeling depth; sparse tendrils peel in round 1, so depth is
+    * small on real graphs — still, convergence is probed and the
+    * operator THROWS on round exhaustion rather than return a
+    * superset of the core. */
+  def kcore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 8): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    var e = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .filter(col("__src") =!= col("__dst"))
+      .distinct()
+      .repartition(col("__src"))
+      .localCheckpoint()
+    var eCount = e.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val alive = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k)
+        .select(col("__src").as("__a"))
+        .localCheckpoint()
+      val ne = e
+        .join(alive, col("__src") === col("__a"), "left_semi")
+        .join(alive.withColumnRenamed("__a", "__b"), col("__dst") === col("__b"), "left_semi")
+        .localCheckpoint()
+      val nc = ne.count()
+      converged = nc == eCount
+      e = ne
+      eCount = nc
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kcore did not converge in $maxRounds rounds — peeling is still removing " +
+          "nodes; raise maxRounds")
+    e.groupBy(col("__src").as("node")).agg(count(lit(1)).as("core_degree"))
+  }
 }

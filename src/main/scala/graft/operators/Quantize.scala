@@ -43,17 +43,25 @@ object Quantize {
                      levels: Int = 256,
                      stats: Option[Array[(Double, Double)]] = None): DataFrame = {
     val st = stats.getOrElse(dimStats(emb, vecCol, dim))
-    val mnArr = array(st.map(s => lit(s._1)): _*)
-    val mxArr = array(st.map(s => lit(s._2)): _*)
-    val codes = transform(sequence(lit(0), lit(dim - 1)), d => {
-      val v = element_at(col(vecCol), d + 1).cast("double")
+    emb.select(col(idCol), encodeExpr(col(vecCol), st, dim, levels).as("codes"))
+  }
+
+  /** The SQ8 encode expression alone — for callers that need to keep
+    * other columns alongside the codes (the map-side transform with
+    * the stats inlined as array literals, exactly as [[scalarQuantize]]
+    * applies it). */
+  def encodeExpr(vec: Column, stats: Array[(Double, Double)], dim: Int,
+                 levels: Int = 256): Column = {
+    val mnArr = array(stats.map(s => lit(s._1)): _*)
+    val mxArr = array(stats.map(s => lit(s._2)): _*)
+    transform(sequence(lit(0), lit(dim - 1)), d => {
+      val v = element_at(vec, d + 1).cast("double")
       val mn = element_at(mnArr, d + 1)
       val mx = element_at(mxArr, d + 1)
       when(mx === mn, lit(0))
         .otherwise(least(lit(levels - 1), floor((v - mn) * levels / (mx - mn))))
         .cast("int")
     })
-    emb.select(col(idCol), codes.as("codes"))
   }
 
   /** Product-quantization codebooks: per-subspace spherical k-means —
@@ -134,5 +142,62 @@ object Quantize {
       mn + (c + 0.5) * (mx - mn) / levels
     })
     encoded.select(col(idCol), vec.as("vec"))
+  }
+
+  /** Embedding-space outlier scoring over SQ8 codes — the corpus-
+    * hygiene pass that flags mis-embedded / out-of-distribution
+    * vectors before clustering or dedup trusts them. Each vector's
+    * score is its exact integer squared distance to its group's
+    * integer centroid (per-`labelCol` group, or one global group):
+    * centroid_d = Σcodes_d div n (the kmeans fixed-point recipe), so
+    * dist2 ≤ dim·(levels−1)² — bounded, BIGINT-exact, order-free
+    * under any partitioning and engine. The outlier flag is the
+    * integer cross-multiplication dist2·n > 4·Σdist2 (i.e. dist2
+    * exceeds 4× the group mean) — no float threshold to flake.
+    *
+    * Scale shape: one dim-stats pass (tiny, collected like the IVF
+    * centroids), one map-side encode, one per-(group, dim) partial
+    * agg whose result is groups·dim rows (labels are a fixed tiny
+    * class set — the sanctioned driver-sized relation, inlined as a
+    * map literal so scoring is one MAP-SIDE zip_with pass, no join),
+    * then a groups-sized stats agg rejoined broadcast-style by AQE.
+    * Nothing corpus-sized shuffles except the (group, dim, sum)
+    * partials. Output: (idCol, labelCol?, dist2, is_outlier). */
+  def codeOutliers(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                   labelCol: Option[String] = None,
+                   levels: Int = 256): DataFrame = {
+    val st = dimStats(emb, vecCol, dim)
+    val groupCol = labelCol.getOrElse("__g")
+    val base0 = emb.select(
+      (col(idCol) +: labelCol.map(col).toSeq :+ encodeExpr(col(vecCol), st, dim, levels).as("__codes")): _*)
+    val base = if (labelCol.isEmpty) base0.withColumn("__g", lit(0)) else base0
+    // per-(group, dim) integer sums + count → integer centroid codes;
+    // groups × dim rows by construction (labels are a class enum)
+    val sums = base
+      .select(col(groupCol), posexplode(col("__codes")).as(Seq("__d", "__c")))
+      .groupBy(col(groupCol), col("__d"))
+      .agg(sum(col("__c").cast("long")).as("__s"), count(lit(1)).as("__n"))
+      .collect()
+    val cents: Map[Any, Array[Int]] = sums.groupBy(_.get(0)).map { case (g, rows) =>
+      val c = new Array[Int](dim)
+      rows.foreach(r => c(r.getInt(1)) = (r.getLong(2) / r.getLong(3)).toInt)
+      g -> c
+    }
+    val groups = cents.keys.toSeq
+    // centroid lookup inlined as a literal map column — scoring stays
+    // one map-side pass with zero joins against the corpus
+    val centMap = map(groups.flatMap(g =>
+      Seq(lit(g), array(cents(g).map(lit(_)): _*))): _*)
+    val scored = base.select(
+      (col(idCol) +: labelCol.map(col).toSeq :+
+        aggregate(
+          zip_with(col("__codes"), element_at(centMap, col(groupCol)),
+            (a, b) => ((a - b) * (a - b)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("dist2")) :+ col(groupCol).as("__gk"): _*)
+    val stats = scored.groupBy(col("__gk").as("__sg"))
+      .agg(sum(col("dist2")).as("__sumd"), count(lit(1)).as("__cnt"))
+    scored.join(stats, col("__gk") === col("__sg"))
+      .select((col(idCol) +: labelCol.map(col).toSeq :+ col("dist2") :+
+        (col("dist2") * col("__cnt") > col("__sumd") * 4).as("is_outlier")): _*)
   }
 }

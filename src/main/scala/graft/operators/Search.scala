@@ -93,4 +93,44 @@ object Search {
       .select(col("term"), col("__e.id").as(idCol),
         round(col("__e.score"), 6).as("score"), (col("__r") + 1).cast("int").as("rank"))
   }
+
+  /** Per-document TF-IDF keyphrase extraction: each doc's top-k terms
+    * by tf · idf_fp, where idf_fp = (N·scale) div df is the integer
+    * fixed-point inverse document rate (no log, no float — the
+    * kmeans/classifier engine-exact recipe; rank order matches 1/df
+    * idf). Terms in more than half the corpus are dropped (df·2 > N) —
+    * the statistics-driven stopword cut, itself an exact integer
+    * comparison. Tie-break: (score DESC, term ASC), deterministic.
+    *
+    * Scale shape: doc-term tf and term df are partial-agg'd
+    * aggregations; N is a 1-row scalar broadcast (the q15/
+    * sample_importance pattern); the scoring join is term-keyed
+    * (shuffle carries (id, term, tf) — never text). The per-doc rank
+    * IS a window, deliberately: its partition is one document's own
+    * DISTINCT terms — bounded by doc length, not corpus size, so
+    * there is no full-scored-set sort and no skew (the invariant
+    * against windows targets unbounded groups; a doc is the bounded
+    * group par excellence).
+    * Output: (idCol, term, tf, df, score, rank ≤ k). */
+  def keyphrases(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 5, scale: Long = 1024L, minTermLen: Int = 3): DataFrame = {
+    require(k >= 1 && scale > 0)
+    val tf = docs
+      .select(col(idCol), explode(T.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__N"))
+    val idf = dfreq.crossJoin(broadcast(n))
+      .filter(col("df") * 2 <= col("__N"))
+      .select(col("term"), col("df"), expr(s"(__N * ${scale}L) div df").as("__idf"))
+    val scored = tf.join(idf, "term")
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        (col("tf") * col("__idf")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"),
+        col("rank").cast("int").as("rank"))
+  }
 }

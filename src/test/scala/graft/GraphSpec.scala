@@ -154,6 +154,35 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("kcore: clique survives, tendrils peel, guard throws, empty core empty") {
+    // K4 clique {1,2,3,4} + tail 4-5-6: for k=3 the tail peels (5 and
+    // 6 have degree ≤ 2), and 4 keeps exactly its 3 clique edges
+    val clique = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val edges = bidirect(clique ++ Seq((4L, 5L), (5L, 6L)))
+    val out = Graph.kcore(edges, "src", "dst", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the max degree → empty core (converges to the empty set)
+    assert(Graph.kcore(edges, "src", "dst", k = 5).count() == 0)
+    // a path peels one node per end per round: 13 nodes need ~6 rounds,
+    // so maxRounds=2 must throw rather than return a superset
+    val path = bidirect((0L until 12L).map(i => (i, i + 1)))
+    intercept[IllegalStateException] {
+      Graph.kcore(path, "src", "dst", k = 2, maxRounds = 2)
+    }
+    // ...and with budget it converges to empty (a path has no 2-core)
+    assert(Graph.kcore(path, "src", "dst", k = 2, maxRounds = 8).count() == 0)
+    // a cycle IS its own 2-core (every node keeps degree 2)
+    val cycle = bidirect((0L until 5L).map(i => (i, (i + 1) % 5)))
+    val c2 = Graph.kcore(cycle, "src", "dst", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2 == (0L until 5L).map(_ -> 2L).toMap)
+    // repartition-stable
+    val re = Graph.kcore(edges.repartition(5), "src", "dst", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == out)
+  }
+
   test("pagerank: symmetric pair ranks equal and match the closed form") {
     val edges = bidirect(Seq((7L, 8L)))
     val r = Graph.pagerank(edges, "src", "dst", iters = 2)

@@ -62,4 +62,34 @@ class QuantizeSpec extends SparkSpec {
       .collect().map(_.getAs[collection.Seq[Double]]("vec"))
     assert(dec.forall(_.length == dim))
   }
+
+  test("codeOutliers flags the far vector, honors labels, is partition-stable") {
+    // 20 vectors hugging the origin + one far point: the far point is
+    // the only one whose dist2 exceeds 4× the mean dist2
+    val tight = (0L until 20L).map(i =>
+      (i, Array.tabulate(4)(d => ((i + d) % 3 * 0.01).toFloat).toSeq, 0))
+    val far = Seq((99L, Array.fill(4)(10.0f).toSeq, 0))
+    val df = (tight ++ far).toDF("vec_id", "embedding", "label")
+    val out = Quantize.codeOutliers(df, "vec_id", "embedding", dim = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == 21)
+    assert(out(99L)._2 && out.filter(_._1 != 99L).values.forall(!_._2))
+    // per-label mode: each label scores against ITS OWN centroid — two
+    // well-separated clusters produce no outlier when split by label...
+    val a = (0L until 10L).map(i => (i, Array.fill(4)(0.0f + i * 0.001f).toSeq, 0))
+    val b = (10L until 20L).map(i => (i, Array.fill(4)(5.0f + i * 0.001f).toSeq, 1))
+    val two = (a ++ b).toDF("vec_id", "embedding", "label")
+    val lbl = Quantize.codeOutliers(two, "vec_id", "embedding", dim = 4,
+        labelCol = Some("label"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(lbl.size == 20 && lbl.values.forall(!_._3))
+    assert(lbl(0L)._1 == 0 && lbl(15L)._1 == 1)
+    // schema carries the label column only when asked
+    assert(Quantize.codeOutliers(two, "vec_id", "embedding", dim = 4)
+      .columns.toSeq == Seq("vec_id", "dist2", "is_outlier"))
+    // deterministic across partitionings
+    val re = Quantize.codeOutliers(df.repartition(7), "vec_id", "embedding", dim = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(re == out)
+  }
 }

@@ -54,4 +54,31 @@ class SearchSpec extends SparkSpec {
         .toSet
     assert(run(1) == run(5))
   }
+
+  test("keyphrases: tf·idf ranking, stopword cut, short-term filter, ties by term") {
+    // 4 docs; "spark" appears in 3 (df·2 > 4 → stopword-cut), "join"
+    // in 2 (kept, idf = 4·1024/2 = 2048), singletons get idf 4096
+    val kp = Seq(
+      (1L, "spark join join merge"),
+      (2L, "spark join window"),
+      (3L, "spark scan xy"),   // "xy" is below the 3-char term floor
+      (4L, "sort sort sort sort")).toDF("doc_id", "text")
+    val out = Search.keyphrases(kp, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(5)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1: join tf=2·2048=4096 beats merge 1·4096=4096 — exact tie,
+    // term ASC puts "join" first
+    assert(out((1L, 1)) == ("join", 2L, 2L, 4096L))
+    assert(out((1L, 2)) == ("merge", 1L, 1L, 4096L))
+    // doc 3: "xy" dropped by the length floor; scan is the only phrase
+    assert(out((3L, 1)) == ("scan", 1L, 1L, 4096L))
+    assert(!out.exists { case ((d, _), (t, _, _, _)) => t == "xy" || t == "spark" })
+    // doc 4: tf 4 on a singleton
+    assert(out((4L, 1)) == ("sort", 4L, 1L, 16384L))
+    // deterministic across partitionings
+    val re = Search.keyphrases(kp.repartition(5), "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(5)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(re == out)
+  }
 }
