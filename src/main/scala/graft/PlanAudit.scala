@@ -75,13 +75,19 @@ object PlanAudit {
       val nljByDesign = Set("ds_cartesian", "ds_takewhile", "sim_bruteforce_topk",
         "corpus_mix", "text_unigram_prod", "q22_dormant_customers",
         "text_collocations", "text_bm25_prod", "sim_recall_eval",
-        "graph_pagerank", "sample_importance")
+        "graph_pagerank", "sample_importance",
+        // 1-row corpus-count scalar crossJoin(broadcast(...)) for the
+        // integer idf — the q15/sample_importance pattern
+        "text_keyphrase")
       val flags = Seq(
         if (bnlj + cart > 0 && !nljByDesign.exists(name.startsWith))
           Some(s"nested-loop/cartesian join") else None,
         if (distinctLines(p, "InMemoryTableScan") > 0 &&
           !Set("dedup_minhash", "dedup_keeplist", "dedup_simhash",
-            "graph_", "pipeline_prepare").exists(name.startsWith))
+            "graph_", "pipeline_prepare",
+            // hotKeyJoin's hot-key set: tiny by construction, cached
+            // for its three consumers (documented in SkewJoin.scala)
+            "q_skew_join").exists(name.startsWith))
           Some("unexpected cache") else None,
       ).flatten
       spark.catalog.clearCache()

@@ -239,6 +239,83 @@ object StreamOps {
       })
   }
 
+  final case class ActivityEvent(key: Long, day: Long)
+  /** Per-user running state: the OPEN day's (day, count) plus exact
+    * integer moments (n, Σ, Σ²) over the CLOSED days — 5 longs. */
+  final case class ActivityState(curDay: Long, curCount: Long,
+                                 n: Long, s: Long, ssq: Long)
+  final case class DayAnomaly(user_id: Long, day: Long, n_events: Long, z: Double)
+
+  /** Streaming activity-spike detection — the stateful twin of the
+    * batch [[graft.operators.TimeSeries.activityAnomaly]]: per user,
+    * daily event counts are z-scored against the user's OWN exact
+    * integer moments. A day is scored when it CLOSES (the first event
+    * of a later day arrives), against the moments of all days up to
+    * and including itself — so on in-order replay the z emitted for a
+    * user's final closed day is bit-identical to the batch z computed
+    * over that same prefix (spec-pinned, including the 6dp HALF_UP
+    * rounding); earlier days use prefix moments where the batch uses
+    * full-history moments (the inherent batch/stream semantic gap —
+    * a stream cannot consult days it hasn't seen).
+    *
+    * State is FIVE longs per user — the open day's count plus (n, Σ,
+    * Σ²) over closed days — bounded by |users|, never by event or day
+    * volume (no per-day map; the moments fold is the whole point).
+    * Late events for an already-closed day are dropped (documented
+    * degradation: within-day disorder is safe, cross-day disorder
+    * would need the closed day re-opened — the watermark bounds it
+    * upstream). */
+  def anomalyStream(events: DataFrame, userCol: String, tsCol: String,
+                    minPeriods: Int = 3, zThreshold: Double = 2.0,
+                    periodDays: Int = 1,
+                    watermarkMinutes: Int = 0): Dataset[DayAnomaly] = {
+    implicit val evEnc = Encoders.product[ActivityEvent]
+    implicit val stEnc = Encoders.product[ActivityState]
+    implicit val outEnc = Encoders.product[DayAnomaly]
+    implicit val longEnc = Encoders.scalaLong
+    val periodUs = periodDays.toLong * 86400L * 1000000L
+    val keyed = events
+      .select(col(userCol).cast("long").as("key"),
+        expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div ${periodUs}L").as("day"),
+        col(tsCol).cast("timestamp").as("eventTime"))
+      .withWatermark("eventTime", s"$watermarkMinutes minutes")
+      .as[ActivityEvent]
+      .groupByKey(_.key)
+    keyed.flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (key: Long, it: Iterator[ActivityEvent], state: GroupState[ActivityState]) => {
+        val out = scala.collection.mutable.ArrayBuffer.empty[DayAnomaly]
+        var st = state.getOption.getOrElse(ActivityState(Long.MinValue, 0L, 0L, 0L, 0L))
+        // close the open day: fold it into the moments and z-score it
+        // against the post-fold prefix — the batch formula verbatim
+        // ((c·n − s) / (n · sqrt((n·ssq − s²) / n²)), round 6 HALF_UP)
+        def close(): Unit = {
+          val n = st.n + 1
+          val s = st.s + st.curCount
+          val ssq = st.ssq + st.curCount * st.curCount
+          val disc = n * ssq - s * s
+          if (n >= minPeriods && disc > 0) {
+            val z = (st.curCount * n - s).toDouble /
+              (n.toDouble * math.sqrt(disc.toDouble / (n * n).toDouble))
+            if (math.abs(z) > zThreshold)
+              out += DayAnomaly(key, st.curDay, st.curCount,
+                BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          st = ActivityState(st.curDay, 0L, n, s, ssq)
+        }
+        it.toSeq.sortBy(_.day).foreach { e =>
+          if (st.curDay == Long.MinValue) st = ActivityState(e.day, 1L, 0L, 0L, 0L)
+          else if (e.day == st.curDay) st = st.copy(curCount = st.curCount + 1)
+          else if (e.day > st.curDay) {
+            close()
+            st = ActivityState(e.day, 1L, st.n, st.s, st.ssq)
+          } // e.day < st.curDay: late event for a closed day — dropped
+        }
+        state.update(st)
+        out.iterator
+      })
+  }
+
   /** Streaming exact dedup: drop rows whose `idCols` were already seen
     * within the watermark horizon — the streaming twin of Dedup.exact.
     * State is bounded by the watermark (expired keys are evicted), so

@@ -224,4 +224,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty && streamed.exists(_._3 >= 0))
   }
+
+  test("streaming anomaly matches batch z on each user's final day (in-order replay)") {
+    val events = Tables.events(spark, sfDir)
+    val slim = events.select(col("user_id"), col("ts"))
+    // one sentinel event per user two days past their last event: it
+    // closes the user's real final day (and its own day never closes,
+    // so it is never scored)
+    val sentinel = events.groupBy("user_id")
+      .agg((max(col("ts")) + expr("INTERVAL 2 DAYS")).as("ts"))
+    val input = slim.union(sentinel.select(col("user_id"), col("ts")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom").toString + "/events"
+    input.orderBy("ts").coalesce(1).write.parquet(dir)
+
+    val stream = StreamOps.parquetStream(spark, dir, input.schema, maxFilesPerTrigger = 1)
+    val anomalies = StreamOps.anomalyStream(stream, "user_id", "ts",
+        zThreshold = 0.5, watermarkMinutes = 0).toDF()
+    val streamed = StreamOps.runToMemory(anomalies, "anom", outputMode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    // the stream scores day d against moments over days <= d; the batch
+    // scores against ALL days — they agree exactly on each user's final
+    // day, where the prefix IS the full history
+    val lastDay = slim
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("user_id").agg(max(col("day")).as("day"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = TimeSeries.activityAnomaly(events, "user_id", "ts", zThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .filter(t => lastDay(t._1) == t._2).toSet
+    val streamedLast = streamed.filter(t => lastDay(t._1) == t._2).toSet
+    assert(streamedLast == batch)
+    assert(batch.nonEmpty)
+  }
 }
