@@ -911,6 +911,12 @@ object SparkEntry {
       // itself (log) is benched as text_collocations_prod
       Pipeline.collocations(t(s, dir, "documents"), "text", minCount = 5)),
 
+    "text_bigram_lm" -> ((s, dir) =>
+      // bigram-LM fluency score: mean fixed-point P(w|prev) per doc
+      // (conditional rates — the KenLM-filter shape; dsir/unigram are
+      // the marginal twins); prod twin hashes the bigram join keys
+      Pipeline.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")),
+
     "sample_topk_per_group" -> ((s, dir) =>
       // deterministic 10-docs-per-language sample via bounded-heap
       // TopKAggregate over the md5-hash order — ≤k rows per stratum
@@ -1590,6 +1596,11 @@ object SparkEntry {
     "text_collocations_prod" -> ((s, dir) =>
       // hashed tokens + the transcendental PMI value
       Pipeline.collocationsPmi(t(s, dir, "documents"), "text", minCount = 5)),
+
+    "text_bigram_lm_prod" -> ((s, dir) =>
+      // xxhash64 bigram keys — the scoring shuffle carries longs
+      Pipeline.bigramLmScore(t(s, dir, "documents"), "doc_id", "text",
+        hashTokens = true)),
 
     "sample_topk_per_group_prod" -> ((s, dir) =>
       // xxhash64 rank order (cheaper; not oracle-recomputable)
@@ -2310,6 +2321,21 @@ object SparkEntry {
                  CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT) AS shard,
                  ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
                FROM documents)""",
+
+    "text_bigram_lm" ->
+      s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS ts FROM documents),
+          bi AS (SELECT doc_id, u.w1, u.w2
+                 FROM tok, unnest([struct_pack(w1 := ts[i], w2 := ts[i+1])
+                                   FOR i IN range(1, len(ts))]) t(u)),
+          nxy AS (SELECT w1, w2, count(*) AS cxy FROM bi GROUP BY 1, 2),
+          marg AS (SELECT w1, CAST(sum(cxy) AS BIGINT) AS cx FROM nxy GROUP BY 1),
+          model AS (SELECT nxy.w1, nxy.w2, (cxy * 1048576) // cx AS p
+                    FROM nxy JOIN marg USING (w1)),
+          dbi AS (SELECT doc_id, w1, w2, count(*) AS n FROM bi GROUP BY 1, 2, 3)
+          SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+                 CAST(sum(n * p) AS BIGINT) AS p_sum,
+                 CAST(CAST(sum(n * p) AS BIGINT) // CAST(sum(n) AS BIGINT) AS BIGINT) AS avg_p_fp
+          FROM dbi JOIN model USING (w1, w2) GROUP BY 1""",
 
     "text_dsir" ->
       s"""WITH tok AS (SELECT doc_id, (lang = 'en') AS tgt,

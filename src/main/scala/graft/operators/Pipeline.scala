@@ -453,6 +453,49 @@ object Pipeline {
       .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"), col("n_total"))
   }
 
+  /** Bigram language-model quality score — the KenLM/CCNet-style
+    * fluency filter, as far as it goes without smoothing: train
+    * bigram conditional rates on the corpus itself and score each doc
+    * by its mean P(w_i | w_{i-1}) in integer fixed-point
+    * (p_fp = c_xy·scale div c_x→, with c_x→ = Σ_y c_xy the bigram
+    * FROM-margin — derived from the same relation, no second corpus
+    * pass). Word-salad text scores low (its bigrams are rare given
+    * their head), templated text high — the conditional complement of
+    * [[dsirScore]]'s marginal ratios and [[collocations]]' PMI. All
+    * integer: sums and the final floor division are order-free and
+    * engine-exact. Docs with fewer than two tokens have no bigram and
+    * are absent (the caller's null-policy, like classifyCentroid's
+    * no-shared-token docs).
+    *
+    * Scale shape: bigrams built map-side (token array zipped with its
+    * own tail — no self-join), model and margins are partial-agg'd
+    * groupBys on the bigram/head keys; the scoring join is
+    * bigram-keyed, so the shuffle carries (id, w1, w2, n) — strings in
+    * gate mode, xxhash64 longs with `hashTokens=true` (the production
+    * path; the model is a RELATION, vocab² never collects).
+    * Output: (idCol, n_bigrams, p_sum, avg_p_fp). */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                    scale: Long = 1L << 20, hashTokens: Boolean = false): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    def h(c: Column): Column = if (hashTokens) xxhash64(c) else c
+    val toks = docs.select(col(idCol), T.tokens(col(textCol)).as("__ts"))
+    val n1 = greatest(size(col("__ts")) - 1, lit(0))
+    val bi = toks.select(col(idCol), explode(zip_with(
+        slice(col("__ts"), lit(1), n1), slice(col("__ts"), lit(2), n1),
+        (a, b) => struct(h(a).as("w1"), h(b).as("w2")))).as("__bi"))
+      .select(col(idCol), col("__bi.w1").as("w1"), col("__bi.w2").as("w2"))
+    val nxy = bi.groupBy("w1", "w2").agg(count(lit(1)).as("__cxy"))
+    val marg = nxy.groupBy("w1").agg(sum(col("__cxy")).as("__cx"))
+    val model = nxy.join(marg, "w1")
+      .select(col("w1"), col("w2"), expr(s"__cxy * ${scale}L div __cx").as("__p"))
+    val dbi = bi.groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("__n"))
+    dbi.join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_bigrams"), sum(col("__n") * col("__p")).as("p_sum"))
+      .select(col(idCol), col("n_bigrams"), col("p_sum"),
+        expr("p_sum div n_bigrams").as("avg_p_fp"))
+  }
+
   /** Production collocation scoring: hashed tokens + pointwise mutual
     * information. Counts are cast to double BEFORE multiplying (n_x·n_y
     * overflows a long at corpus scale in integer space). log() is

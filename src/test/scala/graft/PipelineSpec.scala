@@ -539,6 +539,36 @@ class PipelineSpec extends SparkSpec {
     assert(syms == Seq("low", "lower", "s"))
   }
 
+  test("bigramLmScore: hand-computed conditional rates, hashed twin identical") {
+    // corpus bigrams: (a,b)×3 [docs 1,2], (b,a)×1, (b,c)×1, (c,a)×1
+    // from-margins: a→: 3, b→: 2, c→: 1
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: ab, ba, ab
+      (2L, "a b c a"),   // bigrams: ab, bc, ca
+      (3L, "z")).toDF("doc_id", "text") // single token → no bigrams
+    val S = 1L << 20
+    val out = Pipeline.bigramLmScore(docs, "doc_id", "text", scale = S)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val pAb = 3 * S / 3; val pBa = 1 * S / 2; val pBc = 1 * S / 2; val pCa = 1 * S / 1
+    // doc 1: 2·P(b|a) + 1·P(a|b)
+    val d1 = 2 * pAb + pBa
+    assert(out(1L) == ((3L, d1, d1 / 3)))
+    // doc 2: P(b|a) + P(c|b) + P(a|c)
+    val d2 = pAb + pBc + pCa
+    assert(out(2L) == ((3L, d2, d2 / 3)))
+    // sub-bigram docs are absent, not zero-scored
+    assert(!out.contains(3L))
+    // production path: hashed join keys, identical scores (counts are
+    // key-blind; xxhash64 collisions negligible on a real vocab)
+    val hashed = Pipeline.bigramLmScore(docs, "doc_id", "text", scale = S, hashTokens = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(hashed == out)
+    // deterministic across partitionings
+    val re = Pipeline.bigramLmScore(docs.repartition(5), "doc_id", "text", scale = S)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(re == out)
+  }
+
   test("bpePairs topK rank is deterministic on count ties") {
     val docs = Seq((1L, "ab cd ab cd ef")).toDF("doc_id", "text")
     // counts: ab 2, cd 2, ef 1 -> topK=2 keeps (ab, cd) by pair ASC on the tie
