@@ -1098,6 +1098,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("revenue"))
     }),
 
+    "evt_trend" -> ((s, dir) =>
+      // per-event-type daily-count OLS slope: exact BIGINT moments +
+      // cross-multiplied numerator/denominator, one float division
+      TimeSeries.activityTrend(t(s, dir, "events"), "event_type", "ts")),
+
     "evt_attribution_multi" -> ((s, dir) => {
       // linear multi-touch: every view in the 3-day window before a
       // purchase shares its value equally; revenue by view hour
@@ -2735,6 +2740,23 @@ object SparkEntry {
          ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
            ON p.user_id = v.user_id AND v.ts <= p.ts
          GROUP BY 1""",
+
+    "evt_trend" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d, count(*) AS y
+                        FROM events GROUP BY 1, 2),
+         based AS (SELECT event_type, d - min(d) OVER (PARTITION BY event_type) AS t, y
+                   FROM daily),
+         m AS (SELECT event_type, count(*) AS n_days, CAST(sum(y) AS BIGINT) AS total,
+                      CAST(sum(t) AS BIGINT) AS st, CAST(sum(y * t) AS BIGINT) AS sty,
+                      CAST(sum(t * t) AS BIGINT) AS stt
+               FROM based GROUP BY 1)
+         SELECT event_type, n_days, total,
+                CAST(n_days * sty - st * total AS BIGINT) AS slope_num,
+                CAST(n_days * stt - st * st AS BIGINT) AS slope_den,
+                round(CASE WHEN n_days * stt - st * st = 0 THEN 0.0
+                      ELSE CAST(n_days * sty - st * total AS DOUBLE)
+                           / CAST(n_days * stt - st * st AS DOUBLE) END, 6) AS slope
+         FROM m""",
 
     "evt_attribution_multi" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events

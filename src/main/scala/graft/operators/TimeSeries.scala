@@ -381,6 +381,46 @@ object TimeSeries {
         round(col("churned").cast("double") / col("active"), 6).as("churn_rate"))
   }
 
+  /** Per-segment activity trend: ordinary-least-squares slope of the
+    * daily event count over time, per `segCol` (event type, cohort,
+    * source…) — the growth/decay detector behind "is this segment
+    * trending". The OLS moments (n, Σt, Σy, Σty, Σt²) are EXACT
+    * integer sums over the already-aggregated (segment × day) counts,
+    * and the slope's numerator n·Σty − Σt·Σy / denominator
+    * n·Σt² − (Σt)² are exact BIGINT cross-multiplications — the only
+    * float op is the final division, a single correctly-rounded op on
+    * identical integers in any engine (rounded 6dp). Days are
+    * re-based to the segment's own first day so the integer products
+    * stay small (t < corpus days, y < segment daily events:
+    * n·Σty ≲ days²·events — far inside 2^63 at any corpus age).
+    *
+    * Scale shape: one partial-agg'd (segment, day) count, one
+    * partial-agg'd per-segment moments fold — two map-combined
+    * shuffles carrying integers; no window, no sort, no collect.
+    * Output: (segCol, n_days, total, slope_num, slope_den, slope). */
+  def activityTrend(events: DataFrame, segCol: String, tsCol: String,
+                    periodDays: Int = 1): DataFrame = {
+    val periodUs = periodDays.toLong * 86400L * 1000000L
+    val daily = events
+      .select(col(segCol), expr(s"unix_micros($tsCol) div $periodUs").as("__d"))
+      .groupBy(col(segCol), col("__d")).agg(count(lit(1)).as("__y"))
+    val based = daily
+      .groupBy(col(segCol)).agg(min(col("__d")).as("__d0"))
+      .join(daily, segCol)
+      .select(col(segCol), (col("__d") - col("__d0")).as("__t"), col("__y"))
+    based.groupBy(col(segCol))
+      .agg(count(lit(1)).as("n_days"), sum(col("__y")).as("total"),
+        sum(col("__t")).as("__st"), sum(col("__y") * col("__t")).as("__sty"),
+        sum(col("__t") * col("__t")).as("__stt"))
+      .select(col(segCol), col("n_days"), col("total"),
+        (col("n_days") * col("__sty") - col("__st") * col("total")).as("slope_num"),
+        (col("n_days") * col("__stt") - col("__st") * col("__st")).as("slope_den"),
+        round(when(col("n_days") * col("__stt") - col("__st") * col("__st") === 0L, lit(0.0))
+          .otherwise((col("n_days") * col("__sty") - col("__st") * col("total")).cast("double") /
+            (col("n_days") * col("__stt") - col("__st") * col("__st")).cast("double")), 6)
+          .as("slope"))
+  }
+
   /** Linear multi-touch attribution: every view in the `lookbackDays`
     * window before a purchase gets an equal share value/n of it (the
     * position-free counterpart of as-of last-touch — see

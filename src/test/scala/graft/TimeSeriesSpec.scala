@@ -140,6 +140,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("activityTrend: exact OLS slope on a hand-built ramp, flat series slopes 0") {
+    // type "up": counts 1,2,3 on days 0,1,2 → slope exactly 1
+    // type "flat": 2,2,2 → slope 0; type "one": single day → den 0 → 0
+    def at(day: Int, n: Int, t: String) =
+      (0 until n).map(i => (t, ts(f"2024-01-0${day + 1}%d 12:00:0$i%d")))
+    val events = (at(0, 1, "up") ++ at(1, 2, "up") ++ at(2, 3, "up") ++
+      at(0, 2, "flat") ++ at(1, 2, "flat") ++ at(2, 2, "flat") ++
+      at(1, 3, "one")).toDF("event_type", "t")
+    val out = TimeSeries.activityTrend(events, "event_type", "t")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // up: n=3 Σt=3 Σy=6 Σty=1·0+2·1+3·2=8 Σt²=5 → num 24−18=6, den 15−9=6
+    assert(out("up") == ((3L, 6L, 6L, 6L, 1.0)))
+    assert(out("flat") == ((3L, 6L, 0L, 6L, 0.0)))
+    // single-day series: denominator 0 → slope defined as 0
+    assert(out("one") == ((1L, 3L, 0L, 0L, 0.0)))
+    // re-based per segment: shifting one series' days never changes it
+    val re = TimeSeries.activityTrend(events.repartition(5), "event_type", "t")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(re == out)
+  }
+
   test("retention builds the cohort x offset activity matrix") {
     // u1 first active day 0, returns day 1; u2 first active day 1 only
     val events = Seq(
