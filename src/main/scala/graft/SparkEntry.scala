@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Gds
-import graft.functions.{PiiFunctions => P, TextFunctions => T, VectorFunctions => V}
+import graft.functions.{HllAggregate, PiiFunctions => P, TextFunctions => T, VectorFunctions => V}
 import graft.operators.{Cluster, Dedup, Pipeline, Quantize, Search, Similarity, TimeSeries}
 import graft.multimodal.Multimodal
 import graft.sql.GraftSqlContext
@@ -1433,6 +1433,20 @@ object SparkEntry {
       // df), >50%-df stopword cut, top-5 per doc with (score DESC,
       // term ASC) ties — all-integer, engine-exact
       Search.keyphrases(t(s, dir, "documents"), "doc_id", "text", k = 5)),
+
+    "sketch_hll" -> ((s, dir) => {
+      // persisted HLL distinct sketches (rows-only: no DuckDB
+      // xxhash64/HLL twin — bytes + estimator spec-pinned in HllSpec):
+      // per-lang doc sketches next to the exact distinct, and a
+      // value-sensitive fingerprint of the sketch bytes
+      val docs = t(s, dir, "documents")
+      docs.groupBy(col("lang"))
+        .agg(HllAggregate.sketch(xxhash64(col("doc_id"))).as("__s"),
+          countDistinct(col("doc_id")).as("exact"))
+        .select(col("lang"), col("exact"),
+          round(HllAggregate.estimate(col("__s")), 3).as("est"),
+          md5(hex(col("__s"))).as("sketch_fp"))
+    }),
   )
 
   /** Query terms for the search gate/bench entries — common corpus
@@ -1472,6 +1486,17 @@ object SparkEntry {
     * driver's `queries` contract, so CORRECTNESS stays 100%
     * hash-checked. */
   def perfQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_prod" -> ((s, dir) => {
+      // the sketch-table rollup at event scale: per-type user sketches
+      // merged to one corpus sketch — distinct-users-anywhere answered
+      // from |types| 4 KB sketches, never a re-scan
+      val ev = t(s, dir, "events")
+      ev.groupBy(col("event_type"))
+        .agg(HllAggregate.sketch(xxhash64(col("user_id"))).as("__s"))
+        .agg(HllAggregate.merge(col("__s")).as("__s"))
+        .select(round(HllAggregate.estimate(col("__s")), 3).as("est_users"))
+    }),
+
     "corpus_quantiles_prod" -> ((s, dir) =>
       // the 100-TB quantile path: approx_percentile (one-pass
       // mergeable sketch, no sort) — exactness traded for a fixed

@@ -19,6 +19,7 @@ class CodegenGuardSpec extends SparkSpec {
     "text_repetition",    // StringShingles
     "text_normalize",     // UnicodeNormalize
     "emb_pca",            // UpperTriProducts (r7)
+    "sketch_hll",         // HllEstimate (r7)
   )
 
   test("native-expression queries execute with codegen fallback DISABLED") {
