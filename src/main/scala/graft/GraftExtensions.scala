@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{TextExpressions, TopKAggregate, VectorExpressions}
+import graft.functions.{HllEstimate, KmvEstimate, KmvJaccard, TextExpressions, TopKAggregate, VectorExpressions}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -20,6 +20,9 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   *   graft_simhash(norm_text)        — 64-bit SimHash (xxhash64 tokens)
   *   graft_unicode_normalize(text, form) — NFC/NFKC/NFD/NFKD normalization
   *   graft_upper_tri(codes)          — upper-triangular self-products (PCA moments)
+  *   graft_hll_estimate(sketch)      — HLL distinct-count estimate
+  *   graft_kmv_estimate(sketch)      — KMV distinct-count estimate
+  *   graft_kmv_jaccard(a, b)         — KMV sketch Jaccard overlap
   *
   * (text arguments are expected pre-normalized — compose with
   * `trim(regexp_replace(lower(t), '\\s+', ' '))` in SQL, which is
@@ -94,5 +97,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_upper_tri"),
       info("graft_upper_tri", classOf[VectorExpressions.UpperTriProducts]),
       (exprs: Seq[Expression]) => VectorExpressions.UpperTriProducts(exprs(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_hll_estimate"),
+      info("graft_hll_estimate", classOf[HllEstimate]),
+      (exprs: Seq[Expression]) => HllEstimate(exprs(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_kmv_estimate"),
+      info("graft_kmv_estimate", classOf[KmvEstimate]),
+      (exprs: Seq[Expression]) => KmvEstimate(exprs(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_kmv_jaccard"),
+      info("graft_kmv_jaccard", classOf[KmvJaccard]),
+      (exprs: Seq[Expression]) => KmvJaccard(exprs(0), exprs(1))))
   }
 }

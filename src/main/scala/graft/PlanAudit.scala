@@ -78,7 +78,9 @@ object PlanAudit {
         "graph_pagerank", "sample_importance",
         // 1-row corpus-count scalar crossJoin(broadcast(...)) for the
         // integer idf — the q15/sample_importance pattern
-        "text_keyphrase")
+        "text_keyphrase",
+        // 1-row 'en'-sketch scalar broadcast against the per-lang rows
+        "corpus_overlap")
       val flags = Seq(
         if (bnlj + cart > 0 && !nljByDesign.exists(name.startsWith))
           Some(s"nested-loop/cartesian join") else None,

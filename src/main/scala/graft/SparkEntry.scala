@@ -1447,6 +1447,27 @@ object SparkEntry {
           round(HllAggregate.estimate(col("__s")), 3).as("est"),
           md5(hex(col("__s"))).as("sketch_fp"))
     }),
+
+    "corpus_overlap" -> ((s, dir) => {
+      // cross-segment vocabulary overlap from KMV bottom-k sketches
+      // (rows-only: estimators spec-pinned in KmvSpec): per-lang token
+      // sketches, distinct-vocab estimate next to the exact count, and
+      // Jaccard vs the 'en' sketch — the pre-dedup "is a cross-corpus
+      // pass worth scheduling" diagnostic, from k·8-byte sketches
+      // instead of a vocab×vocab join
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("lang"), explode(T.tokens(col("text"))).as("__t"))
+      val sk = tok.groupBy(col("lang"))
+        .agg(graft.functions.KmvAggregate.sketch(xxhash64(col("__t"))).as("__s"),
+          countDistinct(col("__t")).as("exact_vocab"))
+      val en = sk.filter(col("lang") === "en").select(col("__s").as("__en"))
+      sk.crossJoin(broadcast(en))
+        .select(col("lang"), col("exact_vocab"),
+          round(graft.functions.KmvAggregate.estimate(col("__s")), 3).as("est_vocab"),
+          round(graft.functions.KmvAggregate.jaccard(col("__s"), col("__en")), 6)
+            .as("jaccard_vs_en"))
+        .orderBy(col("lang"))
+    }),
   )
 
   /** Query terms for the search gate/bench entries — common corpus

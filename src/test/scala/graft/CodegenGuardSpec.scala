@@ -20,6 +20,7 @@ class CodegenGuardSpec extends SparkSpec {
     "text_normalize",     // UnicodeNormalize
     "emb_pca",            // UpperTriProducts (r7)
     "sketch_hll",         // HllEstimate (r7)
+    "corpus_overlap",     // KmvEstimate + KmvJaccard (r7)
   )
 
   test("native-expression queries execute with codegen fallback DISABLED") {

@@ -59,6 +59,25 @@ class SqlContextSpec extends SparkSpec {
     assert(viaSql == Seq(1L, 2L, 3L, 4L, 6L, 9L))
   }
 
+  test("sketch estimators callable from SQL, agree with the Column API") {
+    GraftSqlContext.withTables(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sk = (0 until 500).map(_.toLong).toDF("v")
+      .agg(graft.functions.HllAggregate.sketch(xxhash64(col("v"))).as("h"),
+        graft.functions.KmvAggregate.sketch(xxhash64(col("v"))).as("m"))
+    sk.createOrReplaceTempView("__sk")
+    val row = spark.sql(
+      """SELECT graft_hll_estimate(h) AS he, graft_kmv_estimate(m) AS ke,
+                graft_kmv_jaccard(m, m) AS j FROM __sk""").head
+    val direct = sk.select(
+      graft.functions.HllAggregate.estimate(col("h")),
+      graft.functions.KmvAggregate.estimate(col("m"))).head
+    assert(row.getDouble(0) == direct.getDouble(0))
+    assert(row.getDouble(1) == direct.getDouble(1) && row.getDouble(1) == 500.0)
+    assert(row.getDouble(2) == 1.0)
+  }
+
   test("withTables registers the whole corpus") {
     GraftSqlContext.withTables(spark, sfDir)
     assert(spark.sql("SELECT count(*) FROM region").head.getLong(0) == 5)
