@@ -441,6 +441,38 @@ object SparkEntry {
           col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
     }),
 
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      // TPC-H Q21 adaptation (corpus has no commit/receipt dates):
+      // "late" = shipped >30 days after the order date. Suppliers who
+      // were the SOLE late supplier on a finished multi-supplier
+      // order. Shape at scale: the fact collapses to one row per
+      // (orderkey, suppkey) FIRST (partial-agg'd max of the late
+      // flag — the exchange carries two longs + a bit, never lines),
+      // the per-order supplier/late counts are a second agg on the
+      // SAME orderkey partitioning (no extra exchange), and the
+      // verdict join is orderkey-equi on two already-aggregated
+      // order-sized relations. No fact×fact row multiplication, no
+      // window, no distinct-count shuffle of raw lines.
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val perSupp = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_shipdate") > date_add(col("o_orderdate"), 30), 1)
+          .otherwise(0)).as("late"))
+      val perOrder = perSupp.groupBy(col("l_orderkey").as("__ok"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+      perSupp.filter(col("late") === 1)
+        .join(perOrder, col("l_orderkey") === col("__ok"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+    }),
+
     "q19_disjunctive" -> ((s, dir) =>
       // TPC-H Q19 adaptation: OR-of-conjunctions across both join
       // sides. Catalyst extracts the common per-side disjuncts
@@ -2159,6 +2191,23 @@ object SparkEntry {
          SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
          FROM big JOIN orders ON o_orderkey = l_orderkey
                   JOIN customer ON o_custkey = c_custkey""",
+
+    "q21_waiting_suppliers" ->
+      """WITH per_supp AS (
+           SELECT l_orderkey, l_suppkey,
+                  max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY THEN 1 ELSE 0 END) AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'
+           GROUP BY l_orderkey, l_suppkey),
+         per_order AS (
+           SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+           FROM per_supp GROUP BY l_orderkey)
+         SELECT s_suppkey, s_name, count(*) AS numwait
+         FROM per_supp
+         JOIN per_order USING (l_orderkey)
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE per_supp.late = 1 AND n_supp > 1 AND n_late = 1
+         GROUP BY s_suppkey, s_name""",
 
     "q19_disjunctive" ->
       """SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
