@@ -41,14 +41,24 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** The events table stores TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; read nanos as long and integer-divide to a
-    * microsecond timestamp (corpus is µs-precision, so lossless —
-    * double division would lose precision above 2^53 ns). */
+  /** The events table's `ts` physical type has varied across corpus
+    * generations: TIMESTAMP(NANOS) (which Spark's parquet reader
+    * rejects — read nanos as long, integer-divide to µs; double
+    * division would lose precision above 2^53 ns) and plain
+    * TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ — cast to the session
+    * TimestampType; session tz is UTC so the instant is unchanged).
+    * Branch on what the reader actually produced so both corpora load
+    * with identical downstream semantics. */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/events.parquet")
-    df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")

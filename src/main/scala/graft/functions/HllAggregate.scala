@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -39,6 +40,13 @@ case class HllSketchAggregate(child: Expression, p: Int,
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 
+  // Values must be pre-hashed longs (xxhash64) — fail at analysis time
+  // with a clear message, not mid-job with a ClassCastException.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft HLL sketch requires a LongType child (pass xxhash64(col)); got ${child.dataType.catalogString}")
+
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](1 << p)
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
@@ -72,6 +80,11 @@ case class HllMergeAggregate(child: Expression,
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft HLL merge requires a BINARY sketch column; got ${child.dataType.catalogString}")
 
   // sized lazily from the first sketch seen (empty marker until then)
   override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray

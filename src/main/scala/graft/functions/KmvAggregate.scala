@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -44,6 +45,13 @@ case class KmvSketchAggregate(child: Expression, k: Int,
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 
+  // Values must be pre-hashed longs (xxhash64) — fail at analysis time
+  // with a clear message, not mid-job with a ClassCastException.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft KMV sketch requires a LongType child (pass xxhash64(col)); got ${child.dataType.catalogString}")
+
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
   override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
@@ -74,6 +82,11 @@ case class KmvMergeAggregate(child: Expression,
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft KMV merge requires a BINARY sketch column; got ${child.dataType.catalogString}")
+
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(0) // sized on first sketch
 
   override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
@@ -81,12 +94,24 @@ case class KmvMergeAggregate(child: Expression,
     if (s == null) buf
     else {
       val other = KmvBuffer.deserialize(s.asInstanceOf[Array[Byte]])
-      if (buf.k == 0) other else { buf.mergeIn(other); buf }
+      if (buf.k == 0) other
+      else {
+        // A smaller-k sketch is missing values between its theta and
+        // ours — merging it would silently bias estimate()/jaccard().
+        require(other.k == buf.k,
+          s"KMV sketch k mismatch: ${other.k} vs ${buf.k} — sketches must be built with the same k to merge")
+        buf.mergeIn(other); buf
+      }
     }
   }
 
   override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer =
-    if (a.k == 0) b else if (b.k == 0) a else { a.mergeIn(b); a }
+    if (a.k == 0) b else if (b.k == 0) a
+    else {
+      require(a.k == b.k,
+        s"KMV sketch k mismatch: ${b.k} vs ${a.k} — sketches must be built with the same k to merge")
+      a.mergeIn(b); a
+    }
   override def eval(buf: KmvBuffer): Any = buf.serialize()
   override def serialize(buf: KmvBuffer): Array[Byte] = buf.serialize()
   override def deserialize(bytes: Array[Byte]): KmvBuffer = KmvBuffer.deserialize(bytes)

@@ -277,7 +277,13 @@ object DeflateImpl {
   // zlib stream init/teardown of a per-row `new Deflater` dominates
   // the cost of compressing short documents. ThreadLocal is the right
   // scope — expression eval is single-threaded per task, and distinct
-  // tasks run on distinct executor threads.
+  // tasks run on distinct executor threads. The Deflater (and its
+  // zlib native buffer, ~few hundred KB) lives for the thread's
+  // lifetime; Spark executors run a FIXED task-thread pool
+  // (spark.executor.cores threads, reused across tasks), so retained
+  // native memory is bounded by cores × buffer, not task count. In a
+  // thread-churning host JVM, call end() from a thread-exit hook or
+  // accept the GC-time finalizer zlib installs.
   private val deflater: ThreadLocal[java.util.zip.Deflater] =
     ThreadLocal.withInitial(() => new java.util.zip.Deflater(6, true))
 

@@ -59,7 +59,13 @@ object Compact {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataFiles = fs.listStatus(hPath).filterNot(_.getPath.getName.startsWith("_"))
-    val totalBytes = dataFiles.map(_.getLen).sum
+    // Flat-directory contract: a partitioned tree (subdirs only) would
+    // measure ~0 bytes and silently flatten everything into one file —
+    // fail loudly instead (compactTo's rewrite would also discard the
+    // partitioning, so rejecting the layout is the correct semantic).
+    require(dataFiles.exists(_.isFile),
+      s"$path contains no regular data files — compactToSize requires a flat (non-partitioned) directory")
+    val totalBytes = dataFiles.filter(_.isFile).map(_.getLen).sum
     val n = math.max(1L, (totalBytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
     val before = compactTo(spark, path, n, format)
     (before, n)

@@ -145,6 +145,7 @@ object Pca {
   def fit(gramDf: DataFrame, dim: Int, k: Int): (Array[Double], Array[Double], Array[Array[Double]]) = {
     require(k >= 1 && k <= dim, s"k must be in [1, $dim]")
     val rows = gramDf.select(col("i"), col("j"), col("sxy"), col("si"), col("cnt")).collect()
+    require(rows.nonEmpty, "empty gram relation — no input vectors to fit PCA on")
     val n = rows.head.getLong(4).toDouble
     val sums = new Array[Double](dim)
     rows.foreach { r => if (r.getInt(0) == r.getInt(1)) sums(r.getInt(0)) = r.getLong(3).toDouble }

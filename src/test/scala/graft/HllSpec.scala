@@ -59,4 +59,13 @@ class HllSpec extends SparkSpec {
     HllImpl.mergeInto(b, a)
     assert((b(0) & 0xff) == 61 && (b(5) & 0xff) == 7)
   }
+
+  test("un-hashed (non-long) child fails at analysis time") {
+    import spark.implicits._
+    val df = Seq("a", "b").toDF("t")
+    val ex = intercept[Exception] {
+      df.agg(HllAggregate.sketch(org.apache.spark.sql.functions.col("t")).as("s")).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("long"))
+  }
 }

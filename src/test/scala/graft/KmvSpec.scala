@@ -63,4 +63,24 @@ class KmvSpec extends SparkSpec {
       .head.getDouble(0)
     assert(viaCol == j)
   }
+
+  test("merging sketches built with different k fails loudly") {
+    val a = (0 until 100).map(_.toLong).toDF("v")
+      .agg(KmvAggregate.sketch(xxhash64(col("v")), k = 64).as("s"))
+    val b = (0 until 100).map(_.toLong).toDF("v")
+      .agg(KmvAggregate.sketch(xxhash64(col("v")), k = 128).as("s"))
+    val ex = intercept[Exception] {
+      a.union(b).agg(KmvAggregate.merge(col("s")).as("m")).collect()
+    }
+    assert(ex.getMessage.contains("k mismatch") ||
+      Option(ex.getCause).exists(_.getMessage.contains("k mismatch")))
+  }
+
+  test("un-hashed (non-long) child fails at analysis time") {
+    val df = Seq("a", "b").toDF("t")
+    val ex = intercept[Exception] {
+      df.agg(KmvAggregate.sketch(col("t")).as("s")).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("long"))
+  }
 }
