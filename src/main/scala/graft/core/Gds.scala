@@ -204,6 +204,20 @@ final case class Gds(df: DataFrame) {
     val rhs = if (broadcastOther) broadcast(other.df) else other.df
     Gds(df.join(rhs, Seq(key), "left_outer"))
   }
+  /** Key-based MERGE/upsert: rows from `updates` win on key collision,
+    * unmatched target rows pass through, new keys are inserted — the
+    * lakehouse `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED
+    * INSERT` shape as a pure relational recipe. Costs one anti-join
+    * keyed on `keys` (the updates side ships only its key columns into
+    * the probe) plus a union — no full-table rewrite, no window, and
+    * both inputs stay partitioned on the merge key, so at 100 TB the
+    * exchange is one key-shuffle of the (typically much smaller)
+    * updates relation. Schemas must match by name. */
+  def upsert(updates: Gds, keys: String*): Gds = {
+    require(keys.nonEmpty, "upsert requires at least one key column")
+    val keep = df.join(updates.df.select(keys.map(updates.df(_)): _*), keys.toSeq, "left_anti")
+    Gds(updates.df.unionByName(keep))
+  }
   /** Inner join with explicit hot-key salting — row-identical to
     * [[join]], but keys hotter than `hotThreshold` on this side are
     * spread over `salt` reducers (see

@@ -449,4 +449,85 @@ object TimeSeries {
         round(sum((col(valueCol) / col("__n")).cast(DecimalType(18, 6))), 2)
           .cast("double").as("revenue"))
   }
+
+  /** Slowly-changing-dimension type-2 history from a change stream:
+    * collapse consecutive repeats of `stateCol` per key, then emit one
+    * row per state RUN with its validity interval — `valid_from` = the
+    * run's first event, `valid_to` = the next run's start (NULL while
+    * current). The standard dimension-table build for "what was this
+    * user's segment ON date X" point-in-time joins.
+    *
+    * Two key-partitioned windows (lag to find change points, lead on
+    * the much smaller change relation for the interval end) — per-key
+    * sorted, never a global sort. Ties on `tsCol` are broken by
+    * `tieCol` (pass a unique id) so the history is a pure function of
+    * the data at any partitioning.
+    * Output: key, state, valid_from, valid_to, is_current. */
+  def scd2History(events: DataFrame, keyCol: String, stateCol: String,
+                  tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val changes = events
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(stateCol))
+    changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(stateCol).as("state"), col(tsCol).as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Nearest-event as-of join: each left row gets the right-side
+    * payload of the CLOSEST right event for its key — backward or
+    * forward, ties to backward (so an exactly-simultaneous right row
+    * always wins). The backward-only variant is [[asofJoin]]; nearest
+    * is the sensor-fusion/log-alignment semantic where a reading just
+    * after the probe is as good as one just before.
+    *
+    * Same union-once shape as [[asofJoin]]: one key-partitioned sort
+    * computes BOTH candidates (backward = last right row over the
+    * preceding frame, forward = first over the following frame) — two
+    * window frames over one exchange, never two joins. Distances
+    * compare in exact integer microseconds. Right-side ties at one
+    * timestamp resolve by content hash (backward frame: greatest hash
+    * wins, as in [[asofJoin]]; forward frame: smallest) — deterministic
+    * pure functions of row content either way. */
+  def asofNearest(left: DataFrame, right: DataFrame, keyCol: String,
+                  leftTs: String, rightTs: String,
+                  payloadCols: Seq[String]): DataFrame = {
+    val carryLeft = left.columns.filterNot(c => c == keyCol || c == leftTs).toSeq
+    val lhs = left.select(
+      col(keyCol).as("__key") +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
+        (carryLeft.map(col) ++
+          payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+    val rhs = right.select(
+      col(keyCol).as("__key") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
+        (carryLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payloadCols.map(col)): _*)
+    // Order right rows BEFORE left rows at equal ts: a same-ts right
+    // row lands in the backward frame with distance 0 and wins any tie.
+    val ord = Seq(col("__ts").asc, col("__side").asc, col("__tb").asc)
+    val wBack = Window.partitionBy(col("__key")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col("__key")).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rightStruct = when(col("__side") === 0,
+      struct(col("__ts").as("__mts") +: payloadCols.map(col): _*))
+    val carried = lhs.unionByName(rhs)
+      .withColumn("__tb",
+        when(col("__side") === 0, xxhash64(payloadCols.map(col): _*)).otherwise(lit(0L)))
+      .withColumn("__b", last(rightStruct, ignoreNulls = true).over(wBack))
+      .withColumn("__f", first(rightStruct, ignoreNulls = true).over(wFwd))
+    val dB = unix_micros(col("__ts")) - unix_micros(col("__b")("__mts"))
+    val dF = unix_micros(col("__f")("__mts")) - unix_micros(col("__ts"))
+    val pick = when(col("__b").isNull, col("__f"))
+      .when(col("__f").isNull, col("__b"))
+      .when(dB <= dF, col("__b"))
+      .otherwise(col("__f"))
+    val picked = carried.withColumn("__m", pick)
+    val extracted = payloadCols.foldLeft(picked) { (df, c) =>
+      df.withColumn(c, col("__m")(c))
+    }
+    extracted.filter(col("__side") === 1)
+      .withColumnRenamed("__key", keyCol).withColumnRenamed("__ts", leftTs)
+      .drop("__side", "__m", "__b", "__f", "__tb")
+  }
 }
