@@ -6,12 +6,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Command-line surface (reference: eel-cli — ShowSchemaMain,
-  * StreamMain, AnalyzeMain). Subcommands:
+  * StreamMain, AnalyzeMain; spec/applyspec re-express
+  * eel-cli/src/main/scala/io/eels/cli/FetchSpecMain.scala:1 and
+  * ApplySpecMain.scala:1 — dump a table's spec as JSON / create a
+  * table from a dumped spec). Subcommands:
   *
-  *   schema  <path> [format]
-  *   analyze <path> [format]            — rows / files / per-column stats
-  *   copy    <in> <informat> <out> <outformat> [projection a,b] [filter expr] [limit n]
-  *   compact <path> <targetFileCount> [format]
+  *   schema    <path> [format]
+  *   analyze   <path> [format]          — rows / files / per-column stats
+  *   copy      <in> <informat> <out> <outformat> [projection a,b] [filter expr] [limit n]
+  *   compact   <path> <targetFileCount> [format]
+  *   spec      <path> [format]          — table spec as round-trippable JSON
+  *   applyspec <specFile> <path> [format] — create an EMPTY table from a spec
   *
   * `run` returns the printed output so tests can drive it without a
   * process boundary; `main` wires a session around it.
@@ -69,12 +74,30 @@ object Cli {
       val orig = Compact.compactTo(spark, path, target.toInt, rest.headOption.getOrElse("parquet"))
       s"compacted $orig files to ${target.toInt}"
 
+    case "spec" :: path :: rest =>
+      // StructType.prettyJson round-trips via DataType.fromJson — the
+      // applyspec input format (names, types, nullability, metadata)
+      read(spark, path, rest.headOption.getOrElse("parquet")).schema.prettyJson
+
+    case "applyspec" :: specFile :: path :: rest =>
+      val fmt = rest.headOption.getOrElse("parquet")
+      val json = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(specFile)), java.nio.charset.StandardCharsets.UTF_8)
+      val schema = org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      write(empty, path, fmt)
+      s"created empty $fmt table at $path with ${schema.fields.length} columns"
+
     case other =>
-      s"""usage: schema|analyze|copy|compact ... (got: ${other.mkString(" ")})
-         |  schema  <path> [format]
-         |  analyze <path> [format]
-         |  copy    <in> <informat> <out> <outformat> [projection a,b] [filter expr] [limit n]
-         |  compact <path> <targetFileCount> [format]""".stripMargin
+      s"""usage: schema|analyze|copy|compact|spec|applyspec ... (got: ${other.mkString(" ")})
+         |  schema    <path> [format]
+         |  analyze   <path> [format]
+         |  copy      <in> <informat> <out> <outformat> [projection a,b] [filter expr] [limit n]
+         |  compact   <path> <targetFileCount> [format]
+         |  spec      <path> [format]
+         |  applyspec <specFile> <path> [format]""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Gds
 import graft.functions.{HllAggregate, PiiFunctions => P, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Cluster, Dedup, Pipeline, Quantize, Search, Similarity, TimeSeries}
+import graft.operators.{Cluster, Dedup, Pipeline, Quality, Quantize, Search, Similarity, TimeSeries}
 import graft.multimodal.Multimodal
 import graft.sql.GraftSqlContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1467,30 +1467,38 @@ object SparkEntry {
       Search.keyphrases(t(s, dir, "documents"), "doc_id", "text", k = 5)),
 
     "sketch_hll" -> ((s, dir) => {
-      // persisted HLL distinct sketches (rows-only: no DuckDB
-      // xxhash64/HLL twin — bytes + estimator spec-pinned in HllSpec):
-      // per-lang doc sketches next to the exact distinct, and a
-      // value-sensitive fingerprint of the sketch bytes
+      // persisted HLL distinct sketches, hash-checked (r9): the gate
+      // variant hashes with the portable md5 hi/lo 64-bit derivation
+      // (Dedup.md5TokenHash) so DuckDB rebuilds the registers with
+      // exact integer arithmetic — bucket = top-12 bits, rank =
+      // leading zeros of the low-52 suffix + 1 (via bin() length).
+      // Register CONTENT is pinned (fingerprint + integer moments);
+      // the float estimator stays spec-pinned in HllSpec and benched
+      // on the xxhash64 production twin (sketch_hll_prod).
       val docs = t(s, dir, "documents")
+      val regs = HllAggregate.registers(col("__s"))
       docs.groupBy(col("lang"))
-        .agg(HllAggregate.sketch(xxhash64(col("doc_id"))).as("__s"),
+        .agg(HllAggregate.sketch(Dedup.md5TokenHash(col("doc_id").cast("string"))).as("__s"),
           countDistinct(col("doc_id")).as("exact"))
         .select(col("lang"), col("exact"),
-          round(HllAggregate.estimate(col("__s")), 3).as("est"),
-          md5(hex(col("__s"))).as("sketch_fp"))
+          aggregate(regs, lit(0L), (a, x) => a + x).as("reg_sum"),
+          size(filter(regs, x => x =!= 0)).cast("long").as("reg_nonzero"),
+          md5(concat_ws(",", regs.cast("array<string>"))).as("reg_fp"))
     }),
 
     "corpus_overlap" -> ((s, dir) => {
-      // cross-segment vocabulary overlap from KMV bottom-k sketches
-      // (rows-only: estimators spec-pinned in KmvSpec): per-lang token
-      // sketches, distinct-vocab estimate next to the exact count, and
-      // Jaccard vs the 'en' sketch — the pre-dedup "is a cross-corpus
-      // pass worth scheduling" diagnostic, from k·8-byte sketches
-      // instead of a vocab×vocab join
+      // cross-segment vocabulary overlap from KMV bottom-k sketches,
+      // hash-checked (r9): tokens hashed with the portable 60-bit md5
+      // derivation (15 hex chars — non-negative, so signed==unsigned
+      // order and DuckDB's bottom-k is a plain ORDER BY h LIMIT k);
+      // the oracle replays the (n−1)/θ estimator with Spark's exact
+      // float arithmetic and the Jaccard |M∩A∩B|/|M| from union CTEs.
+      // Production (xxhash64) twin benched as corpus_overlap_prod.
       val docs = t(s, dir, "documents")
       val tok = docs.select(col("lang"), explode(T.tokens(col("text"))).as("__t"))
       val sk = tok.groupBy(col("lang"))
-        .agg(graft.functions.KmvAggregate.sketch(xxhash64(col("__t"))).as("__s"),
+        .agg(graft.functions.KmvAggregate.sketch(
+            conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long"), kmvK).as("__s"),
           countDistinct(col("__t")).as("exact_vocab"))
       val en = sk.filter(col("lang") === "en").select(col("__s").as("__en"))
       sk.crossJoin(broadcast(en))
@@ -1500,11 +1508,76 @@ object SparkEntry {
             .as("jaccard_vs_en"))
         .orderBy(col("lang"))
     }),
+
+    // ---- §2.15 data quality / upsert / SCD2 / nearest-asof (r9) -------
+    "quality_profile" -> ((s, dir) =>
+      // single-pass column profiler over lineitem (int + string columns
+      // — native-typed extrema cast to string; doubles go through
+      // profileNumeric). exactDistinct opt-in so the oracle can
+      // recompute; production default is the Expand-free approx path.
+      Quality.profile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"),
+        exactDistinct = true)),
+
+    "quality_constraints" -> ((s, dir) => {
+      // declarative constraint suite: 4 row-level rules in ONE scan
+      // (sum(CASE) per rule) + the referential FK rule as an anti-join,
+      // unioned into a single (rule, n_violations, n_rows, passed) report
+      val li = t(s, dir, "lineitem")
+      Quality.checkConstraints(li, Seq(
+        "qty_range" -> (col("l_quantity") >= 1 && col("l_quantity") <= 50),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "flag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "discount_range" -> (col("l_discount") >= 0 && col("l_discount") <= 0.1)))
+        .unionByName(Quality.referentialCheck("order_fk", li, "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"))
+    }),
+
+    "ds_upsert" -> ((s, dir) => {
+      // key-based MERGE: segment rewrite on custkey%7 (matched update)
+      // + custkey%11 shifted by 9M (not-matched insert); updates are
+      // key-unique by construction (the documented contract)
+      val cust = t(s, dir, "customer")
+      val updates = cust.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_mktsegment", lit("UPDATED"))
+        .unionByName(cust.filter(col("c_custkey") % 11 === 0)
+          .withColumn("c_custkey", col("c_custkey") + lit(9000000L)))
+      Gds(cust).upsert(Gds(updates), "c_custkey").toDF
+    }),
+
+    "evt_scd2" -> ((s, dir) =>
+      // SCD2 dimension build from the event stream: per-user state =
+      // event_type, consecutive repeats collapsed into validity
+      // intervals, ties broken by event_id (pure function of the data)
+      TimeSeries.scd2History(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id")),
+
+    "evt_asof_nearest" -> ((s, dir) => {
+      // nearest-event as-of join (backward OR forward, ties backward):
+      // clicks pick up the value of the closest view. Right side is
+      // deduped to one row per (user, ts) so tie-breaks are pure
+      // timestamp distance — oracle replays it with two DuckDB ASOF
+      // joins (<= and >=) and the same tie rule.
+      val clicks = t(s, dir, "events").filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = t(s, dir, "events").filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      TimeSeries.asofNearest(clicks, views, "user_id", "ts", "ts", Seq("view_value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("view_value"), 2).as("view_value"))
+    }),
   )
 
   /** Query terms for the search gate/bench entries — common corpus
     * vocabulary, shared with the generated oracle IN-list. */
   private val searchTerms = Seq("spark", "join", "window")
+
+  /** KMV sketch size for the corpus_overlap gate — small enough that
+    * every per-lang sketch is FULL at sf0.001 (the (n−1)/θ estimator
+    * path is exercised, not the exact-set fallback), shared with the
+    * generated oracle's bottom-k LIMIT. */
+  private val kmvK = 256
 
   /** Deterministic PII-bearing text column: every third doc gets a
     * contact suffix derived from its id (email + phone + IPv4). The
@@ -1548,6 +1621,23 @@ object SparkEntry {
         .agg(HllAggregate.sketch(xxhash64(col("user_id"))).as("__s"))
         .agg(HllAggregate.merge(col("__s")).as("__s"))
         .select(round(HllAggregate.estimate(col("__s")), 3).as("est_users"))
+    }),
+
+    "corpus_overlap_prod" -> ((s, dir) => {
+      // production KMV path: xxhash64 token hashes (~3× cheaper than
+      // the gate's portable md5 derivation), same operator code
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("lang"), explode(T.tokens(col("text"))).as("__t"))
+      val sk = tok.groupBy(col("lang"))
+        .agg(graft.functions.KmvAggregate.sketch(xxhash64(col("__t"))).as("__s"),
+          countDistinct(col("__t")).as("exact_vocab"))
+      val en = sk.filter(col("lang") === "en").select(col("__s").as("__en"))
+      sk.crossJoin(broadcast(en))
+        .select(col("lang"), col("exact_vocab"),
+          round(graft.functions.KmvAggregate.estimate(col("__s")), 3).as("est_vocab"),
+          round(graft.functions.KmvAggregate.jaccard(col("__s"), col("__en")), 6)
+            .as("jaccard_vs_en"))
+        .orderBy(col("lang"))
     }),
 
     "corpus_quantiles_prod" -> ((s, dir) =>
@@ -3194,6 +3284,140 @@ object SparkEntry {
                  FROM tf JOIN idf USING (term))
           SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rank
           FROM rk WHERE rnk <= 5""",
+
+    // ---- sketch tables (r9: portable-hash oracles) --------------------
+    // Registers rebuilt with exact integer arithmetic: H = md5 hi/lo
+    // 64-bit (HUGEINT, unsigned domain), bucket = H div 2^52, rank =
+    // 52 − bitlength(low-52 suffix) + 1 (bin() has no leading zeros),
+    // register = max rank, zeros densified via range(0,4096).
+    "sketch_hll" ->
+      """WITH h AS (SELECT lang,
+                      (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT::HUGEINT * 4294967296
+                       + ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),9,8))::BIGINT) AS H
+                    FROM documents),
+          r AS (SELECT lang, (H // 4503599627370496)::BIGINT AS idx,
+                  max(CASE WHEN (H % 4503599627370496) = 0 THEN 53
+                       ELSE 52 - length(bin((H % 4503599627370496)::BIGINT)) + 1 END) AS rank
+                FROM h GROUP BY 1, 2),
+          g AS (SELECT l.lang, b.range AS idx, COALESCE(r.rank, 0) AS reg
+                FROM (SELECT DISTINCT lang FROM documents) l
+                CROSS JOIN range(0, 4096) b
+                LEFT JOIN r ON r.lang = l.lang AND r.idx = b.range),
+          e AS (SELECT lang, count(DISTINCT doc_id) AS exact FROM documents GROUP BY 1)
+          SELECT g.lang, e.exact,
+                 CAST(sum(g.reg) AS BIGINT) AS reg_sum,
+                 CAST(count(CASE WHEN g.reg > 0 THEN 1 END) AS BIGINT) AS reg_nonzero,
+                 md5(string_agg(g.reg::VARCHAR, ',' ORDER BY g.idx)) AS reg_fp
+          FROM g JOIN e ON g.lang = e.lang
+          GROUP BY g.lang, e.exact""",
+
+    // KMV bottom-k replay: 60-bit md5 hashes are non-negative, so the
+    // sketch is row_number() ORDER BY h <= k over DISTINCT hashes; θ
+    // uses Spark's exact float recipe ((kth div 2)/2^63 + odd-bit/2^64),
+    // Jaccard = |M∩A∩B|/|M| with M = k smallest of the union.
+    "corpus_overlap" ->
+      s"""WITH tok AS (SELECT lang, unnest(string_split($normSql, ' ')) AS t FROM documents),
+          hh AS (SELECT DISTINCT lang, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+          rk AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM hh),
+          sk AS (SELECT lang, h, rn FROM rk WHERE rn <= $kmvK),
+          st AS (SELECT lang, count(*) AS n, max(h) AS kth FROM sk GROUP BY 1),
+          ex AS (SELECT lang, count(DISTINCT t) AS exact_vocab FROM tok GROUP BY 1),
+          est AS (SELECT lang, CASE WHEN n < $kmvK THEN CAST(n AS DOUBLE)
+                      ELSE CAST(n - 1 AS DOUBLE) /
+                           (CAST(kth // 2 AS DOUBLE) / 9223372036854775808.0
+                            + CASE WHEN kth % 2 = 1 THEN 0.5 / 9223372036854775808.0 ELSE 0.0 END)
+                      END AS ev FROM st),
+          en AS (SELECT h FROM sk WHERE lang = 'en'),
+          u AS (SELECT lang, h FROM sk
+                UNION
+                SELECT l.lang, e.h FROM (SELECT DISTINCT lang FROM sk) l CROSS JOIN en e),
+          ur AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM u),
+          m AS (SELECT lang, h FROM ur WHERE rn <= $kmvK),
+          jac AS (SELECT m.lang, count(*) AS mm,
+                    CAST(count(CASE WHEN s.h IS NOT NULL AND e.h IS NOT NULL THEN 1 END) AS BIGINT) AS ib
+                  FROM m LEFT JOIN sk s ON s.lang = m.lang AND s.h = m.h
+                         LEFT JOIN en e ON e.h = m.h
+                  GROUP BY 1)
+          SELECT ex.lang, ex.exact_vocab, round(est.ev, 3) AS est_vocab,
+                 round(CAST(jac.ib AS DOUBLE) / jac.mm, 6) AS jaccard_vs_en
+          FROM ex JOIN est ON ex.lang = est.lang JOIN jac ON ex.lang = jac.lang""",
+
+    // ---- §2.15 data quality / upsert / SCD2 / nearest-asof ------------
+    "quality_profile" -> {
+      def row(c: String) =
+        s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+                   count(*) - count($c) AS n_null,
+                   count(DISTINCT $c) AS n_distinct,
+                   CAST(min($c) AS VARCHAR) AS min_s,
+                   CAST(max($c) AS VARCHAR) AS max_s,
+                   round(avg(length(CAST($c AS VARCHAR))), 6) AS avg_len
+            FROM lineitem"""
+      Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+        .map(row).mkString("\nUNION ALL\n")
+    },
+
+    "quality_constraints" -> {
+      def rule(name: String, pred: String) =
+        s"""SELECT '$name' AS rule,
+                   CAST(sum(CASE WHEN $pred THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+                   count(*) AS n_rows,
+                   (CAST(sum(CASE WHEN $pred THEN 0 ELSE 1 END) AS BIGINT) = 0) AS passed
+            FROM lineitem"""
+      Seq(
+        rule("qty_range", "l_quantity >= 1 AND l_quantity <= 50"),
+        rule("price_positive", "l_extendedprice > 0"),
+        rule("flag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+        rule("discount_range", "l_discount >= 0 AND l_discount <= 0.1"),
+        """SELECT 'order_fk' AS rule,
+                  (SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations,
+                  (SELECT count(*) FROM lineitem) AS n_rows,
+                  ((SELECT count(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0) AS passed"""
+      ).mkString("\nUNION ALL\n")
+    },
+
+    "ds_upsert" ->
+      """WITH upd AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                  'UPDATED' AS c_mktsegment
+           FROM customer WHERE c_custkey % 7 = 0
+           UNION ALL
+           SELECT c_custkey + 9000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey % 11 = 0)
+         SELECT * FROM upd
+         UNION ALL
+         SELECT c.* FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = c.c_custkey)""",
+
+    "evt_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id,
+                      row_number() OVER w AS rn,
+                      lag(event_type) OVER w AS prev
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          c AS (SELECT user_id, event_type, ts, event_id FROM e
+                WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+          SELECT user_id, event_type AS state, ts AS valid_from,
+                 lead(ts) OVER w2 AS valid_to,
+                 (lead(ts) OVER w2 IS NULL) AS is_current
+          FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
+    "evt_asof_nearest" ->
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+          v AS (SELECT user_id, ts, max(value) AS view_value
+                FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+          b AS (SELECT c.event_id, c.user_id, c.ts, v.ts AS bts, v.view_value AS bval
+                FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts),
+          f AS (SELECT c.event_id, v.ts AS fts, v.view_value AS fval
+                FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts >= c.ts)
+          SELECT b.event_id, b.user_id, b.ts,
+                 round(CASE WHEN b.bts IS NULL THEN f.fval
+                            WHEN f.fts IS NULL THEN b.bval
+                            WHEN epoch_us(b.ts) - epoch_us(b.bts)
+                                 <= epoch_us(f.fts) - epoch_us(b.ts) THEN b.bval
+                            ELSE f.fval END, 2) AS view_value
+          FROM b JOIN f ON b.event_id = f.event_id""",
   )
 
   private def searchTermsSqlIn: String = searchTerms.map(t => s"'$t'").mkString(", ")

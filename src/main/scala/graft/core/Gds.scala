@@ -212,7 +212,15 @@ final case class Gds(df: DataFrame) {
     * the probe) plus a union — no full-table rewrite, no window, and
     * both inputs stay partitioned on the merge key, so at 100 TB the
     * exchange is one key-shuffle of the (typically much smaller)
-    * updates relation. Schemas must match by name. */
+    * updates relation. Schemas must match by name.
+    *
+    * CONTRACT: `updates` must be key-unique. Duplicate keys in
+    * `updates` all survive the union (lakehouse MERGE would reject the
+    * multi-match); callers with non-unique change streams must resolve
+    * to one row per key first (e.g. latest-wins via
+    * [[graft.operators.TimeSeries.scd2History]] or a max-by). This is
+    * deliberately NOT an automatic dropDuplicates — an arbitrary
+    * survivor would be nondeterministic data corruption. */
   def upsert(updates: Gds, keys: String*): Gds = {
     require(keys.nonEmpty, "upsert requires at least one key column")
     val keep = df.join(updates.df.select(keys.map(updates.df(_)): _*), keys.toSeq, "left_anti")

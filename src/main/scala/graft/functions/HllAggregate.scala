@@ -131,6 +131,26 @@ case class HllEstimate(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Register vector of a sketch as ARRAY<INT> in bucket order — the
+  * inspection/oracle surface: registers are exact integers (a pure
+  * function of the hashed input set), so cross-engine checks can pin
+  * the sketch CONTENT without touching the float estimator. */
+case class HllRegisters(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      a.asInstanceOf[Array[Byte]].map(b => b & 0xff))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(graft.functions.HllImpl.registers($v));")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HllAggregate {
   /** Build a sketch from PRE-HASHED 64-bit values (pass xxhash64(col)).
     * Returns 2^p BINARY bytes. */
@@ -144,6 +164,10 @@ object HllAggregate {
   /** Distinct-count estimate of a sketch. */
   def estimate(sketch: Column): Column =
     Bridge.column(HllEstimate(Bridge.expression(sketch)))
+
+  /** Exact register vector (ARRAY<INT>, bucket order) of a sketch. */
+  def registers(sketch: Column): Column =
+    Bridge.column(HllRegisters(Bridge.expression(sketch)))
 }
 
 /** Top-level so whole-stage codegen can call the Java static forwarder
@@ -159,6 +183,9 @@ object HllImpl {
     val rank = (if (rest == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(rest)) + 1
     if (rank > (regs(idx) & 0xff)) regs(idx) = rank.toByte
   }
+
+  /** Registers as unsigned ints (codegen forwarder for HllRegisters). */
+  def registers(regs: Array[Byte]): Array[Int] = regs.map(b => b & 0xff)
 
   /** Register-wise max of `b` into `a` (commutative, associative —
     * merge order can never change the bytes). */

@@ -20,6 +20,16 @@ object Graph {
 
   val TotalUnits: Long = 1L << 40
 
+  /** Round observability for the iterative operators: the per-round
+    * barrier (join + min-agg + checkpoint + probe) is the cost driver
+    * and the round COUNT is data-dependent (eccentricity / peeling
+    * depth), so a "sssp got slower" report needs this denominator.
+    * One stderr line per round — stays out of the query result and
+    * survives in driver logs at any scale. */
+  private def logRound(op: String, round: Int, startNanos: Long): Unit =
+    System.err.println(
+      s"[graft.graph] $op round=$round ${(System.nanoTime() - startNanos) / 1000000} ms")
+
   /** PageRank over a directed edge list. Every node must have at
     * least one OUT edge (feed a bidirected edge list for undirected
     * graphs — also the standard dangling-node fix). Self-loops and
@@ -191,6 +201,7 @@ object Graph {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
+      val t0 = System.nanoTime()
       val neighborMin = sym.join(labels, col("__dst") === col("node"))
         .groupBy(col("__src").as("node"))
         .agg(min(col("component")).as("__nmin"))
@@ -209,6 +220,7 @@ object Graph {
       labels = updated
       converged = changed == 0L
       round += 1
+      logRound("concomp", round, t0)
     }
     sym.unpersist()
     if (!converged)
@@ -262,6 +274,7 @@ object Graph {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
+      val t0 = System.nanoTime()
       val prop = e.join(dist, col("__src") === col("node"))
         .groupBy(col("__dst").as("__nn"))
         .agg(min(col("dist") + 1L).as("__nd"))
@@ -280,6 +293,7 @@ object Graph {
       dist = updated
       converged = changed == 0L
       round += 1
+      logRound("bfs", round, t0)
     }
     e.unpersist()
     if (!converged)
@@ -330,6 +344,7 @@ object Graph {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
+      val t0 = System.nanoTime()
       val prop = e.join(dist, col("__src") === col("node"))
         .select(col("__dst"), (col("dist") + col("__w")).as("__cand"))
         .filter(col("__cand") <= maxCost)
@@ -348,6 +363,7 @@ object Graph {
       dist = updated
       converged = changed == 0L
       round += 1
+      logRound("sssp", round, t0)
     }
     e.unpersist()
     if (!converged)
@@ -428,6 +444,7 @@ object Graph {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
+      val t0 = System.nanoTime()
       val alive = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
         .filter(col("__deg") >= k)
         .select(col("__src").as("__a"))
@@ -441,6 +458,7 @@ object Graph {
       e = ne
       eCount = nc
       round += 1
+      logRound("kcore", round, t0)
     }
     if (!converged)
       throw new IllegalStateException(

@@ -19,58 +19,67 @@ import org.apache.spark.sql.types.DecimalType
 object Quality {
 
   /** Generic column profile: one row per profiled column with
-    * null/distinct/min/max/length statistics. Values are compared as
-    * strings (exact for integer and string columns — profile numeric
-    * measures with [[profileNumeric]] instead, double→string
-    * formatting is not portable across engines).
+    * null/distinct/min/max/length statistics. Extrema are computed on
+    * the NATIVE column type (integer columns get numeric extrema, not
+    * lexicographic) and cast to string only for the unified output
+    * shape — profile double columns with [[profileNumeric]] instead,
+    * double→string formatting is not portable across engines.
     *
-    * Scale shape: ONE aggregation pass; the multi-column exact
-    * `count(distinct)` set expands the scan `m`× map-side (Spark's
-    * Expand — the standard multi-distinct plan) but shuffles only
-    * partial aggregates. Output is `m` rows from a 1-row aggregate —
-    * nothing corpus-sized ever reaches the driver. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * Scale shape: ONE aggregation pass. The 100 TB default estimates
+    * distinct counts with `approx_count_distinct` (a mergeable HLL
+    * partial aggregate — no plan expansion); `exactDistinct = true`
+    * opts into exact `count(distinct)`, whose multi-distinct plan
+    * expands the scan `m`× map-side (Spark's Expand) — affordable on
+    * gate-scale relations, not on a corpus. Either way only partial
+    * aggregates shuffle and the output is `m` rows from a 1-row
+    * aggregate — nothing corpus-sized ever reaches the driver. */
+  def profile(df: DataFrame, cols: Seq[String],
+              exactDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile requires at least one column")
-    val aggs = cols.flatMap { c =>
-      val sc = col(c).cast("string")
+    def dist(c: String): Column =
+      if (exactDistinct) countDistinct(col(c)) else approx_count_distinct(col(c))
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(col(c)).as(s"__n_$c"),
-        (count(lit(1)) - count(col(c))).as(s"__null_$c"),
-        countDistinct(col(c)).as(s"__dist_$c"),
-        min(sc).as(s"__min_$c"),
-        max(sc).as(s"__max_$c"),
-        round(avg(length(sc).cast("long")), 6).as(s"__len_$c"))
+        count(col(c)).as(s"__n_$i"),
+        (count(lit(1)) - count(col(c))).as(s"__null_$i"),
+        dist(c).as(s"__dist_$i"),
+        min(col(c)).cast("string").as(s"__min_$i"),
+        max(col(c)).cast("string").as(s"__max_$i"),
+        round(avg(length(col(c).cast("string")).cast("long")), 6).as(s"__len_$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map { c =>
-      struct(lit(c).as("col_name"), col(s"__n_$c").as("n_nonnull"),
-        col(s"__null_$c").as("n_null"), col(s"__dist_$c").as("n_distinct"),
-        col(s"__min_$c").as("min_s"), col(s"__max_$c").as("max_s"),
-        col(s"__len_$c").as("avg_len"))
+    val stacked = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"), col(s"__n_$i").as("n_nonnull"),
+        col(s"__null_$i").as("n_null"), col(s"__dist_$i").as("n_distinct"),
+        col(s"__min_$i").as("min_s"), col(s"__max_$i").as("max_s"),
+        col(s"__len_$i").as("avg_len"))
     }
     one.select(explode(array(stacked: _*)).as("__p")).select(col("__p.*"))
   }
 
   /** Numeric column profile: exact decimal mean (order-free — the
-    * money-sum discipline), min/max/distinct. One pass, same Expand
-    * shape as [[profile]]. */
-  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * money-sum discipline), min/max/distinct. One pass, same
+    * approx-default/exact-opt-in distinct contract as [[profile]]. */
+  def profileNumeric(df: DataFrame, cols: Seq[String],
+                     exactDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profileNumeric requires at least one column")
-    val aggs = cols.flatMap { c =>
+    def dist(c: String): Column =
+      if (exactDistinct) countDistinct(col(c)) else approx_count_distinct(col(c))
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(col(c)).as(s"__n_$c"),
-        countDistinct(col(c)).as(s"__dist_$c"),
-        min(col(c)).cast("double").as(s"__min_$c"),
-        max(col(c)).cast("double").as(s"__max_$c"),
+        count(col(c)).as(s"__n_$i"),
+        dist(c).as(s"__dist_$i"),
+        min(col(c)).cast("double").as(s"__min_$i"),
+        max(col(c)).cast("double").as(s"__max_$i"),
         // exact decimal sum → double ÷ count → 6dp: partition-order-free
         round(sum(col(c).cast(DecimalType(18, 6))).cast("double") / count(col(c)), 6)
-          .as(s"__mean_$c"))
+          .as(s"__mean_$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map { c =>
-      struct(lit(c).as("col_name"), col(s"__n_$c").as("n_nonnull"),
-        col(s"__dist_$c").as("n_distinct"), col(s"__min_$c").as("min_v"),
-        col(s"__max_$c").as("max_v"), col(s"__mean_$c").as("mean_v"))
+    val stacked = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"), col(s"__n_$i").as("n_nonnull"),
+        col(s"__dist_$i").as("n_distinct"), col(s"__min_$i").as("min_v"),
+        col(s"__max_$i").as("max_v"), col(s"__mean_$i").as("mean_v"))
     }
     one.select(explode(array(stacked: _*)).as("__p")).select(col("__p.*"))
   }
@@ -83,13 +92,17 @@ object Quality {
   def checkConstraints(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "checkConstraints requires at least one rule")
     // violation = NOT (pred IS TRUE): a NULL rule result counts as a
-    // violation (the row failed to positively satisfy the constraint)
-    val aggs = rules.map { case (name, pred) =>
-      sum(when(pred, 0L).otherwise(1L)).as(s"__v_$name")
+    // violation (the row failed to positively satisfy the constraint).
+    // Internal columns are indexed by rule POSITION (rule names may
+    // contain dots/backticks — they appear only as literals), and the
+    // sums are coalesced so an empty relation reports 0 violations /
+    // passed = true rather than NULL.
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      coalesce(sum(when(pred, 0L).otherwise(1L)), lit(0L)).as(s"__v_$i")
     } :+ count(lit(1)).as("__total")
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = rules.map { case (name, _) =>
-      struct(lit(name).as("rule"), col(s"__v_$name").as("n_violations"),
+    val stacked = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col(s"__v_$i").as("n_violations"),
         col("__total").as("n_rows"))
     }
     one.select(explode(array(stacked: _*)).as("__p"))

@@ -466,9 +466,15 @@ object TimeSeries {
   def scd2History(events: DataFrame, keyCol: String, stateCol: String,
                   tsCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    // Null-safe change detection: `__prev <=> state` treats NULL states
+    // as ordinary values (NULL→NULL is a repeat, A→NULL a change), and
+    // the row_number guard keeps each key's FIRST row even when its
+    // state is NULL (lag's no-previous-row NULL would otherwise be
+    // <=>-equal to a NULL first state and drop the run).
     val changes = events
+      .withColumn("__rn", row_number().over(w))
       .withColumn("__prev", lag(col(stateCol), 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= col(stateCol))
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(stateCol)))
     changes
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .select(col(keyCol), col(stateCol).as("state"), col(tsCol).as("valid_from"),
@@ -507,15 +513,23 @@ object TimeSeries {
     val ord = Seq(col("__ts").asc, col("__side").asc, col("__tb").asc)
     val wBack = Window.partitionBy(col("__key")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wFwd = Window.partitionBy(col("__key")).orderBy(ord: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // Forward candidate via the REVERSE-ordered running frame: a
+    // first(...) over (currentRow, unboundedFollowing) would execute
+    // with UnboundedFollowingWindowFunctionFrame — a rescan to
+    // partition end for EVERY row, O(n²) per key. Flipping all three
+    // sort keys and running last(...) over unboundedPreceding..current
+    // visits the exact reversed sequence incrementally: same key
+    // exchange, one extra in-partition sort, O(n log n).
+    val wFwd = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts").desc, col("__side").desc, col("__tb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rightStruct = when(col("__side") === 0,
       struct(col("__ts").as("__mts") +: payloadCols.map(col): _*))
     val carried = lhs.unionByName(rhs)
       .withColumn("__tb",
         when(col("__side") === 0, xxhash64(payloadCols.map(col): _*)).otherwise(lit(0L)))
       .withColumn("__b", last(rightStruct, ignoreNulls = true).over(wBack))
-      .withColumn("__f", first(rightStruct, ignoreNulls = true).over(wFwd))
+      .withColumn("__f", last(rightStruct, ignoreNulls = true).over(wFwd))
     val dB = unix_micros(col("__ts")) - unix_micros(col("__b")("__mts"))
     val dF = unix_micros(col("__f")("__mts")) - unix_micros(col("__ts"))
     val pick = when(col("__b").isNull, col("__f"))

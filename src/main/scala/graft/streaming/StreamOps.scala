@@ -92,6 +92,60 @@ object StreamOps {
       })
   }
 
+  /** One typed SCD2 change-stream event. */
+  final case class Scd2Event(key: Long, state: Option[String],
+                             tsMicros: Long, tie: Long)
+  /** Open run per key: the current state + when it started (micros). */
+  final case class Scd2State(state: Option[String], validFromMicros: Long)
+  /** Emitted when a run CLOSES — the batch scd2History row minus the
+    * open-run (is_current) row, which lives in the state store. */
+  final case class Scd2Closed(key: Long, state: Option[String],
+                              valid_from: Long, valid_to: Long)
+
+  /** Streaming SCD2 — the incremental twin of
+    * [[graft.operators.TimeSeries.scd2History]]: the state store holds
+    * ONE open run per key (current state + start); a state CHANGE
+    * closes the run and emits its validity interval. On in-order
+    * replay the emitted rows equal the batch history's closed
+    * (is_current = false) rows — spec-pinned; the open run per key IS
+    * the batch history's is_current row, queryable from the state
+    * store's last update. Option equality makes NULL states
+    * first-class runs (the batch null-safe `<=>` contract). No
+    * timeout: runs close only on an observed change, and state is one
+    * (Option[String], long) per key — bounded by |keys|, independent
+    * of event volume, the same bound as the batch change relation. */
+  def scd2Stream(events: DataFrame, keyCol: String, stateCol: String,
+                 tsCol: String, tieCol: String): Dataset[Scd2Closed] = {
+    implicit val evEnc = Encoders.product[Scd2Event]
+    implicit val stEnc = Encoders.product[Scd2State]
+    implicit val outEnc = Encoders.product[Scd2Closed]
+    implicit val longEnc = Encoders.scalaLong
+    val keyed = events
+      .select(col(keyCol).cast("long").as("key"),
+        col(stateCol).cast("string").as("state"),
+        unix_micros(col(tsCol).cast("timestamp")).as("tsMicros"),
+        col(tieCol).cast("long").as("tie"))
+      .as[Scd2Event]
+      .groupByKey(_.key)
+    keyed.flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (key: Long, it: Iterator[Scd2Event], state: GroupState[Scd2State]) => {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+        var cur = state.getOption.orNull
+        it.toSeq.sortBy(e => (e.tsMicros, e.tie)).foreach { e =>
+          cur match {
+            case null => cur = Scd2State(e.state, e.tsMicros)
+            case s if s.state != e.state => // Option equality == null-safe <=>
+              out += Scd2Closed(key, s.state, s.validFromMicros, e.tsMicros)
+              cur = Scd2State(e.state, e.tsMicros)
+            case _ => () // same state: the run continues
+          }
+        }
+        if (cur != null) state.update(cur)
+        out.iterator
+      })
+  }
+
   /** One typed funnel event. */
   final case class FunnelEvent(key: Long, etype: String,
                                eventTime: java.sql.Timestamp, tsMicros: Long)

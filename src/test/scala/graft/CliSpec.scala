@@ -55,4 +55,21 @@ class CliSpec extends SparkSpec {
     assert(files.forall(_.length <= target * 2))
     assert(ParquetSource(dir).read(spark).count == 5000)
   }
+
+  test("spec dumps round-trippable JSON and applyspec creates an empty table from it") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_spec").toString + "/t"
+    Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+      .write.parquet(src)
+    val json = Cli.run(spark, Seq("spec", src))
+    // the dump IS the applyspec input — write it to a file and apply
+    val specFile = java.nio.file.Files.createTempFile("graft_spec", ".json")
+    java.nio.file.Files.writeString(specFile, json)
+    val dst = java.nio.file.Files.createTempDirectory("graft_spec").toString + "/out"
+    val msg = Cli.run(spark, Seq("applyspec", specFile.toString, dst))
+    assert(msg.contains("3 columns"))
+    val applied = spark.read.parquet(dst)
+    assert(applied.count() == 0)
+    assert(applied.schema == spark.read.parquet(src).schema)
+  }
 }

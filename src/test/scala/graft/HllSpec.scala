@@ -60,6 +60,25 @@ class HllSpec extends SparkSpec {
     assert((b(0) & 0xff) == 61 && (b(5) & 0xff) == 7)
   }
 
+  test("registers() exposes the exact register vector in bucket order") {
+    import spark.implicits._
+    val vals = Seq(7L, 99L, -3L, Long.MinValue, 0L)
+    val regs = vals.toDF("v")
+      .agg(HllAggregate.registers(HllAggregate.sketch(col("v"), p = 4)).as("r"))
+      .head.getSeq[Int](0)
+    // independent model of the documented layout: idx = top p bits,
+    // rank = nlz(h << p) + 1 (64−p cap via the rest==0 branch)
+    val model = new Array[Int](16)
+    vals.foreach { h =>
+      val idx = (h >>> 60).toInt
+      val rest = h << 4
+      val rank = (if (rest == 0L) 60 else java.lang.Long.numberOfLeadingZeros(rest)) + 1
+      if (rank > model(idx)) model(idx) = rank
+    }
+    assert(regs == model.toSeq)
+    assert(regs.length == 16)
+  }
+
   test("un-hashed (non-long) child fails at analysis time") {
     import spark.implicits._
     val df = Seq("a", "b").toDF("t")

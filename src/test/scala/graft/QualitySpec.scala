@@ -1,0 +1,89 @@
+package graft
+
+import graft.core.Gds
+import graft.operators.Quality
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile reports native-typed extrema (not lexicographic) and null counts") {
+    // ADVICE r8 case: integers 2..10 — lexicographic min/max would be "10"/"9"
+    val df = (2 to 10).map(i => (i, if (i % 3 == 0) null else s"v$i"))
+      .toDF("n", "s")
+    val out = Quality.profile(df, Seq("n", "s"), exactDistinct = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("n").getAs[String]("min_s") == "2")
+    assert(out("n").getAs[String]("max_s") == "10")
+    assert(out("n").getAs[Long]("n_distinct") == 9L)
+    assert(out("n").getAs[Long]("n_null") == 0L)
+    assert(out("s").getAs[Long]("n_null") == 3L)
+    assert(out("s").getAs[Long]("n_nonnull") == 6L)
+  }
+
+  test("profile default is approx-distinct with an Expand-free plan; exact opt-in uses Expand") {
+    val df = (1 to 100).map(i => (i.toLong, s"u${i % 7}")).toDF("id", "u")
+    val approxPlan = Quality.profile(df, Seq("id", "u"))
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"),
+      s"approx profile must not plan a multi-distinct Expand:\n$approxPlan")
+    val exactPlan = Quality.profile(df, Seq("id", "u"), exactDistinct = true)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"))
+    // approx estimates are exact at these cardinalities' scale of error
+    val est = Quality.profile(df, Seq("u"))
+      .collect().head.getAs[Long]("n_distinct")
+    assert(math.abs(est - 7L) <= 1)
+  }
+
+  test("profileNumeric mean is the exact decimal mean") {
+    val df = Seq(1.5, 2.5, 3.5).toDF("x")
+    val r = Quality.profileNumeric(df, Seq("x")).collect().head
+    assert(r.getAs[Double]("mean_v") == 2.5)
+    assert(r.getAs[Double]("min_v") == 1.5 && r.getAs[Double]("max_v") == 3.5)
+  }
+
+  test("checkConstraints counts NULL predicate results as violations") {
+    val df = Seq[(java.lang.Integer, String)]((5, "a"), (null, "b"), (-1, "c"))
+      .toDF("q", "s")
+    val out = Quality.checkConstraints(df, Seq("q_pos" -> (col("q") > 0)))
+      .collect().head
+    // NULL q -> predicate NULL -> violation; -1 -> violation
+    assert(out.getAs[Long]("n_violations") == 2L)
+    assert(out.getAs[Long]("n_rows") == 3L)
+    assert(!out.getAs[Boolean]("passed"))
+  }
+
+  test("checkConstraints on an empty relation reports 0 violations / passed") {
+    val df = spark.emptyDataFrame.withColumn("q", lit(1))
+      .filter(lit(false)).select(col("q"))
+    val out = Quality.checkConstraints(df, Seq("any" -> (col("q") > 0))).collect().head
+    assert(out.getAs[Long]("n_violations") == 0L)
+    assert(out.getAs[Boolean]("passed"))
+  }
+
+  test("checkConstraints tolerates rule names with dots and backticks") {
+    val df = Seq(1, 2).toDF("q")
+    val out = Quality.checkConstraints(df,
+      Seq("rule.one `odd`" -> (col("q") % 2 === 1))).collect().head
+    assert(out.getAs[String]("rule") == "rule.one `odd`")
+    assert(out.getAs[Long]("n_violations") == 1L)
+  }
+
+  test("referentialCheck counts orphan child keys") {
+    val child = Seq(1L, 2L, 3L, 3L, 9L).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Quality.referentialCheck("fk", child, "fk", parent, "pk").collect().head
+    assert(out.getAs[Long]("n_violations") == 1L) // the 9L row
+    assert(out.getAs[Long]("n_rows") == 5L)
+    assert(!out.getAs[Boolean]("passed"))
+  }
+
+  test("upsert: updates win on collision, target passes through, new keys insert") {
+    val target = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "x")
+    val updates = Seq((2L, "B", 200), (4L, "d", 40)).toDF("k", "v", "x")
+    val out = Gds(target).upsert(Gds(updates), "k").toDF
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out == Map(1L -> ("a", 10), 2L -> ("B", 200), 3L -> ("c", 30), 4L -> ("d", 40)))
+  }
+}

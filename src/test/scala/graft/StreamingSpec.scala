@@ -37,6 +37,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size >= batch.size / 2)
   }
 
+  test("scd2Stream emits exactly the batch history's closed runs on in-order replay") {
+    val events = Tables.events(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2s").toString + "/events"
+    events.orderBy("ts", "event_id").coalesce(1).write.parquet(dir)
+
+    val stream = StreamOps.parquetStream(spark, dir, events.schema, maxFilesPerTrigger = 1)
+    val closed = StreamOps.scd2Stream(stream, "user_id", "event_type", "ts", "event_id").toDF()
+    val streamed = StreamOps.runToMemory(closed, "scd2", outputMode = "append")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+    def micros(t: java.sql.Timestamp) = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val batch = TimeSeries.scd2History(events, "user_id", "event_type", "ts", "event_id")
+      .filter(!col("is_current"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        micros(r.getTimestamp(2)), micros(r.getTimestamp(3)))).toSet
+
+    // single ordered file replayed whole: every closed batch run must
+    // stream out, and nothing else (open runs stay in the state store)
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("toParquetSink writes a checkpointed stream to parquet") {
     val events = Tables.events(spark, sfDir)
     val base = java.nio.file.Files.createTempDirectory("graft_psink").toString

@@ -284,4 +284,104 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(0L) == (2L, 1L, 0.5))   // u2 gone
     assert(out(1L) == (2L, 2L, 1.0))   // final period: full churn by construction
   }
+
+  test("scd2History collapses runs and emits validity intervals") {
+    val ev = Seq(
+      (1L, "free", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "free", ts("2024-01-02 00:00:00"), 2L), // repeat -> collapsed
+      (1L, "pro", ts("2024-01-03 00:00:00"), 3L),
+      (1L, "free", ts("2024-01-04 00:00:00"), 4L), // back to free: NEW run
+      (2L, "pro", ts("2024-01-01 00:00:00"), 5L),
+    ).toDF("k", "state", "t", "id")
+    val out = TimeSeries.scd2History(ev, "k", "state", "t", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4)))
+    val u1 = out.filter(_._1 == 1L).sortBy(_._3.getTime)
+    assert(u1.map(_._2).toSeq == Seq("free", "pro", "free"))
+    assert(u1(0)._4.contains(ts("2024-01-03 00:00:00"))) // valid_to = next run start
+    assert(u1(1)._4.contains(ts("2024-01-04 00:00:00")))
+    assert(u1(2)._4.isEmpty && u1(2)._5)                 // current run open-ended
+    assert(out.filter(_._1 == 2L).head._5)
+  }
+
+  test("scd2History same-ts ties break by tieCol and NULL states are first-class") {
+    // two state changes at the SAME timestamp: tie column orders them
+    val tied = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00"), 10L),
+      (1L, "b", ts("2024-01-01 00:00:00"), 20L), // same ts, higher tie -> later
+      (1L, "b", ts("2024-01-02 00:00:00"), 30L),
+    ).toDF("k", "state", "t", "id")
+    val t1 = TimeSeries.scd2History(tied, "k", "state", "t", "id")
+      .collect().map(r => (r.getString(1), Option(r.getTimestamp(3))))
+    assert(t1.length == 2) // a then b; the day-2 b collapses into the run
+    assert(t1.toMap.apply("a").contains(ts("2024-01-01 00:00:00")))
+
+    // NULL-state histories (the ADVICE r8 case): A -> NULL -> NULL -> B,
+    // and a key whose FIRST state is NULL
+    val nul = Seq(
+      (1L, Some("A"), ts("2024-01-01 00:00:00"), 1L),
+      (1L, None, ts("2024-01-02 00:00:00"), 2L),
+      (1L, None, ts("2024-01-03 00:00:00"), 3L), // repeat NULL -> collapsed
+      (1L, Some("B"), ts("2024-01-04 00:00:00"), 4L),
+      (2L, None, ts("2024-01-01 00:00:00"), 5L), // first row NULL state
+    ).toDF("k", "state", "t", "id")
+    val n1 = TimeSeries.scd2History(nul, "k", "state", "t", "id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getTimestamp(2), Option(r.getTimestamp(3))))
+    val k1 = n1.filter(_._1 == 1L).sortBy(_._3.getTime)
+    assert(k1.map(_._2).toSeq == Seq(Some("A"), None, Some("B")))
+    assert(k1(0)._4.contains(ts("2024-01-02 00:00:00"))) // A ends when NULL run starts
+    assert(k1(1)._4.contains(ts("2024-01-04 00:00:00"))) // NULL run ends at B
+    val k2 = n1.filter(_._1 == 2L)
+    assert(k2.length == 1 && k2.head._2.isEmpty && k2.head._4.isEmpty)
+  }
+
+  test("asofNearest picks the closer side and breaks equal distance backward") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:10"), "L1"), // back@09:59:50 d=20s, fwd@10:00:25 d=15s -> fwd
+      (1L, ts("2024-01-01 10:00:00"), "L2"), // back@09:59:50 d=10s, fwd@10:00:25 d=25s -> back
+      (2L, ts("2024-01-01 10:00:00"), "L3"), // only forward exists
+      (3L, ts("2024-01-01 10:00:00"), "L4"), // no right rows at all
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:59:50"), 1.0),
+      (1L, ts("2024-01-01 10:00:25"), 2.0),
+      (2L, ts("2024-01-01 10:00:30"), 3.0),
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.asofNearest(left, right, "k", "t", "t", Seq("v"))
+      .collect().map(r => r.getAs[String]("tag") -> Option(r.getAs[java.lang.Double]("v"))).toMap
+    assert(out("L1").contains(2.0))
+    assert(out("L2").contains(1.0))
+    assert(out("L3").contains(3.0))
+    assert(out("L4").isEmpty)
+
+    // exact equal distance: 10s either way -> backward wins
+    val l2 = Seq((1L, ts("2024-01-01 10:00:10"), "E")).toDF("k", "t", "tag")
+    val r2 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-01 10:00:20"), 20.0),
+    ).toDF("k", "t", "v")
+    val e = TimeSeries.asofNearest(l2, r2, "k", "t", "t", Seq("v")).collect().head
+    assert(e.getAs[Double]("v") == 10.0)
+
+    // simultaneous right row: distance 0 backward beats any forward
+    val l3 = Seq((1L, ts("2024-01-01 10:00:00"), "Z")).toDF("k", "t", "tag")
+    val r3 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5.0),
+      (1L, ts("2024-01-01 10:00:01"), 6.0),
+    ).toDF("k", "t", "v")
+    val z = TimeSeries.asofNearest(l3, r3, "k", "t", "t", Seq("v")).collect().head
+    assert(z.getAs[Double]("v") == 5.0)
+  }
+
+  test("asofNearest forward candidate avoids the O(n²) unbounded-following frame") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, ts("2024-01-01 10:00:01"), 1.0)).toDF("k", "t", "v")
+    val plan = TimeSeries.asofNearest(left, right, "k", "t", "t", Seq("v"))
+      .queryExecution.executedPlan.toString
+    // both window frames must be RUNNING (unboundedpreceding..currentrow);
+    // an unboundedfollowing frame re-scans to partition end per row
+    assert(!plan.toLowerCase.contains("unboundedfollowing"),
+      s"asofNearest plan still contains an unbounded-following frame:\n$plan")
+  }
 }
