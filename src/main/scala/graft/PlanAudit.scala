@@ -80,7 +80,11 @@ object PlanAudit {
         // integer idf — the q15/sample_importance pattern
         "text_keyphrase",
         // 1-row 'en'-sketch scalar broadcast against the per-lang rows
-        "corpus_overlap")
+        "corpus_overlap",
+        // referentialCheck: crossJoin of two 1-row aggregates (orphan
+        // count × total count) — tiny by construction, documented in
+        // Quality.scala
+        "quality_constraints")
       val flags = Seq(
         if (bnlj + cart > 0 && !nljByDesign.exists(name.startsWith))
           Some(s"nested-loop/cartesian join") else None,
