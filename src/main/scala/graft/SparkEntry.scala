@@ -1521,8 +1521,10 @@ object SparkEntry {
 
     "quality_constraints" -> ((s, dir) => {
       // declarative constraint suite: 4 row-level rules in ONE scan
-      // (sum(CASE) per rule) + the referential FK rule as an anti-join,
-      // unioned into a single (rule, n_violations, n_rows, passed) report
+      // (sum(CASE) per rule) + the two rules that genuinely need their
+      // own exchange — referential FK (anti-join) and key-uniqueness
+      // (groupBy count) — unioned into a single
+      // (rule, n_violations, n_rows, passed) report
       val li = t(s, dir, "lineitem")
       Quality.checkConstraints(li, Seq(
         "qty_range" -> (col("l_quantity") >= 1 && col("l_quantity") <= 50),
@@ -1531,7 +1533,17 @@ object SparkEntry {
         "discount_range" -> (col("l_discount") >= 0 && col("l_discount") <= 0.1)))
         .unionByName(Quality.referentialCheck("order_fk", li, "l_orderkey",
           t(s, dir, "orders"), "o_orderkey"))
+        .unionByName(Quality.uniqueCheck("pk_unique", li,
+          Seq("l_orderkey", "l_linenumber")))
     }),
+
+    "quality_profile_numeric" -> ((s, dir) =>
+      // numeric profiler over the lineitem measures: exact decimal
+      // mean (the money-sum recipe — order-free on both engines),
+      // native double extrema, exact distinct for the oracle
+      Quality.profileNumeric(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        exactDistinct = true)),
 
     "ds_upsert" -> ((s, dir) => {
       // key-based MERGE: segment rewrite on custkey%7 (matched update)
@@ -3373,8 +3385,24 @@ object SparkEntry {
                    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations,
                   (SELECT count(*) FROM lineitem) AS n_rows,
                   ((SELECT count(*) FROM lineitem l
-                    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0) AS passed"""
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0) AS passed""",
+        """SELECT 'pk_unique' AS rule,
+                  (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem) AS n_violations,
+                  (SELECT count(*) FROM lineitem) AS n_rows,
+                  ((SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem) = 0) AS passed"""
       ).mkString("\nUNION ALL\n")
+    },
+
+    "quality_profile_numeric" -> {
+      def row(c: String) =
+        s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+                   count(DISTINCT $c) AS n_distinct,
+                   CAST(min($c) AS DOUBLE) AS min_v,
+                   CAST(max($c) AS DOUBLE) AS max_v,
+                   round(CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / count($c), 6) AS mean_v
+            FROM lineitem"""
+      Seq("l_quantity", "l_extendedprice", "l_discount")
+        .map(row).mkString("\nUNION ALL\n")
     },
 
     "ds_upsert" ->

@@ -110,6 +110,39 @@ object Quality {
       .withColumn("passed", col("n_violations") === 0L)
   }
 
+  /** Named row-level rule constructors — the Deequ-style declarative
+    * vocabulary over [[checkConstraints]]'s (name, Column) pairs. Each
+    * is a plain boolean Column, so composed suites still evaluate in
+    * ONE scan. */
+  object Rules {
+    def notNull(c: String): (String, Column) =
+      s"not_null($c)" -> col(c).isNotNull
+    def inRange(c: String, lo: Double, hi: Double): (String, Column) =
+      s"in_range($c)" -> (col(c) >= lo && col(c) <= hi)
+    def inSet(c: String, values: Seq[String]): (String, Column) =
+      s"in_set($c)" -> col(c).isin(values: _*)
+    def matches(c: String, regex: String): (String, Column) =
+      s"matches($c)" -> col(c).rlike(regex)
+    def nonNegative(c: String): (String, Column) =
+      s"non_negative($c)" -> (col(c) >= 0)
+  }
+
+  /** Key-uniqueness rule as the (rule, n_violations, n_rows, passed)
+    * row shape: a violation is every row BEYOND the first of its key
+    * group (so n_violations = rows − distinct keys — 0 iff the key is
+    * unique). One partial-agg'd groupBy on the key columns; the
+    * shuffle carries (key, count) pairs only. Like [[referentialCheck]]
+    * this genuinely needs its own exchange, so it is a separate
+    * relation unioned onto [[checkConstraints]]'s single-scan output. */
+  def uniqueCheck(name: String, df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "uniqueCheck requires at least one key column")
+    val dup = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n") - 1L), lit(0L)).as("n_violations"))
+    val tot = df.agg(count(lit(1)).as("n_rows"))
+    dup.crossJoin(tot).select(lit(name).as("rule"), col("n_violations"),
+      col("n_rows"), (col("n_violations") === 0L).as("passed"))
+  }
+
   /** Referential-integrity rule as the same (rule, n_violations,
     * n_rows, passed) row shape: child keys with no parent. The anti
     * join ships only the key columns of both sides into the exchange;

@@ -79,6 +79,38 @@ class QualitySpec extends SparkSpec {
     assert(!out.getAs[Boolean]("passed"))
   }
 
+  test("Rules constructors compose into one single-scan suite") {
+    val df = Seq(
+      (1, 5.0, "A", "a@x.io"),
+      (2, -1.0, "Z", "bad"),
+      (3, 50.0, "N", "c@y.io")).toDF("id", "q", "flag", "mail")
+    val out = Quality.checkConstraints(df, Seq(
+      Quality.Rules.notNull("id"),
+      Quality.Rules.inRange("q", 0, 50),
+      Quality.Rules.inSet("flag", Seq("A", "N", "R")),
+      Quality.Rules.matches("mail", "^[^@]+@[^@]+$"),
+      Quality.Rules.nonNegative("q")))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_violations")).toMap
+    assert(out("not_null(id)") == 0L)
+    assert(out("in_range(q)") == 1L)
+    assert(out("in_set(flag)") == 1L)
+    assert(out("matches(mail)") == 1L)
+    assert(out("non_negative(q)") == 1L)
+  }
+
+  test("uniqueCheck counts rows beyond the first of each key group") {
+    val df = Seq((1, "x"), (1, "y"), (1, "z"), (2, "w"), (3, "v")).toDF("k", "v")
+    val out = Quality.uniqueCheck("k_unique", df, Seq("k")).collect().head
+    assert(out.getAs[Long]("n_violations") == 2L) // 3 rows of k=1 -> 2 extra
+    assert(out.getAs[Long]("n_rows") == 5L)
+    assert(!out.getAs[Boolean]("passed"))
+    // unique key passes; empty relation passes with 0/0
+    val uq = Quality.uniqueCheck("u", df.dropDuplicates("k"), Seq("k")).collect().head
+    assert(uq.getAs[Boolean]("passed"))
+    val emp = Quality.uniqueCheck("e", df.filter(lit(false)), Seq("k")).collect().head
+    assert(emp.getAs[Long]("n_violations") == 0L && emp.getAs[Boolean]("passed"))
+  }
+
   test("upsert: updates win on collision, target passes through, new keys insert") {
     val target = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "x")
     val updates = Seq((2L, "B", 200), (4L, "d", 40)).toDF("k", "v", "x")

@@ -59,6 +59,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("upsertStream merges latest-wins and never regresses on out-of-order batches") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val in = s"$base/in"
+    // three files replayed as three micro-batches, with batch 3
+    // carrying an OLDER row for key 1 than batch 2 did
+    def writeFile(rows: Seq[(Long, Long, String)], mtime: Long): Unit = {
+      rows.toDF("k", "ord", "v").coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          if (f.lastModified() > mtime) f.setLastModified(mtime) }
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    writeFile(Seq((1L, 10L, "a"), (3L, 1L, "x"), (3L, 2L, "y")), t0)       // batch 1 (in-batch dup: y wins)
+    writeFile(Seq((1L, 30L, "c")), t0 + 2000)                              // batch 2
+    writeFile(Seq((1L, 20L, "b"), (2L, 5L, "n")), t0 + 4000)               // batch 3: stale k=1 + new k=2
+    val schema = spark.read.parquet(in).schema
+    val stream = StreamOps.parquetStream(spark, in, schema, maxFilesPerTrigger = 1)
+    val table = s"$base/table"
+    val q = StreamOps.upsertStream(stream, table, Seq("k"), Seq("ord"),
+      s"$base/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(table)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out == Map(
+      1L -> (30L, "c"),  // batch 3's ord=20 must NOT regress batch 2's ord=30
+      2L -> (5L, "n"),
+      3L -> (2L, "y")))  // within-batch latest-wins
+  }
+
   test("toParquetSink writes a checkpointed stream to parquet") {
     val events = Tables.events(spark, sfDir)
     val base = java.nio.file.Files.createTempDirectory("graft_psink").toString
