@@ -1579,6 +1579,21 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"),
           round(col("view_value"), 2).as("view_value"))
     }),
+
+    "evt_asof_nearest_tol" -> ((s, dir) => {
+      // tolerance-bounded nearest: candidates farther than 30 min are
+      // disqualified BEFORE the pick (a stale backward loses to an
+      // in-budget forward; neither in budget -> NULL payload)
+      val clicks = t(s, dir, "events").filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = t(s, dir, "events").filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      TimeSeries.asofNearest(clicks, views, "user_id", "ts", "ts", Seq("view_value"),
+        toleranceSeconds = Some(1800))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("view_value"), 2).as("view_value"))
+    }),
   )
 
   /** Query terms for the search gate/bench entries — common corpus
@@ -1634,6 +1649,13 @@ object SparkEntry {
         .agg(HllAggregate.merge(col("__s")).as("__s"))
         .select(round(HllAggregate.estimate(col("__s")), 3).as("est_users"))
     }),
+
+    "quality_profile_prod" -> ((s, dir) =>
+      // the 100 TB profile path: approx_count_distinct default —
+      // mergeable HLL partial agg, NO multi-distinct Expand (the plan
+      // shape QualitySpec asserts), over the event-scale relation
+      Quality.profile(t(s, dir, "events"),
+        Seq("event_id", "user_id", "event_type", "props"))),
 
     "corpus_overlap_prod" -> ((s, dir) => {
       // production KMV path: xxhash64 token hashes (~3× cheaper than
@@ -3446,6 +3468,29 @@ object SparkEntry {
                                  <= epoch_us(f.fts) - epoch_us(b.ts) THEN b.bval
                             ELSE f.fval END, 2) AS view_value
           FROM b JOIN f ON b.event_id = f.event_id""",
+
+    "evt_asof_nearest_tol" ->
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+          v AS (SELECT user_id, ts, max(value) AS view_value
+                FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+          b AS (SELECT c.event_id, c.user_id, c.ts, v.ts AS bts, v.view_value AS bval
+                FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts),
+          f AS (SELECT c.event_id, v.ts AS fts, v.view_value AS fval
+                FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts >= c.ts),
+          j AS (SELECT b.event_id, b.user_id, b.ts,
+                       (b.bts IS NOT NULL AND epoch_us(b.ts) - epoch_us(b.bts) <= 1800000000) AS bok,
+                       (f.fts IS NOT NULL AND epoch_us(f.fts) - epoch_us(b.ts) <= 1800000000) AS fok,
+                       epoch_us(b.ts) - epoch_us(b.bts) AS db,
+                       epoch_us(f.fts) - epoch_us(b.ts) AS df,
+                       b.bval, f.fval
+                FROM b JOIN f ON b.event_id = f.event_id)
+          SELECT event_id, user_id, ts,
+                 round(CASE WHEN NOT bok AND NOT fok THEN NULL
+                            WHEN NOT fok THEN bval
+                            WHEN NOT bok THEN fval
+                            WHEN db <= df THEN bval
+                            ELSE fval END, 2) AS view_value
+          FROM j""",
   )
 
   private def searchTermsSqlIn: String = searchTerms.map(t => s"'$t'").mkString(", ")

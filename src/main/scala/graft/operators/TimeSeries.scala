@@ -495,10 +495,17 @@ object TimeSeries {
     * compare in exact integer microseconds. Right-side ties at one
     * timestamp resolve by content hash (backward frame: greatest hash
     * wins, as in [[asofJoin]]; forward frame: smallest) — deterministic
-    * pure functions of row content either way. */
+    * pure functions of row content either way.
+    *
+    * `toleranceSeconds` disqualifies a candidate FARTHER than the
+    * budget before the nearest-pick (so a stale backward reading
+    * loses to an in-budget forward one, and a row with neither in
+    * budget gets NULL payload — the [[asofJoin]] tolerance semantic,
+    * symmetric). */
   def asofNearest(left: DataFrame, right: DataFrame, keyCol: String,
                   leftTs: String, rightTs: String,
-                  payloadCols: Seq[String]): DataFrame = {
+                  payloadCols: Seq[String],
+                  toleranceSeconds: Option[Long] = None): DataFrame = {
     val carryLeft = left.columns.filterNot(c => c == keyCol || c == leftTs).toSeq
     val lhs = left.select(
       col(keyCol).as("__key") +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
@@ -532,8 +539,13 @@ object TimeSeries {
       .withColumn("__f", last(rightStruct, ignoreNulls = true).over(wFwd))
     val dB = unix_micros(col("__ts")) - unix_micros(col("__b")("__mts"))
     val dF = unix_micros(col("__f")("__mts")) - unix_micros(col("__ts"))
-    val pick = when(col("__b").isNull, col("__f"))
-      .when(col("__f").isNull, col("__b"))
+    // candidate validity: present AND (no budget | within budget)
+    val tolMicros = toleranceSeconds.map(_ * 1000000L)
+    val bOk = col("__b").isNotNull && tolMicros.map(t => dB <= t).getOrElse(lit(true))
+    val fOk = col("__f").isNotNull && tolMicros.map(t => dF <= t).getOrElse(lit(true))
+    val pick = when(!bOk && !fOk, lit(null))
+      .when(!fOk, col("__b"))
+      .when(!bOk, col("__f"))
       .when(dB <= dF, col("__b"))
       .otherwise(col("__f"))
     val picked = carried.withColumn("__m", pick)

@@ -118,4 +118,16 @@ class QualitySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
     assert(out == Map(1L -> ("a", 10), 2L -> ("B", 200), 3L -> ("c", 30), 4L -> ("d", 40)))
   }
+
+  test("upsert is idempotent: applying the same updates twice changes nothing") {
+    val target = (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+    val updates = (40L to 60L).map(i => (i, s"U$i")).toDF("k", "v")
+    val once = Gds(target).upsert(Gds(updates), "k")
+    val twice = once.upsert(Gds(updates), "k")
+    val a = once.toDF.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = twice.toDF.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+    assert(a.size == 60) // 50 originals, 10 of them overwritten, 10 inserted
+    assert(a.contains((45L, "U45")) && a.contains((10L, "v10")))
+  }
 }

@@ -374,6 +374,54 @@ class TimeSeriesSpec extends SparkSpec {
     assert(z.getAs[Double]("v") == 5.0)
   }
 
+  test("asofNearest tolerance disqualifies far candidates before the pick") {
+    val left = Seq(
+      (1L, ts("2024-01-01 12:00:00"), "A"), // back 3h stale, fwd 10min in-budget -> fwd
+      (2L, ts("2024-01-01 12:00:00"), "B"), // both beyond budget -> null
+      (3L, ts("2024-01-01 12:00:00"), "C"), // both in budget: fwd 2min beats back 5min
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1.0), (1L, ts("2024-01-01 12:10:00"), 2.0),
+      (2L, ts("2024-01-01 09:00:00"), 3.0), (2L, ts("2024-01-01 15:00:00"), 4.0),
+      (3L, ts("2024-01-01 11:55:00"), 5.0), (3L, ts("2024-01-01 12:02:00"), 6.0),
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.asofNearest(left, right, "k", "t", "t", Seq("v"),
+      toleranceSeconds = Some(1800))
+      .collect().map(r => r.getAs[String]("tag") -> Option(r.getAs[java.lang.Double]("v"))).toMap
+    assert(out("A").contains(2.0))
+    assert(out("B").isEmpty)
+    assert(out("C").contains(6.0))
+  }
+
+  test("scd2History intervals partition each key's timeline (property)") {
+    // randomized-but-deterministic change stream: every key's history
+    // must start at its first event, chain valid_to == next valid_from,
+    // and end with exactly one open (is_current) run
+    val rnd = new scala.util.Random(42)
+    val ev = (1 to 500).map { i =>
+      val k = rnd.nextInt(7).toLong
+      val state = if (rnd.nextInt(10) == 0) null else s"s${rnd.nextInt(3)}"
+      (k, state, new Timestamp(1700000000000L + rnd.nextInt(1000000) * 1000L), i.toLong)
+    }.toDF("k", "state", "t", "id")
+    val hist = TimeSeries.scd2History(ev, "k", "state", "t", "id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+    val firstEvent = ev.groupBy(col("k")).agg(min(col("t")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    hist.groupBy(_._1).foreach { case (k, runs) =>
+      val sorted = runs.toSeq.sortBy(_._3.getTime)
+      assert(sorted.head._3 == firstEvent(k), s"key $k must start at first event")
+      assert(sorted.count(_._5) == 1 && sorted.last._4.isEmpty,
+        s"key $k must end with exactly one open run")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4.contains(b._3), s"key $k: valid_to must chain to next valid_from")
+          assert(a._2 != b._2, s"key $k: consecutive runs must differ in state")
+        case _ => ()
+      }
+    }
+  }
+
   test("asofNearest forward candidate avoids the O(n²) unbounded-following frame") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "t", "tag")
     val right = Seq((1L, ts("2024-01-01 10:00:01"), 1.0)).toDF("k", "t", "v")
