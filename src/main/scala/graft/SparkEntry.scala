@@ -1389,11 +1389,12 @@ object SparkEntry {
     }),
 
     "graph_kcore" -> ((s, dir) => {
-      // 3-core of the bidirected order-burst graph: peel nodes of
-      // degree < 3 until stable — sparse burst chains die in round 1
-      // (internal path nodes have degree 2), so only genuinely dense
-      // same-week clusters survive; oracle = the same peeling unrolled
-      // maxRounds times (idempotent once converged)
+      // 2-core of the bidirected order-burst graph: peel nodes of
+      // degree < 2 until stable — path endpoints peel first, then
+      // chains unravel from the ends, so only CYCLE-bearing burst
+      // clusters survive (the 3-core is empty on this corpus, which
+      // made the old gate trivially green — r9); oracle = the same
+      // peeling unrolled maxRounds times (idempotent once converged)
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").cast("date").as("__d"))
       val pairs = o.as("x").join(o.as("y"),
@@ -1402,7 +1403,7 @@ object SparkEntry {
             abs(datediff(col("y.__d"), col("x.__d"))) <= 7)
         .select(col("x.o_orderkey").as("a"), col("y.o_orderkey").as("b"))
       val e = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-      operators.Graph.kcore(e, "a", "b", k = 3, maxRounds = 8)
+      operators.Graph.kcore(e, "a", "b", k = 2, maxRounds = 8)
         .orderBy(col("node"))
     }),
 
@@ -1579,6 +1580,26 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"),
           round(col("view_value"), 2).as("view_value"))
     }),
+
+    "sample_split_group" -> ((s, dir) => {
+      // leakage-safe split: bucket by the exact-dup CLUSTER canonical
+      // (min doc_id per normalized fingerprint), so duplicate copies
+      // can never straddle train/test — the contamination channel a
+      // row-hash split leaves open
+      val docs = t(s, dir, "documents")
+      val withFp = docs.select(col("doc_id"), md5(T.normText(col("text"))).as("__fp"))
+      val canon = withFp.groupBy(col("__fp")).agg(min(col("doc_id")).as("canon"))
+      Pipeline.groupSplit(withFp.join(canon, "__fp").select(col("doc_id"), col("canon")),
+        "doc_id", "canon")
+    }),
+
+    "sample_token_budget" -> ((s, dir) =>
+      // best-100k-chars selection in (n_chars DESC, doc_id ASC)
+      // priority order — exact integer running total, selected while
+      // within budget; distributed via range-partition + per-partition
+      // prefix offsets, never a single-task global window
+      Pipeline.selectToBudget(t(s, dir, "documents"), "doc_id", "n_chars",
+        col("n_chars"), budget = 100000L)),
 
     "evt_asof_nearest_tol" -> ((s, dir) => {
       // tolerance-bounded nearest: candidates farther than 30 min are
@@ -3469,6 +3490,27 @@ object SparkEntry {
                             ELSE f.fval END, 2) AS view_value
           FROM b JOIN f ON b.event_id = f.event_id""",
 
+    "sample_split_group" ->
+      s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+          c AS (SELECT fp, min(doc_id) AS canon FROM f GROUP BY 1),
+          g AS (SELECT f.doc_id, c.canon,
+                  ('0x' || substr(md5('gsplit:' || CAST(c.canon AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+                FROM f JOIN c ON f.fp = c.fp)
+          SELECT doc_id, canon, bucket,
+                 CASE WHEN bucket < 80 THEN 'train'
+                      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+          FROM g""",
+
+    "sample_token_budget" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens,
+                CAST(sum(CAST(n_chars AS BIGINT))
+                     OVER (ORDER BY n_chars DESC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+                (CAST(sum(CAST(n_chars AS BIGINT))
+                      OVER (ORDER BY n_chars DESC, doc_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) <= 100000) AS selected
+         FROM documents""",
+
     "evt_asof_nearest_tol" ->
       """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
           v AS (SELECT user_id, ts, max(value) AS view_value
@@ -3505,7 +3547,7 @@ object SparkEntry {
     // MATERIALIZED: each e_i is referenced 3× by round i+1 — inlined
     // CTEs would expand 3^rounds-fold (DuckDB ran out of file handles)
     val rounds = (1 to 8).map { i =>
-      s"""a$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= 3),
+      s"""a$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= 2),
          e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
                  JOIN a$i x ON e.src = x.src JOIN a$i y ON e.dst = y.src)"""
     }.mkString(",\n         ")

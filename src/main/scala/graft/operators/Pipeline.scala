@@ -835,4 +835,82 @@ object Pipeline {
       .filter(col("status") =!= "unchanged")
       .select(col("__id").as(idCol), col("status"))
   }
+
+  /** Leakage-safe split: every row of a GROUP (near-dup cluster,
+    * domain, author) lands in the same fold, because the md5 bucket is
+    * computed on the GROUP key instead of the row id — duplicates can
+    * never straddle train/test, which is the contamination channel a
+    * row-hash split leaves open (a train copy of a test document).
+    * Same deterministic portable-bucket recipe as [[hashSplit]]: pure
+    * per-row arithmetic, no shuffle, stable under reruns and
+    * repartitioning. Output: (idCol, groupCol, bucket, split). */
+  def groupSplit(df: DataFrame, idCol: String, groupCol: String,
+                 seed: String = "gsplit",
+                 fractions: Seq[(String, Int)] =
+                   Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0), "positive weights")
+    val total = fractions.map(_._2).sum
+    val bucket = md5Bucket(col(groupCol), seed, total)
+    val bounds = fractions.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val named = fractions.map(_._1).zip(bounds)
+    val split = named.init.reverse.foldLeft(lit(named.last._1): Column) {
+      case (els, (nm, ub)) => when(col("__bucket") < ub, lit(nm)).otherwise(els)
+    }
+    df.select(col(idCol), col(groupCol), bucket.as("__bucket"))
+      .select(col(idCol), col(groupCol), col("__bucket").as("bucket"),
+        split.as("split"))
+  }
+
+  /** Token-budget corpus selection: walk documents in priority order
+    * (scoreCol DESC, idCol ASC — a total order, so the result is a
+    * pure function of the data) and keep them while the running token
+    * total stays within `budget` — the "best N billion tokens" step
+    * after quality scoring.
+    *
+    * Distributed shape: range-partition + in-partition sort on the
+    * priority order (NOT a single-partition global window — an
+    * `ORDER BY` running sum over the whole corpus would bottleneck one
+    * task), then per-partition token totals (|partitions| longs — a
+    * sanctioned tiny collect) become prefix offsets broadcast to a
+    * per-partition cumulative-sum pass. Exact integer arithmetic
+    * throughout. Output: (idCol, n_tokens, cum_tokens, selected) with
+    * cum_tokens the INCLUSIVE running total. */
+  def selectToBudget(df: DataFrame, idCol: String, tokensCol: String,
+                     scoreCol: Column, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val spark = df.sparkSession
+    val prepared = df
+      .select(col(idCol),
+        coalesce(col(tokensCol).cast("long"), lit(0L)).as("__tok"),
+        scoreCol.as("__score"))
+      .repartitionByRange(col("__score").desc, col(idCol).asc)
+      .sortWithinPartitions(col("__score").desc, col(idCol).asc)
+    val rdd = prepared.rdd
+    rdd.cache()
+    // per-partition totals -> exclusive prefix offsets (tiny by
+    // construction: one long per partition)
+    val partSums = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(idCol),
+      org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cum_tokens", org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = bc.value(i)
+      it.map { r =>
+        acc += r.getLong(1)
+        org.apache.spark.sql.Row(r.get(0), r.getLong(1), acc)
+      }
+    }
+    val out = spark.createDataFrame(rows, schema)
+      .withColumn("selected", col("cum_tokens") <= budget)
+      .localCheckpoint(eager = true) // seal, then drop the 2-pass cache
+    rdd.unpersist(false)
+    out
+  }
 }

@@ -576,4 +576,46 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(out == Seq("ab", "cd"))
   }
+
+  test("groupSplit keeps every member of a group in the same fold") {
+    val rows = (1L to 300L).map(i => (i, i % 40)) // 40 groups
+    val out = Pipeline.groupSplit(rows.toDF("id", "grp"), "id", "grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // all rows of a group share the split
+    out.groupBy(_._2).foreach { case (g, members) =>
+      assert(members.map(_._3).distinct.length == 1, s"group $g straddles folds")
+    }
+    // every fold non-empty at 40 groups and the default 80/10/10
+    val folds = out.map(_._3).distinct.sorted
+    assert(folds.contains("train"))
+    // identical to hashing the group key directly
+    val direct = Pipeline.hashSplit(
+      rows.map(_._2).distinct.toDF("grp"), "grp", seed = "gsplit")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    out.foreach { case (_, g, s) => assert(direct(g) == s) }
+  }
+
+  test("selectToBudget matches the single-node running total and is partition-invariant") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 200L).map(i => (i, 10L + rnd.nextInt(90))).toSeq
+    val df = docs.toDF("id", "tok")
+    val out = Pipeline.selectToBudget(df, "id", "tok", col("tok"), budget = 3000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // single-node model: sort by (tok desc, id asc), inclusive cumsum
+    val model = docs.sortBy { case (id, t) => (-t, id) }
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (id, t)) => (id, t, acc + t) }
+      .drop(1).map { case (id, t, c) => (id, t, c, c <= 3000L) }
+    assert(out.sortBy(_._1).toSeq == model.sortBy(_._1))
+    assert(out.count(_._4) > 0 && out.count(!_._4) > 0) // budget actually bites
+    // exact same result under a different input partitioning
+    val re = Pipeline.selectToBudget(df.repartition(13), "id", "tok", col("tok"), 3000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    // null tokens count as zero, never poison the running sum
+    val withNull = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("id", "tok")
+    val nz = Pipeline.selectToBudget(withNull, "id", "tok", col("tok"), 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nz(2L) == 0L)
+  }
 }
