@@ -1581,6 +1581,16 @@ object SparkEntry {
           round(col("view_value"), 2).as("view_value"))
     }),
 
+    "quality_drift" -> ((s, dir) => {
+      // numeric drift between the early and late halves of the fact
+      // stream (shipdate ≤ 1997 vs after): count/mean/distinct/range
+      // movement per measure, from one profile pass per side
+      val li = t(s, dir, "lineitem")
+      val cut = col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+      Quality.profileDrift(li.filter(cut), li.filter(!cut),
+        Seq("l_quantity", "l_extendedprice"), exactDistinct = true)
+    }),
+
     "sample_split_group" -> ((s, dir) => {
       // leakage-safe split: bucket by the exact-dup CLUSTER canonical
       // (min doc_id per normalized fingerprint), so duplicate copies
@@ -3489,6 +3499,24 @@ object SparkEntry {
                                  <= epoch_us(f.fts) - epoch_us(b.ts) THEN b.bval
                             ELSE f.fval END, 2) AS view_value
           FROM b JOIN f ON b.event_id = f.event_id""",
+
+    "quality_drift" -> {
+      def side(name: String, pred: String, c: String) =
+        s"""$name AS (SELECT count($c) AS n, count(DISTINCT $c) AS dist,
+                   CAST(min($c) AS DOUBLE) AS mn, CAST(max($c) AS DOUBLE) AS mx,
+                   round(CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / count($c), 6) AS mean
+            FROM lineitem WHERE $pred)"""
+      def one(c: String) =
+        s"""(WITH ${side("b", "l_shipdate < TIMESTAMP '1998-01-01'", c)},
+                 ${side("a", "NOT (l_shipdate < TIMESTAMP '1998-01-01')", c)}
+            SELECT '$c' AS col_name, b.n AS n_before, a.n AS n_after,
+                   b.mean AS mean_before, a.mean AS mean_after,
+                   round(a.mean - b.mean, 6) AS mean_shift,
+                   round(a.dist / b.dist, 6) AS distinct_ratio,
+                   (a.mn < b.mn OR a.mx > b.mx) AS range_widened
+            FROM b, a)"""
+      Seq("l_quantity", "l_extendedprice").map(one).mkString("\nUNION ALL\n")
+    },
 
     "sample_split_group" ->
       s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents),

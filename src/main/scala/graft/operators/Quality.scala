@@ -143,6 +143,58 @@ object Quality {
       col("n_rows"), (col("n_violations") === 0L).as("passed"))
   }
 
+  /** Numeric data-drift report between two loads (yesterday vs today,
+    * train vs serve): per profiled column the count/mean/distinct/range
+    * movement, from ONE [[profileNumeric]] pass per side joined on the
+    * (tiny, m-row) profile outputs. `mean_shift` subtracts the rounded
+    * profile means (deterministic on both engines); `distinct_ratio`
+    * is after/before; `range_widened` flags new extremes — the cheap
+    * "did the distribution move" gate before any expensive divergence
+    * test. */
+  def profileDrift(before: DataFrame, after: DataFrame, cols: Seq[String],
+                   exactDistinct: Boolean = false): DataFrame = {
+    val b = profileNumeric(before, cols, exactDistinct).select(
+      col("col_name"), col("n_nonnull").as("n_before"),
+      col("n_distinct").as("dist_before"), col("min_v").as("min_before"),
+      col("max_v").as("max_before"), col("mean_v").as("mean_before"))
+    val a = profileNumeric(after, cols, exactDistinct).select(
+      col("col_name"), col("n_nonnull").as("n_after"),
+      col("n_distinct").as("dist_after"), col("min_v").as("min_after"),
+      col("max_v").as("max_after"), col("mean_v").as("mean_after"))
+    b.join(a, "col_name").select(
+      col("col_name"), col("n_before"), col("n_after"),
+      col("mean_before"), col("mean_after"),
+      round(col("mean_after") - col("mean_before"), 6).as("mean_shift"),
+      round(col("dist_after") / col("dist_before"), 6).as("distinct_ratio"),
+      (col("min_after") < col("min_before") || col("max_after") > col("max_before"))
+        .as("range_widened"))
+  }
+
+  /** Schema-drift report between two relations (yesterday's load vs
+    * today's): one row per column that was added, removed, or changed
+    * type/nullability — the ingest-gate companion to
+    * [[checkConstraints]]. Pure schema metadata — no scan, no job;
+    * the result is a tiny driver-built relation. */
+  def schemaDiff(before: DataFrame, after: DataFrame): DataFrame = {
+    val b = before.schema.map(f => f.name -> f).toMap
+    val a = after.schema.map(f => f.name -> f).toMap
+    val rows =
+      (b.keySet -- a.keySet).toSeq.sorted.map { c =>
+        (c, "removed", b(c).dataType.simpleString, null: String) } ++
+      (a.keySet -- b.keySet).toSeq.sorted.map { c =>
+        (c, "added", null: String, a(c).dataType.simpleString) } ++
+      (b.keySet & a.keySet).toSeq.sorted.flatMap { c =>
+        if (b(c).dataType != a(c).dataType)
+          Some((c, "type_changed", b(c).dataType.simpleString, a(c).dataType.simpleString))
+        else if (b(c).nullable != a(c).nullable)
+          Some((c, "nullability_changed",
+            s"nullable=${b(c).nullable}", s"nullable=${a(c).nullable}"))
+        else None
+      }
+    import before.sparkSession.implicits._
+    rows.toDF("col_name", "status", "before", "after")
+  }
+
   /** Referential-integrity rule as the same (rule, n_violations,
     * n_rows, passed) row shape: child keys with no parent. The anti
     * join ships only the key columns of both sides into the exchange;

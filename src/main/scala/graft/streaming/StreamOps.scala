@@ -116,6 +116,7 @@ object StreamOps {
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
         val spark = batch.sparkSession
         val cols = batch.columns.toSeq
         val dataCols = cols.filterNot(keys.contains)
@@ -155,6 +156,7 @@ object StreamOps {
         merged.write.mode("overwrite").parquet(staging.toString)
         if (fs.exists(tbl)) fs.delete(tbl, true)
         fs.rename(staging, tbl)
+        } // empty batch: skip the rewrite entirely (idle-trigger no-op)
         ()
       }
   }

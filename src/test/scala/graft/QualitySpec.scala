@@ -119,6 +119,34 @@ class QualitySpec extends SparkSpec {
     assert(out == Map(1L -> ("a", 10), 2L -> ("B", 200), 3L -> ("c", 30), 4L -> ("d", 40)))
   }
 
+  test("profileDrift reports mean shift, distinct ratio, and widened ranges") {
+    val before = Seq(1.0, 2.0, 3.0).toDF("x")
+    val after = Seq(2.0, 4.0, 6.0, 8.0).toDF("x")
+    val r = Quality.profileDrift(before, after, Seq("x"), exactDistinct = true)
+      .collect().head
+    assert(r.getAs[Long]("n_before") == 3L && r.getAs[Long]("n_after") == 4L)
+    assert(r.getAs[Double]("mean_shift") == 3.0)        // 5.0 - 2.0
+    assert(math.abs(r.getAs[Double]("distinct_ratio") - 1.333333) < 1e-9)
+    assert(r.getAs[Boolean]("range_widened"))           // max 8 > 3
+    val same = Quality.profileDrift(before, before, Seq("x"), exactDistinct = true)
+      .collect().head
+    assert(same.getAs[Double]("mean_shift") == 0.0)
+    assert(!same.getAs[Boolean]("range_widened"))
+  }
+
+  test("schemaDiff reports added/removed/type/nullability drift, empty when identical") {
+    val before = Seq((1L, "a", 1.5)).toDF("id", "name", "score")
+    val after = Seq((1, "a", true)).toDF("id", "tag", "flag")
+    val out = Quality.schemaDiff(before, after)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("id") == "type_changed")    // bigint -> int
+    assert(out("name") == "removed")
+    assert(out("score") == "removed")
+    assert(out("tag") == "added")
+    assert(out("flag") == "added")
+    assert(Quality.schemaDiff(before, before).count() == 0)
+  }
+
   test("upsert is idempotent: applying the same updates twice changes nothing") {
     val target = (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
     val updates = (40L to 60L).map(i => (i, s"U$i")).toDF("k", "v")
