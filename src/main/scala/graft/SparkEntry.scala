@@ -1439,6 +1439,19 @@ object SparkEntry {
         .select(col("doc_id"), col("n_lines"), col("n_dup_lines"), col("dup_ratio"),
           md5(col("clean_text")).as("clean_fp"))),
 
+    "dedup_lines_within" -> ((s, dir) => {
+      // intra-doc boilerplate pass: every 5th line re-appended with a
+      // shifted index (deterministic repeats — word salad has no
+      // natural intra-doc line duplicates), repeats dropped keeping
+      // the first occurrence, clean text rebuilt in line order
+      val lines = Pipeline.linify(t(s, dir, "documents"), "doc_id", "text", lineTokens = 8)
+      val extra = lines.filter(col("line_idx") % 5 === 0)
+        .withColumn("line_idx", col("line_idx") + lit(1000000L))
+      Pipeline.dedupLinesWithin(lines.unionByName(extra), "doc_id", "line_idx", "line")
+        .select(col("doc_id"), col("n_lines"), col("n_repeat_lines"),
+          col("repeat_ratio"), md5(col("clean_text")).as("clean_fp"))
+    }),
+
     "cluster_kmeans" -> ((s, dir) =>
       // 2 Lloyd updates from md5-sampled init; centroid sums are
       // floor(v·2^20) exact longs, so the update — and therefore every
@@ -1564,6 +1577,23 @@ object SparkEntry {
       // intervals, ties broken by event_id (pure function of the data)
       TimeSeries.scd2History(t(s, dir, "events"),
         "user_id", "event_type", "ts", "event_id")),
+
+    "evt_scd2_lookup" -> ((s, dir) => {
+      // point-in-time join: what was each user's last click/view state
+      // WHEN they purchased — SCD2 build (deduped change stream, so
+      // valid_from is unique per key) + backward as-of lookup
+      val ev = t(s, dir, "events")
+      val wDedup = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val src = ev.filter(col("event_type").isin("click", "view"))
+        .withColumn("__rn", row_number().over(wDedup))
+        .filter(col("__rn") === 1).drop("__rn")
+      val hist = TimeSeries.scd2History(src, "user_id", "event_type", "ts", "event_id")
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      TimeSeries.pointInTime(hist, probes, "user_id", "ts")
+        .select(col("event_id"), col("user_id"), col("ts"), col("state"))
+    }),
 
     "evt_asof_nearest" -> ((s, dir) => {
       // nearest-event as-of join (backward OR forward, ties backward):
@@ -2913,6 +2943,24 @@ object SparkEntry {
                  md5(COALESCE(string_agg(CASE WHEN NOT dup THEN line END, ' ' ORDER BY line_idx), '')) AS clean_fp
           FROM mk GROUP BY doc_id""",
 
+    "dedup_lines_within" ->
+      s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+          ln AS (SELECT doc_id, CAST(i AS BIGINT) AS line_idx,
+                        array_to_string(toks[i*8+1 : i*8+8], ' ') AS line
+                 FROM (SELECT doc_id, toks,
+                         unnest(range(0, greatest(1, (len(toks) + 7) // 8))) AS i FROM tk)),
+          l2 AS (SELECT doc_id, line_idx, line FROM ln
+                 UNION ALL
+                 SELECT doc_id, line_idx + 1000000, line FROM ln WHERE line_idx % 5 = 0),
+          mk AS (SELECT doc_id, line_idx, line,
+                   (row_number() OVER (PARTITION BY doc_id, line ORDER BY line_idx) > 1) AS dup
+                 FROM l2)
+          SELECT doc_id, count(*) AS n_lines,
+                 CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_lines,
+                 round(CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS repeat_ratio,
+                 md5(COALESCE(string_agg(CASE WHEN NOT dup THEN line END, ' ' ORDER BY line_idx), '')) AS clean_fp
+          FROM mk GROUP BY doc_id""",
+
     "cluster_kmeans" -> kmeansSql,
 
     "emb_pq" -> pqSql,
@@ -3483,6 +3531,21 @@ object SparkEntry {
                  lead(ts) OVER w2 AS valid_to,
                  (lead(ts) OVER w2 IS NULL) AS is_current
           FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
+    "evt_scd2_lookup" ->
+      """WITH src AS (SELECT user_id, event_type, ts, event_id,
+                        row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS dd
+                      FROM events WHERE event_type IN ('click', 'view')),
+          s1 AS (SELECT user_id, event_type, ts, event_id FROM src WHERE dd = 1),
+          e AS (SELECT user_id, event_type, ts, event_id,
+                  row_number() OVER w AS rn, lag(event_type) OVER w AS prev
+                FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          c AS (SELECT user_id, event_type AS state, ts AS valid_from FROM e
+                WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+          p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+          SELECT p.event_id, p.user_id, p.ts, c.state
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND c.valid_from <= p.ts""",
 
     "evt_asof_nearest" ->
       """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),

@@ -836,6 +836,34 @@ object Pipeline {
       .select(col("__id").as(idCol), col("status"))
   }
 
+  /** Intra-document repeated-line removal: drop every REPEAT of a line
+    * within the same document, keeping the first occurrence — the
+    * within-doc boilerplate pass (repeated headers/footers/menus)
+    * complementing [[lineDedup]]'s cross-doc ≥2-distinct-docs rule.
+    * Input is a line relation ([[linify]] or a real newline split).
+    *
+    * Scale shape: the dedup window partitions by (doc, line) — bounded
+    * by one document's copies of one line, never corpus-sized — and
+    * the only exchange key is the doc id; no cross-doc join exists at
+    * all. Output per doc: n_lines, n_repeat_lines, repeat_ratio,
+    * clean_text (surviving lines in original order). */
+  def dedupLinesWithin(lines: DataFrame, idCol: String, idxCol: String,
+                       lineCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol), col(lineCol)).orderBy(col(idxCol).asc)
+    val marked = lines
+      .withColumn("__dup", row_number().over(w) > 1)
+    marked.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_repeat_lines"),
+        round(sum(when(col("__dup"), 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
+          .as("repeat_ratio"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(!col("__dup"), struct(col(idxCol).as("i"), col(lineCol).as("l"))))),
+            s => s.getField("l"))).as("clean_text"))
+  }
+
   /** Leakage-safe split: every row of a GROUP (near-dup cluster,
     * domain, author) lands in the same fold, because the md5 bucket is
     * computed on the GROUP key instead of the row id — duplicates can

@@ -481,6 +481,23 @@ object TimeSeries {
         col("valid_to"), col("valid_to").isNull.as("is_current"))
   }
 
+  /** Point-in-time dimension lookup — the query side of
+    * [[scd2History]]: each probe row gets the state that was valid AT
+    * its timestamp. Runs tile each key's timeline from its first
+    * event, so the covering interval IS the backward as-of row on
+    * `valid_from` (no valid_to predicate needed); probes before a
+    * key's first run get NULL state. A thin composition over
+    * [[asofJoin]] — one key exchange, the same scale shape.
+    *
+    * History must be unique per (key, valid_from) — [[scd2History]]
+    * output is, whenever the underlying change stream has one row per
+    * (key, ts); dedup simultaneous changes first otherwise. */
+  def pointInTime(history: DataFrame, probes: DataFrame, keyCol: String,
+                  probeTs: String): DataFrame =
+    asofJoin(probes,
+      history.select(col(keyCol), col("valid_from"), col("state")),
+      keyCol, probeTs, "valid_from", Seq("state"))
+
   /** Nearest-event as-of join: each left row gets the right-side
     * payload of the CLOSEST right event for its key — backward or
     * forward, ties to backward (so an exactly-simultaneous right row

@@ -577,6 +577,18 @@ class PipelineSpec extends SparkSpec {
     assert(out == Seq("ab", "cd"))
   }
 
+  test("dedupLinesWithin drops repeats keeping first occurrence, preserves order") {
+    val lines = Seq(
+      (1L, 0L, "intro text"), (1L, 1L, "menu bar"), (1L, 2L, "body one"),
+      (1L, 3L, "menu bar"),   (1L, 4L, "body two"), (1L, 5L, "menu bar"),
+      (2L, 0L, "unique only"),
+    ).toDF("doc_id", "line_idx", "line")
+    val out = Pipeline.dedupLinesWithin(lines, "doc_id", "line_idx", "line")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(out(1L) == (6L, 2L, "intro text menu bar body one body two"))
+    assert(out(2L) == (1L, 0L, "unique only"))
+  }
+
   test("groupSplit keeps every member of a group in the same fold") {
     val rows = (1L to 300L).map(i => (i, i % 40)) // 40 groups
     val out = Pipeline.groupSplit(rows.toDF("id", "grp"), "id", "grp")

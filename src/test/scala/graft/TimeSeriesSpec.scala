@@ -374,6 +374,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(z.getAs[Double]("v") == 5.0)
   }
 
+  test("pointInTime returns the state valid AT each probe timestamp") {
+    val ev = Seq(
+      (1L, "free", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "pro", ts("2024-01-10 00:00:00"), 2L),
+      (1L, "free", ts("2024-01-20 00:00:00"), 3L),
+    ).toDF("k", "state", "t", "id")
+    val hist = TimeSeries.scd2History(ev, "k", "state", "t", "id")
+    val probes = Seq(
+      (1L, ts("2023-12-31 00:00:00"), "before"), // before first run -> null
+      (1L, ts("2024-01-05 00:00:00"), "mid1"),   // inside free run
+      (1L, ts("2024-01-10 00:00:00"), "atChange"), // exactly at change -> new state
+      (1L, ts("2024-01-15 00:00:00"), "mid2"),
+      (1L, ts("2024-02-01 00:00:00"), "open"),   // inside the open run
+      (2L, ts("2024-01-05 00:00:00"), "nokey"),  // key with no history
+    ).toDF("k", "t", "tag")
+    val out = TimeSeries.pointInTime(hist, probes, "k", "t")
+      .collect().map(r => r.getAs[String]("tag") -> Option(r.getAs[String]("state"))).toMap
+    assert(out("before").isEmpty)
+    assert(out("mid1").contains("free"))
+    assert(out("atChange").contains("pro"))
+    assert(out("mid2").contains("pro"))
+    assert(out("open").contains("free"))
+    assert(out("nokey").isEmpty)
+  }
+
   test("asofNearest tolerance disqualifies far candidates before the pick") {
     val left = Seq(
       (1L, ts("2024-01-01 12:00:00"), "A"), // back 3h stale, fwd 10min in-budget -> fwd
