@@ -1571,6 +1571,22 @@ object SparkEntry {
       Gds(cust).upsert(Gds(updates), "c_custkey").toDF
     }),
 
+    "ds_upsert_latest" -> ((s, dir) => {
+      // latest-wins MERGE with non-unique, out-of-order updates: the
+      // per-user latest of the even-id half as the target, the RAW
+      // odd-id half (duplicate keys) as updates — the merge must
+      // reconstruct exactly the per-user latest over ALL events
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val target = ev.filter(col("event_id") % 2 === 0)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val updates = ev.filter(col("event_id") % 2 === 1)
+      Gds(target).upsertLatest(Gds(updates), Seq("user_id"), Seq("ts", "event_id")).toDF
+    }),
+
     "evt_scd2" -> ((s, dir) =>
       // SCD2 dimension build from the event stream: per-user state =
       // event_type, consecutive repeats collapsed into validity
@@ -3518,6 +3534,13 @@ object SparkEntry {
          UNION ALL
          SELECT c.* FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = c.c_custkey)""",
+
+    "ds_upsert_latest" ->
+      """SELECT user_id, ts, event_id, event_type FROM (
+           SELECT user_id, ts, event_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1""",
 
     "evt_scd2" ->
       """WITH e AS (SELECT user_id, event_type, ts, event_id,

@@ -226,6 +226,43 @@ final case class Gds(df: DataFrame) {
     val keep = df.join(updates.df.select(keys.map(updates.df(_)): _*), keys.toSeq, "left_anti")
     Gds(updates.df.unionByName(keep))
   }
+  /** Latest-wins MERGE — [[upsert]] for change streams that are NOT
+    * key-unique and may arrive out of order: duplicates in `updates`
+    * resolve to the newest row per key by `orderCols` (a bounded
+    * per-key window over the UPDATES side only), and against the
+    * target an update wins only when it is at least as new as the
+    * stored row — a stale update can never regress a key (the plain
+    * anti-join upsert would take it). `orderCols` must be non-null in
+    * the data (they double as the full-outer presence probes) and
+    * should end in a unique id so the winner is a pure function of
+    * the data.
+    *
+    * Scale shape: one key-shuffle of target ∪ updates (full-outer
+    * equi-join, both sides hash-partitioned on `keys`) — no global
+    * sort, no table rewrite beyond the join itself. This is exactly
+    * the per-batch merge [[graft.streaming.StreamOps.upsertStream]]
+    * applies. */
+  def upsertLatest(updates: Gds, keys: Seq[String], orderCols: Seq[String]): Gds = {
+    require(keys.nonEmpty && orderCols.nonEmpty, "keys and orderCols required")
+    val cols = df.columns.toSeq
+    val dataCols = cols.filterNot(keys.contains)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    val u = updates.df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val uRen = u.select(keys.map(col) ++ dataCols.map(c => col(c).as(s"__u_$c")): _*)
+    val joined = df.join(uRen, keys, "full_outer")
+    val uPresent = col(s"__u_${orderCols.head}").isNotNull
+    val tAbsent = col(orderCols.head).isNull
+    val uOrd = struct(orderCols.map(c => col(s"__u_$c")): _*)
+    val tOrd = struct(orderCols.map(col): _*)
+    val takeU = uPresent && (tAbsent || uOrd >= tOrd)
+    Gds(joined.select(keys.map(col) ++
+        dataCols.map(c => when(takeU, col(s"__u_$c")).otherwise(col(c)).as(c)): _*)
+      .select(cols.map(col): _*))
+  }
+
   /** Inner join with explicit hot-key salting — row-identical to
     * [[join]], but keys hotter than `hotThreshold` on this side are
     * spread over `salt` reducers (see

@@ -118,40 +118,22 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
         val spark = batch.sparkSession
-        val cols = batch.columns.toSeq
-        val dataCols = cols.filterNot(keys.contains)
-        // latest-wins WITHIN the batch (bounded window: batch rows only)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keys.map(col): _*)
-          .orderBy(orderCols.map(c => col(c).desc): _*)
-        val b = batch.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         val tbl = new org.apache.hadoop.fs.Path(tablePath)
         val merged =
-          if (!fs.exists(tbl)) b
-          else {
-            val t = spark.read.parquet(tablePath)
-            // batch row wins iff present and >= the stored order key
-            // (orderCols compared lexicographically via a struct)
-            val bOrd = struct(orderCols.map(c => col(s"__b_$c")): _*)
-            val tOrd = struct(orderCols.map(col): _*)
-            val bRenamed = b.select(
-              keys.map(col) ++
-                dataCols.map(c => col(c).as(s"__b_$c")): _*)
-            val joined = t.join(bRenamed, keys, "full_outer")
-            // presence probes on the order columns (must be non-null in
-            // the data): struct() of an unmatched side's null columns is
-            // a non-null struct of nulls, so structs can't probe absence
-            val bPresent = col(s"__b_${orderCols.head}").isNotNull
-            val tAbsent = col(orderCols.head).isNull
-            val takeB = bPresent && (tAbsent || bOrd >= tOrd)
-            joined.select(
-              keys.map(col) ++
-                dataCols.map(c =>
-                  when(takeB, col(s"__b_$c")).otherwise(col(c)).as(c)): _*)
-          }
+          if (!fs.exists(tbl)) {
+            // first batch: just resolve in-batch duplicates latest-wins
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keys.map(col): _*)
+              .orderBy(orderCols.map(c => col(c).desc): _*)
+            batch.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn")
+          } else
+            // the batch form of this exact merge (in-batch dedup +
+            // full-outer conditional take, regression-safe)
+            graft.core.Gds(spark.read.parquet(tablePath))
+              .upsertLatest(graft.core.Gds(batch.toDF()), keys, orderCols).toDF
         val staging = new org.apache.hadoop.fs.Path(tablePath + "__staging")
         merged.write.mode("overwrite").parquet(staging.toString)
         if (fs.exists(tbl)) fs.delete(tbl, true)

@@ -147,6 +147,17 @@ class QualitySpec extends SparkSpec {
     assert(Quality.schemaDiff(before, before).count() == 0)
   }
 
+  test("upsertLatest resolves duplicate updates and rejects stale ones") {
+    val target = Seq((1L, 100L, "cur"), (2L, 50L, "old")).toDF("k", "ver", "v")
+    val updates = Seq(
+      (1L, 90L, "stale"),            // older than stored -> must NOT win
+      (2L, 60L, "mid"), (2L, 70L, "new"), // dup key -> newest wins, then beats stored
+      (3L, 10L, "ins")).toDF("k", "ver", "v")
+    val out = Gds(target).upsertLatest(Gds(updates), Seq("k"), Seq("ver")).toDF
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out == Map(1L -> (100L, "cur"), 2L -> (70L, "new"), 3L -> (10L, "ins")))
+  }
+
   test("upsert is idempotent: applying the same updates twice changes nothing") {
     val target = (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
     val updates = (40L to 60L).map(i => (i, s"U$i")).toDF("k", "v")
