@@ -84,7 +84,10 @@ object PlanAudit {
         // referentialCheck: crossJoin of two 1-row aggregates (orphan
         // count × total count) — tiny by construction, documented in
         // Quality.scala
-        "quality_constraints")
+        "quality_constraints",
+        // histogram: broadcast 1-row min/max scalar against the scan
+        // (the q22/importanceSample pattern, documented in Quality.scala)
+        "quality_histogram")
       val flags = Seq(
         if (bnlj + cart > 0 && !nljByDesign.exists(name.startsWith))
           Some(s"nested-loop/cartesian join") else None,

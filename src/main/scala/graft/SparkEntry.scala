@@ -1627,6 +1627,17 @@ object SparkEntry {
           round(col("view_value"), 2).as("view_value"))
     }),
 
+    "quality_correlation" -> ((s, dir) =>
+      // pairwise Pearson over the lineitem measures from ONE scan of
+      // exact decimal moments — bit-deterministic r (see scaladoc)
+      Quality.correlationMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
+    "quality_histogram" -> ((s, dir) =>
+      // 16-bin fixed-width histogram of the price measure: broadcast
+      // scalar min/max + map-side IEEE bin expression + partial count
+      Quality.histogramNumeric(t(s, dir, "lineitem"), "l_extendedprice", bins = 16)),
+
     "quality_drift" -> ((s, dir) => {
       // numeric drift between the early and late halves of the fact
       // stream (shipdate ≤ 1997 vs after): count/mean/distinct/range
@@ -3585,6 +3596,42 @@ object SparkEntry {
                                  <= epoch_us(f.fts) - epoch_us(b.ts) THEN b.bval
                             ELSE f.fval END, 2) AS view_value
           FROM b JOIN f ON b.event_id = f.event_id""",
+
+    "quality_correlation" -> {
+      def one(a: String, b: String) =
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+                   CASE WHEN n * ssa - sa * sa > 0 AND n * ssb - sb * sb > 0
+                        THEN round((n * sp - sa * sb) /
+                                   sqrt((n * ssa - sa * sa) * (n * ssb - sb * sb)), 6)
+                   END AS corr
+            FROM (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         -- DECIMAL(19,6): HUGEINT-backed so the product
+                         -- doesn't overflow DuckDB's INT64 decimals;
+                         -- values stay exact, so both engines agree
+                         CAST(sum(CAST($a AS DECIMAL(19,6))) AS DOUBLE) AS sa,
+                         CAST(sum(CAST($a AS DECIMAL(19,6)) * CAST($a AS DECIMAL(19,6))) AS DOUBLE) AS ssa,
+                         CAST(sum(CAST($b AS DECIMAL(19,6))) AS DOUBLE) AS sb,
+                         CAST(sum(CAST($b AS DECIMAL(19,6)) * CAST($b AS DECIMAL(19,6))) AS DOUBLE) AS ssb,
+                         CAST(sum(CAST($a AS DECIMAL(19,6)) * CAST($b AS DECIMAL(19,6))) AS DOUBLE) AS sp
+                  FROM lineitem)"""
+      Seq(("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount"))
+        .map { case (a, b) => one(a, b) }.mkString("\nUNION ALL\n")
+    },
+
+    "quality_histogram" ->
+      """WITH s AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+                           CAST(max(l_extendedprice) AS DOUBLE) AS mx FROM lineitem),
+          b AS (SELECT CASE WHEN s.mx = s.mn THEN 0
+                       ELSE least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - s.mn) * 16
+                                             / (s.mx - s.mn)) AS BIGINT), 15) END AS bin
+                FROM lineitem, s WHERE l_extendedprice IS NOT NULL),
+          g AS (SELECT bin, count(*) AS cnt FROM b GROUP BY 1)
+          SELECT g.bin,
+                 round(s.mn + CAST(g.bin AS DOUBLE) * (s.mx - s.mn) / 16.0, 6) AS bin_lo,
+                 round(s.mn + CAST(g.bin + 1 AS DOUBLE) * (s.mx - s.mn) / 16.0, 6) AS bin_hi,
+                 g.cnt
+          FROM g, s""",
 
     "quality_drift" -> {
       def side(name: String, pred: String, c: String) =

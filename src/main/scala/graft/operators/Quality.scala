@@ -143,6 +143,69 @@ object Quality {
       col("n_rows"), (col("n_violations") === 0L).as("passed"))
   }
 
+  /** Pairwise Pearson correlation matrix over numeric columns from ONE
+    * scan: every moment (Σx, Σx², Σxy) is an EXACT decimal sum (the
+    * money-sum discipline — order-free under any partitioning), and
+    * the r formula is then a fixed IEEE expression over those exact
+    * moments, so the result is bit-deterministic across engines and
+    * reruns. m columns cost m(m+1)/2 map-side products in the single
+    * aggregate — no shuffle beyond the 1-row partial agg, nothing
+    * corpus-sized anywhere. Output: (col_a, col_b, corr) for a < b,
+    * corr rounded 6dp (NULL when a column is constant). */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix requires at least two columns")
+    def d(c: String): Column = col(c).cast(DecimalType(18, 6))
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield (cols(i), cols(j))
+    val aggs =
+      count(lit(1)).as("__n") +:
+      (cols.flatMap { c =>
+        Seq(sum(d(c)).cast("double").as(s"__s_$c"),
+          sum(d(c) * d(c)).cast("double").as(s"__ss_$c"))
+      } ++ pairs.zipWithIndex.map { case ((a, b), k) =>
+        sum(d(a) * d(b)).cast("double").as(s"__sp_$k")
+      })
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n").cast("double")
+    val stacked = pairs.zipWithIndex.map { case ((a, b), k) =>
+      val cov = n * col(s"__sp_$k") - col(s"__s_$a") * col(s"__s_$b")
+      val va = n * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")
+      val vb = n * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(va > 0 && vb > 0, round(cov / sqrt(va * vb), 6)).as("corr"))
+    }
+    one.select(explode(array(stacked: _*)).as("__p")).select(col("__p.*"))
+  }
+
+  /** Fixed-width numeric histogram: one tiny global min/max aggregate
+    * (broadcast as a 1-row scalar — the sanctioned q22/importance
+    * pattern), then a map-side bin expression + partial-agg'd count —
+    * two scans, zero corpus-sized shuffles. The bin expression is a
+    * fixed IEEE tree ((x−mn)·bins/(mx−mn), floored, clamped), so bin
+    * assignment is bit-deterministic across engines; the max value
+    * lands exactly on `bins` and clamps to the last bin.
+    * Output: (bin, bin_lo, bin_hi, cnt), edges rounded 6dp. */
+  def histogramNumeric(df: DataFrame, c: String, bins: Int = 16): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val stats = df.agg(min(col(c).cast("double")).as("__mn"),
+      max(col(c).cast("double")).as("__mx"))
+    val binned = df.filter(col(c).isNotNull).crossJoin(broadcast(stats))
+      .select(
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(
+            floor((col(c).cast("double") - col("__mn")) * lit(bins) /
+              (col("__mx") - col("__mn"))).cast("long"),
+            lit(bins - 1L))).as("bin"))
+    binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(stats))
+      .select(col("bin"),
+        round(col("__mn") + col("bin").cast("double") * (col("__mx") - col("__mn"))
+          / lit(bins.toDouble), 6).as("bin_lo"),
+        round(col("__mn") + (col("bin") + 1).cast("double") * (col("__mx") - col("__mn"))
+          / lit(bins.toDouble), 6).as("bin_hi"),
+        col("cnt"))
+  }
+
   /** Numeric data-drift report between two loads (yesterday vs today,
     * train vs serve): per profiled column the count/mean/distinct/range
     * movement, from ONE [[profileNumeric]] pass per side joined on the

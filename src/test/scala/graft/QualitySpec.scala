@@ -119,6 +119,40 @@ class QualitySpec extends SparkSpec {
     assert(out == Map(1L -> ("a", 10), 2L -> ("B", 200), 3L -> ("c", 30), 4L -> ("d", 40)))
   }
 
+  test("correlationMatrix: perfect/anti/zero correlation, constant column -> NULL") {
+    val df = Seq(
+      (1.0, 2.0, -1.0, 5.0),
+      (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0)).toDF("x", "y2", "neg", "const")
+    val out = Quality.correlationMatrix(df, Seq("x", "y2", "neg", "const"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.getAs[java.lang.Double]("corr"))).toMap
+    assert(out(("x", "y2")).contains(1.0))     // y = 2x
+    assert(out(("x", "neg")).contains(-1.0))   // y = -x
+    assert(out(("x", "const")).isEmpty)        // zero variance -> NULL
+    assert(out.size == 6)                      // 4 choose 2
+    // partition-invariance: exact decimal moments make r bit-stable
+    val re = Quality.correlationMatrix(df.repartition(5), Seq("x", "y2", "neg", "const"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.getAs[java.lang.Double]("corr"))).toMap
+    assert(re == out)
+  }
+
+  test("histogramNumeric bins cover the range, counts sum to rows, max lands in last bin") {
+    val df = (0 to 99).map(_.toDouble).toDF("x")
+    val out = Quality.histogramNumeric(df, "x", bins = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(out.keys.toSeq.sorted == (0L to 9L))
+    assert(out.values.map(_._3).sum == 100L)
+    assert(out(0L)._1 == 0.0 && out(9L)._2 == 99.0) // edges span min..max
+    assert(out(9L)._3 == 10L) // 90..99, max clamps into the last bin
+    // constant column: single bin holding everything
+    val const = Seq(7.0, 7.0, 7.0).toDF("x")
+    val c = Quality.histogramNumeric(const, "x", bins = 4).collect()
+    assert(c.length == 1 && c.head.getLong(0) == 0L && c.head.getLong(3) == 3L)
+  }
+
   test("profileDrift reports mean shift, distinct ratio, and widened ranges") {
     val before = Seq(1.0, 2.0, 3.0).toDF("x")
     val after = Seq(2.0, 4.0, 6.0, 8.0).toDF("x")
