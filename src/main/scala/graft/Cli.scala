@@ -83,12 +83,15 @@ object Cli {
       val fmt = rest.headOption.getOrElse("parquet")
       val json = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(specFile)), java.nio.charset.StandardCharsets.UTF_8)
-      val schema = org.apache.spark.sql.types.DataType.fromJson(json)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      write(empty, path, fmt)
-      s"created empty $fmt table at $path with ${schema.fields.length} columns"
+      org.apache.spark.sql.types.DataType.fromJson(json) match {
+        case schema: org.apache.spark.sql.types.StructType =>
+          val empty = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          write(empty, path, fmt)
+          s"created empty $fmt table at $path with ${schema.fields.length} columns"
+        case other =>
+          s"error: spec must be a struct schema (StructType.prettyJson), got ${other.typeName}"
+      }
 
     case other =>
       s"""usage: schema|analyze|copy|compact|spec|applyspec ... (got: ${other.mkString(" ")})

@@ -244,6 +244,13 @@ final case class Gds(df: DataFrame) {
     * applies. */
   def upsertLatest(updates: Gds, keys: Seq[String], orderCols: Seq[String]): Gds = {
     require(keys.nonEmpty && orderCols.nonEmpty, "keys and orderCols required")
+    require(orderCols.forall(c => !keys.contains(c)),
+      s"orderCols must be data columns, not keys (a key is constant per " +
+        s"group so it cannot order versions): ${orderCols.filter(keys.contains).mkString(",")}")
+    require(orderCols.forall(df.columns.contains),
+      s"orderCols must exist in the target (and be non-null in the data — " +
+        s"they double as the full-outer presence probes): " +
+        s"${orderCols.filterNot(df.columns.contains).mkString(",")}")
     val cols = df.columns.toSeq
     val dataCols = cols.filterNot(keys.contains)
     val w = org.apache.spark.sql.expressions.Window

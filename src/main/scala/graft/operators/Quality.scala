@@ -154,24 +154,28 @@ object Quality {
     * corr rounded 6dp (NULL when a column is constant). */
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "correlationMatrix requires at least two columns")
-    def d(c: String): Column = col(c).cast(DecimalType(18, 6))
+    // positional (__s_$i) aliases, never raw column names, and backtick-
+    // quoted input references — names with dots would otherwise parse as
+    // nested-field access (same hazard profile/checkConstraints guard)
+    def d(c: String): Column =
+      col("`" + c.replace("`", "``") + "`").cast(DecimalType(18, 6))
     val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
-      yield (cols(i), cols(j))
+      yield (i, j)
     val aggs =
       count(lit(1)).as("__n") +:
-      (cols.flatMap { c =>
-        Seq(sum(d(c)).cast("double").as(s"__s_$c"),
-          sum(d(c) * d(c)).cast("double").as(s"__ss_$c"))
-      } ++ pairs.zipWithIndex.map { case ((a, b), k) =>
-        sum(d(a) * d(b)).cast("double").as(s"__sp_$k")
+      (cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(sum(d(c)).cast("double").as(s"__s_$i"),
+          sum(d(c) * d(c)).cast("double").as(s"__ss_$i"))
+      } ++ pairs.zipWithIndex.map { case ((i, j), k) =>
+        sum(d(cols(i)) * d(cols(j))).cast("double").as(s"__sp_$k")
       })
     val one = df.agg(aggs.head, aggs.tail: _*)
     val n = col("__n").cast("double")
-    val stacked = pairs.zipWithIndex.map { case ((a, b), k) =>
-      val cov = n * col(s"__sp_$k") - col(s"__s_$a") * col(s"__s_$b")
-      val va = n * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")
-      val vb = n * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b")
-      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+    val stacked = pairs.zipWithIndex.map { case ((i, j), k) =>
+      val cov = n * col(s"__sp_$k") - col(s"__s_$i") * col(s"__s_$j")
+      val va = n * col(s"__ss_$i") - col(s"__s_$i") * col(s"__s_$i")
+      val vb = n * col(s"__ss_$j") - col(s"__s_$j") * col(s"__s_$j")
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
         when(va > 0 && vb > 0, round(cov / sqrt(va * vb), 6)).as("corr"))
     }
     one.select(explode(array(stacked: _*)).as("__p")).select(col("__p.*"))

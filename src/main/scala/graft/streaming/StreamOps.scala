@@ -136,8 +136,21 @@ object StreamOps {
               .upsertLatest(graft.core.Gds(batch.toDF()), keys, orderCols).toDF
         val staging = new org.apache.hadoop.fs.Path(tablePath + "__staging")
         merged.write.mode("overwrite").parquet(staging.toString)
-        if (fs.exists(tbl)) fs.delete(tbl, true)
-        fs.rename(staging, tbl)
+        // Crash-safe swap: the live dir is renamed ASIDE (never deleted
+        // before its replacement is in place) and every rename's boolean
+        // is checked — a false fails the batch so the checkpoint retries.
+        // A crash between the renames leaves tbl__old intact; the next
+        // batch (or reader) can recover it, vs the old delete-then-rename
+        // which had a window with NO table directory at all.
+        val old = new org.apache.hadoop.fs.Path(tablePath + "__old")
+        if (fs.exists(old)) fs.delete(old, true) // leftover from a prior crash
+        if (fs.exists(tbl) && !fs.rename(tbl, old))
+          throw new java.io.IOException(s"upsertStream: rename $tbl -> $old failed")
+        if (!fs.rename(staging, tbl)) {
+          if (fs.exists(old)) fs.rename(old, tbl) // best-effort restore
+          throw new java.io.IOException(s"upsertStream: rename $staging -> $tbl failed")
+        }
+        if (fs.exists(old)) fs.delete(old, true)
         } // empty batch: skip the rewrite entirely (idle-trigger no-op)
         ()
       }

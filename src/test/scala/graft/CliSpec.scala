@@ -72,4 +72,13 @@ class CliSpec extends SparkSpec {
     assert(applied.count() == 0)
     assert(applied.schema == spark.read.parquet(src).schema)
   }
+
+  test("applyspec reports a usage error for valid-JSON non-struct specs") {
+    val specFile = java.nio.file.Files.createTempFile("graft_badspec", ".json")
+    java.nio.file.Files.writeString(specFile, "\"string\"")
+    val dst = java.nio.file.Files.createTempDirectory("graft_badspec").toString + "/out"
+    val msg = Cli.run(spark, Seq("applyspec", specFile.toString, dst))
+    assert(msg.contains("must be a struct schema"))
+    assert(!new java.io.File(dst).exists())
+  }
 }

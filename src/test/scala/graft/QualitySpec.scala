@@ -192,6 +192,27 @@ class QualitySpec extends SparkSpec {
     assert(out == Map(1L -> (100L, "cur"), 2L -> (70L, "new"), 3L -> (10L, "ins")))
   }
 
+  test("upsertLatest rejects key columns in orderCols and missing orderCols up front") {
+    val target = Seq((1L, 100L, "cur")).toDF("k", "ver", "v")
+    val updates = Seq((1L, 90L, "x")).toDF("k", "ver", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Gds(target).upsertLatest(Gds(updates), Seq("k"), Seq("k"))
+    }
+    assert(e1.getMessage.contains("not keys"))
+    val e2 = intercept[IllegalArgumentException] {
+      Gds(target).upsertLatest(Gds(updates), Seq("k"), Seq("nope"))
+    }
+    assert(e2.getMessage.contains("must exist"))
+  }
+
+  test("correlationMatrix survives column names containing dots") {
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.5)).toDF("a.x", "b.y")
+    val out = Quality.correlationMatrix(df, Seq("a.x", "b.y")).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "a.x" && out.head.getString(1) == "b.y")
+    assert(math.abs(out.head.getDouble(2) - 1.0) < 0.01) // near-perfectly correlated
+  }
+
   test("upsert is idempotent: applying the same updates twice changes nothing") {
     val target = (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
     val updates = (40L to 60L).map(i => (i, s"U$i")).toDF("k", "v")
