@@ -780,6 +780,40 @@ object SparkEntry {
       Similarity.recallAtK(ann, truth, "qid", "vec_id")
     }),
 
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      // IVF+PQ: coarse probe → approximate scoring on PQ-DECODED
+      // vectors → exact rescore of the top-20 shortlist → top-5; one
+      // md5 sampling key drives both the coarse centroids and the
+      // per-subspace Lloyd inits so DuckDB replays the whole chain
+      // (the emb_pq codebook recipe + the sim_ivf probe recipe)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 1000 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", "qid", "qvec",
+        k = 5, dim = 64, nCentroids = 16, nProbe = 4, m = 4, codes = 8,
+        rescore = 20,
+        sampleKey = Some(id => md5(concat(lit("ivf:"), id.cast("string")))))
+        .select(col("qid"), col("vec_id"), col("score"), col("rank"))
+    }),
+
+    "sim_ivf_index" -> ((s, dir) => {
+      // persisted-IVF path: build the cell-partitioned index on disk,
+      // query it through the static partition filter — must equal
+      // sim_ivf_topk row-for-row (same centroids, same probes; the
+      // index only changes WHICH FILES the scan touches, proven via
+      // numFiles in SimilaritySpec), so it shares that oracle
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 1000 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString + "/idx"
+      val flat = Similarity.buildIvfIndex(emb, path, "vec_id", "embedding",
+        dim = 64, nCentroids = 16,
+        sampleKey = Some(id => md5(concat(lit("ivf:"), id.cast("string")))))
+      Similarity.queryIvfIndex(s, path, flat, queries, "vec_id", "embedding",
+        "qid", "qvec", k = 5, dim = 64, nProbe = 4)
+        .select(col("qid"), col("vec_id"), col("score"), col("rank"))
+    }),
+
     // ---- §2.9 text analysis -------------------------------------------
     "text_tokencount" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1648,6 +1682,21 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice"), exactDistinct = true)
     }),
 
+    "quality_schema_diff" -> ((s, dir) => {
+      // schema-drift report between yesterday's load and today's:
+      // narrowed key, float-compressed money, a dropped column, a new
+      // lineage column — metadata-only, no scan, no job. The timestamp
+      // column is left untouched on both sides (its Spark/DuckDB type
+      // NAMES differ; unchanged columns never reach the report)
+      val before = t(s, dir, "orders")
+      val after = before
+        .withColumn("o_orderkey", col("o_orderkey").cast("int"))
+        .withColumn("o_totalprice", col("o_totalprice").cast("float"))
+        .drop("o_orderpriority")
+        .withColumn("o_load_src", lit("batch"))
+      Quality.schemaDiff(before, after)
+    }),
+
     "sample_split_group" -> ((s, dir) => {
       // leakage-safe split: bucket by the exact-dup CLUSTER canonical
       // (min doc_id per normalized fingerprint), so duplicate copies
@@ -2050,6 +2099,37 @@ object SparkEntry {
     FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
           FROM scored WHERE NOT isnan(score))
     WHERE rnk <= 5"""
+
+  /** IVF coarse-quantizer CTE body shared by the sim_ivf_topk /
+    * sim_ivf_index / sim_ivfpq_topk oracles: 16 md5-sampled centroids,
+    * corpus cell = nearest-by-cosine (ties to the lower centroid
+    * index, the nearestCentroids contract), queries probe their 4
+    * nearest cells. */
+  private lazy val ivfCoarseCtes: String =
+    s"""cent AS (SELECT cv, cidx FROM (
+              SELECT embedding AS cv,
+                     row_number() OVER (ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR))) - 1 AS cidx
+              FROM embeddings) WHERE cidx < 16),
+       asgn AS (SELECT v.vec_id, c.cidx,
+                  row_number() OVER (PARTITION BY v.vec_id
+                    ORDER BY ${cosSql("v.embedding", "c.cv")} DESC, c.cidx ASC) AS rnk
+                FROM embeddings v CROSS JOIN cent c),
+       ccell AS (SELECT vec_id, cidx AS cell FROM asgn WHERE rnk = 1),
+       q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 1000 = 0),
+       qasgn AS (SELECT q.qid, c.cidx,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cidx ASC) AS rnk
+                 FROM q CROSS JOIN cent c),
+       qcell AS (SELECT qid, cidx AS cell FROM qasgn WHERE rnk <= 4)"""
+
+  /** IVF ANN top-5 — shared by sim_ivf_topk and sim_ivf_index (the
+    * persisted-index path is pruning-only, same relation). */
+  private lazy val ivfTopkSql: String =
+    s"""WITH $ivfCoarseCtes,
+        scored AS (SELECT qc.qid, cc.vec_id, round(${cosSql("e.embedding", "qq.qv")}, 6) AS score
+                   FROM qcell qc JOIN ccell cc ON qc.cell = cc.cell
+                   JOIN embeddings e ON cc.vec_id = e.vec_id JOIN q qq ON qc.qid = qq.qid)
+        $annRankTail"""
 
   /** Gap sessionization (30 min) — shared by evt_sessionize and (as
     * the session relation) evt_session_stats. */
@@ -2768,26 +2848,33 @@ object SparkEntry {
 
     "sim_lsh_topk" -> lshTopkSql,
 
-    "sim_ivf_topk" ->
-      s"""WITH cent AS (SELECT cv, cidx FROM (
-                 SELECT embedding AS cv,
-                        row_number() OVER (ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR))) - 1 AS cidx
-                 FROM embeddings) WHERE cidx < 16),
-          asgn AS (SELECT v.vec_id, c.cidx,
-                     row_number() OVER (PARTITION BY v.vec_id
-                       ORDER BY ${cosSql("v.embedding", "c.cv")} DESC, c.cidx ASC) AS rnk
-                   FROM embeddings v CROSS JOIN cent c),
-          ccell AS (SELECT vec_id, cidx AS cell FROM asgn WHERE rnk = 1),
-          q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 1000 = 0),
-          qasgn AS (SELECT q.qid, c.cidx,
-                      row_number() OVER (PARTITION BY q.qid
-                        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cidx ASC) AS rnk
-                    FROM q CROSS JOIN cent c),
-          qcell AS (SELECT qid, cidx AS cell FROM qasgn WHERE rnk <= 4),
-          scored AS (SELECT qc.qid, cc.vec_id, round(${cosSql("e.embedding", "qq.qv")}, 6) AS score
-                     FROM qcell qc JOIN ccell cc ON qc.cell = cc.cell
-                     JOIN embeddings e ON cc.vec_id = e.vec_id JOIN q qq ON qc.qid = qq.qid)
-          $annRankTail""",
+    "sim_ivf_topk" -> ivfTopkSql,
+    // the persisted-index query path MUST produce the identical
+    // relation (same centroids, same probes — the index only prunes
+    // which files the scan reads), so it shares the oracle verbatim
+    "sim_ivf_index" -> ivfTopkSql,
+    "sim_ivfpq_topk" -> ivfPqSql,
+
+    "quality_schema_diff" ->
+      """WITH b AS (SELECT column_name AS col_name,
+                      CASE lower(column_type) WHEN 'integer' THEN 'int'
+                           WHEN 'varchar' THEN 'string'
+                           ELSE lower(column_type) END AS t
+                    FROM (DESCRIBE SELECT * FROM orders)),
+              a AS (SELECT column_name AS col_name,
+                      CASE lower(column_type) WHEN 'integer' THEN 'int'
+                           WHEN 'varchar' THEN 'string'
+                           ELSE lower(column_type) END AS t
+                    FROM (DESCRIBE SELECT o_orderkey::INT AS o_orderkey, o_custkey,
+                                          o_orderstatus, o_totalprice::FLOAT AS o_totalprice,
+                                          o_orderdate, 'batch' AS o_load_src FROM orders))
+         SELECT COALESCE(b.col_name, a.col_name) AS col_name,
+                CASE WHEN a.col_name IS NULL THEN 'removed'
+                     WHEN b.col_name IS NULL THEN 'added'
+                     ELSE 'type_changed' END AS status,
+                b.t AS "before", a.t AS "after"
+         FROM b FULL OUTER JOIN a ON b.col_name = a.col_name
+         WHERE a.col_name IS NULL OR b.col_name IS NULL OR b.t <> a.t""",
 
     // corpus text is ASCII-only, so char arithmetic == byte arithmetic;
     // zero-padding adds 0 to byte_sum, so the sum covers the first
@@ -3764,7 +3851,13 @@ object SparkEntry {
     * shared md5 sample order, integer-quantized centroid updates,
     * 4 subspaces × (init + 2 Lloyd iterations + final assign)
     * unrolled programmatically. */
-  private val pqSql: String = {
+  /** Shared PQ codebook-evolution CTE body (sl slices, smp sampling
+    * order, per-subspace cent0 → af chains) — parameterized by the md5
+    * sampling prefix so emb_pq ('km:') and sim_ivfpq_topk ('ivf:')
+    * each derive the init order their Spark twin used. Exposes
+    * af_$si (final assignments) and cent2_$si (final codebooks, the
+    * decode side). */
+  private def pqCtesSql(prefix: String): String = {
     val m = 4; val sub = 16; val k = 8
     def assign(si: Int, cent: String, out: String) =
       s"""$out AS (SELECT vec_id, cidx FROM (
@@ -3793,15 +3886,41 @@ object SparkEntry {
     }.mkString(",\n")
     val slices = (0 until m)
       .map(si => s"embedding[${si * sub + 1}:${(si + 1) * sub}] AS s$si").mkString(", ")
-    val unions = (0 until m).map(si =>
+    s"""sl AS (SELECT vec_id, $slices FROM embeddings),
+        smp AS (SELECT vec_id,
+                  row_number() OVER (ORDER BY md5('$prefix' || CAST(vec_id AS VARCHAR))) - 1 AS cidx
+                FROM embeddings),
+        $subspaceCtes"""
+  }
+
+  private val pqSql: String = {
+    val unions = (0 until 4).map(si =>
       s"SELECT vec_id, CAST($si AS INT) AS sub_idx, CAST(cidx AS INT) AS code FROM af_$si")
       .mkString(" UNION ALL ")
-    s"""WITH sl AS (SELECT vec_id, $slices FROM embeddings),
-        smp AS (SELECT vec_id,
-                  row_number() OVER (ORDER BY md5('km:' || CAST(vec_id AS VARCHAR))) - 1 AS cidx
-                FROM embeddings),
-        $subspaceCtes
+    s"""WITH ${pqCtesSql("km:")}
         $unions"""
+  }
+
+  /** IVF+PQ twin: PQ codebooks/assignments (pqCtesSql, 'ivf:' init) +
+    * the sim_ivf coarse CTEs, then decode(code) = final-codebook
+    * concatenation, approximate cosine on the decoded vectors, top-20
+    * shortlist, exact rescore against the raw embeddings, top-5. */
+  private lazy val ivfPqSql: String = {
+    val decJoins = "af_0 a0 " +
+      (1 until 4).map(si => s"JOIN af_$si a$si USING (vec_id)").mkString(" ") + " " +
+      (0 until 4).map(si => s"JOIN cent2_$si c$si ON a$si.cidx = c$si.cidx").mkString(" ")
+    s"""WITH ${pqCtesSql("ivf:")},
+        $ivfCoarseCtes,
+        dec AS (SELECT a0.vec_id, c0.cv || c1.cv || c2.cv || c3.cv AS dv FROM $decJoins),
+        approx AS (SELECT qc.qid, cc.vec_id, round(${cosSql("d.dv", "qq.qv")}, 6) AS score
+                   FROM qcell qc JOIN ccell cc ON qc.cell = cc.cell
+                   JOIN dec d ON cc.vec_id = d.vec_id JOIN q qq ON qc.qid = qq.qid),
+        short AS (SELECT qid, vec_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+                    FROM approx WHERE NOT isnan(score)) WHERE rnk <= 20),
+        scored AS (SELECT sh.qid, sh.vec_id, round(${cosSql("e.embedding", "qq.qv")}, 6) AS score
+                   FROM short sh JOIN embeddings e ON sh.vec_id = e.vec_id JOIN q qq ON sh.qid = qq.qid)
+        $annRankTail"""
   }
 
   /** SQL twin of [[piiContact]]'s derived column. */

@@ -165,8 +165,9 @@ object Similarity {
     * SimilaritySpec). Returns the flattened centroids; persist them
     * next to the index for query-time reuse. */
   def buildIvfIndex(corpus: DataFrame, path: String, idCol: String, vecCol: String,
-                    dim: Int, nCentroids: Int = 16, seed: Long = 42L): Array[Double] = {
-    val flat = sampleCentroids(corpus, idCol, vecCol, dim, nCentroids, seed)
+                    dim: Int, nCentroids: Int = 16, seed: Long = 42L,
+                    sampleKey: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None): Array[Double] = {
+    val flat = sampleCentroids(corpus, idCol, vecCol, dim, nCentroids, seed, sampleKey)
     val c = flat.length / dim
     val cell1 = VectorExpressions.nearestCentroids(col(vecCol), flat, dim, c, 1)
     corpus.withColumn("__cell", element_at(cell1, 1))
