@@ -1294,6 +1294,40 @@ object SparkEntry {
       Pipeline.corpusDiff(v1, v2, "doc_id", "fp")
     }),
 
+    "corpus_incremental" -> ((s, dir) => {
+      // the nightly-crawl shape end-to-end: state built from the
+      // current corpus, then a simulated next batch — exact clones
+      // (bucket 90-99, +1e6), light edits (10-19, +2e6) and synthetic
+      // novel docs (0-9, +3e6: alternating stopwords and doc-unique
+      // md5 words, so they pass the quality gate and near-dup nothing)
+      // — processed O(batch) against the stores. The DuckDB oracle
+      // replays the FULL REBUILD on old ∪ batch, so the hash match IS
+      // the incremental == rebuild proof.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val b = Pipeline.md5Bucket(col("doc_id"), "rev", 100)
+      val edited = docs.filter(b.between(10, 19))
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" updated in the next crawl")).as("text"))
+      val cloned = docs.filter(b.between(90, 99))
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val stop = array(lit("the"), lit("of"), lit("and"), lit("to"), lit("a"))
+      val novel = docs.filter(b < 10)
+        .withColumn("doc_id", col("doc_id") + 3000000L) // hash uses the NEW id
+        .withColumn("text",
+          array_join(transform(sequence(lit(0), lit(39)), i =>
+            when(i % 2 === 0, element_at(stop, ((i % 10) / lit(2)).cast("int") + 1))
+              .otherwise(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+                i.cast("string"))), 1, 8))), " "))
+        .select("doc_id", "text")
+      val batch = edited.union(cloned).union(novel)
+      val stateDir = java.nio.file.Files.createTempDirectory("graft_corpus_state").toString
+      Pipeline.writeCorpusState(docs, "doc_id", "text", stateDir, nShards = 8,
+        tokenHash = Dedup.md5TokenHash, hashedShard = false)
+      Pipeline.prepareCorpusIncremental(s, stateDir, batch, "doc_id", "text",
+        nShards = 8, tokenHash = Dedup.md5TokenHash, hashedShard = false)
+        .select(col("doc_id"), md5(col("text")).as("fp"), col("shard"), col("pos"))
+    }),
+
     "graph_pagerank_weighted" -> ((s, dir) => {
       // weighted pagerank: edge weight = shared-order count, share =
       // (rank·w) div Σw — still pure integer arithmetic
@@ -2169,8 +2203,10 @@ object SparkEntry {
         $annRankTail"""
 
   /** md5-derived 64-bit simhash signature as 4×16-bit chunks — the
-    * DuckDB twin of Dedup.simhashSignatures(md5TokenHash). */
-  private val simhashChunksSql: String = {
+    * DuckDB twin of Dedup.simhashSignatures(md5TokenHash),
+    * parameterized by the source relation (must expose doc_id, text).
+    * Exposes `sig(doc_id, c0..c3)`. */
+  private def simhashChunksCtes(src: String): String = {
     val bitSums = (0 until 64).map { i =>
       val half = if (i < 32) "lo" else "hi"
       s"sum(CASE WHEN (($half >> ${i % 32}) & 1) = 1 THEN 1 ELSE -1 END) AS s$i"
@@ -2181,11 +2217,82 @@ object SparkEntry {
     }.mkString(", ")
     raw"""
     tok AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
-            FROM documents),
+            FROM $src),
     h AS (SELECT doc_id, ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo,
                          ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi FROM tok),
     sums AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
     sig AS (SELECT doc_id, $chunks FROM sums)"""
+  }
+  private val simhashChunksSql: String = simhashChunksCtes("documents")
+
+  /** Full-rebuild twin of corpus_incremental: the whole prepareCorpus
+    * pipeline (quality gate, scrub, exact dedup, simhash near-dup CC,
+    * md5 shard layout) over old ∪ simulated-batch. The gate's Spark
+    * side computes the same relation INCREMENTALLY from the persisted
+    * stores, so the hash match proves incremental == rebuild. The
+    * O(n²) hamming join stands in for Spark's banded candidates —
+    * banding is exact for hamming ≤ 3 (pigeonhole over 4×16-bit
+    * chunks), so the relations agree. */
+  private lazy val corpusIncrementalSql: String = {
+    val nt = s"len(string_split($normSql, ' '))"
+    val stop = langScoreSql(T.langMarkers.head._2)
+    s"""WITH RECURSIVE
+        bk0 AS (SELECT doc_id,
+                  ('0x' || substr(md5('rev:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b,
+                  text
+                FROM documents),
+        corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 2000000, text || ' updated in the next crawl' FROM bk0 WHERE b BETWEEN 10 AND 19
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM bk0 WHERE b BETWEEN 90 AND 99
+          UNION ALL
+          SELECT doc_id + 3000000,
+                 array_to_string([CASE WHEN i % 2 = 0
+                        THEN ['the','of','and','to','a'][(i % 10) // 2 + 1]
+                        ELSE substr(md5(CAST(doc_id + 3000000 AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8) END
+                   FOR i IN range(0, 40)], ' ')
+          FROM bk0 WHERE b < 10),
+        qual AS (SELECT doc_id, text,
+                   $nt AS nt,
+                   round($stop / CAST(greatest($nt, 1) AS DOUBLE), 6) AS sr,
+                   string_split($normSql, ' ') AS toks
+                 FROM corpus),
+        rep AS (SELECT doc_id, text, nt, sr,
+                  round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) AS rr
+                FROM (SELECT doc_id, text, nt, sr,
+                        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                             ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)] END AS sh
+                      FROM qual)),
+        cleaned AS (SELECT doc_id,
+                      regexp_replace(regexp_replace(regexp_replace(text,
+                        '${P.emailPattern}', '[EMAIL]', 'g'),
+                        '${P.ipPattern}', '[IP]', 'g'),
+                        '${P.phonePattern}', '[PHONE]', 'g') AS text
+                    FROM rep
+                    WHERE nt BETWEEN 20 AND 1000 AND sr >= 0.05 AND rr < 0.2),
+        exact AS (SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) AS rn
+                    FROM cleaned) WHERE rn = 1),
+        ${simhashChunksCtes("exact")},
+        prs AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r
+                FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+                    + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3),
+        sym AS (SELECT id_l AS a, id_r AS bb FROM prs UNION SELECT id_r, id_l FROM prs),
+        reach(a, bb) AS (SELECT a, bb FROM sym
+                         UNION SELECT r.a, s2.bb FROM reach r JOIN sym s2 ON r.bb = s2.a WHERE s2.bb <> r.a),
+        canon AS (SELECT a AS doc_id, least(min(bb), a) AS c FROM reach GROUP BY a),
+        keepers AS (SELECT e.doc_id, e.text FROM exact e LEFT JOIN canon ON e.doc_id = canon.doc_id
+                    WHERE canon.c IS NULL OR canon.c >= e.doc_id)
+        SELECT doc_id, md5(text) AS fp, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+        FROM (SELECT doc_id, text,
+                CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT) AS shard,
+                ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
+              FROM keepers)"""
   }
 
   private val qualitySql: String = {
@@ -3325,6 +3432,8 @@ object SparkEntry {
                            ELSE 'unchanged' END AS status
                FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
          SELECT doc_id, status FROM j WHERE status <> 'unchanged'""",
+
+    "corpus_incremental" -> corpusIncrementalSql,
 
     "graph_pagerank_weighted" ->
       """WITH b AS (SELECT o_custkey AS c, l_suppkey + 1000000000 AS p, count(*) AS w

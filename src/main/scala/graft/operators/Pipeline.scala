@@ -369,13 +369,11 @@ object Pipeline {
                     nShards: Int = 16,
                     minTokens: Int = 20, maxTokens: Int = 1000,
                     minStopwordRatio: Double = 0.05, maxRepetition: Double = 0.2,
-                    maxHamming: Int = 3): DataFrame = {
-    val q = T.qualityStruct(col(textCol))
-    val cleaned = docs
-      .filter(q.getField("n_tokens").between(minTokens, maxTokens) &&
-        q.getField("stopword_ratio") >= minStopwordRatio &&
-        T.repetitionRatio(col(textCol), 3) < maxRepetition)
-      .withColumn(textCol, P.scrub(col(textCol)))
+                    maxHamming: Int = 3,
+                    tokenHash: Dedup.TokenHash = Dedup.xxTokenHash,
+                    hashedShard: Boolean = true): DataFrame = {
+    val cleaned = qualityScrub(docs, idCol, textCol, minTokens, maxTokens,
+      minStopwordRatio, maxRepetition)
     val wFp = Window.partitionBy(col("__fp")).orderBy(col(idCol))
     // cached: three consumers (simhash pairs, keep-list, final join)
     // would otherwise re-run the quality filter + regex scrub + dedup
@@ -387,13 +385,204 @@ object Pipeline {
       .withColumn("__rn", row_number().over(wFp))
       .filter(col("__rn") === 1).drop("__fp", "__rn")
       .cache()
-    val pairs = Dedup.simhashPairs(exact, idCol, textCol, maxHamming = maxHamming)
+    val pairs = Dedup.simhashPairs(exact, idCol, textCol, maxHamming = maxHamming,
+      tokenHash = tokenHash)
     val keepIds = Dedup.dedupeKeepList(exact, pairs, idCol)
       .filter(col("keep")).select(col("id").as(idCol))
     val kept = exact.join(keepIds, idCol).cache()
-    shuffleShard(kept.select(col(idCol)), idCol, nShards, hashed = true)
+    shuffleShard(kept.select(col(idCol)), idCol, nShards, hashed = hashedShard)
       .join(kept.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol), col(textCol), col("shard"), col("pos"))
+  }
+
+  /** Stages 1–2 of corpus preparation (quality gate + PII scrub) —
+    * pure map work fused into the scan projection, shared by the full
+    * and incremental paths. */
+  private def qualityScrub(docs: DataFrame, idCol: String, textCol: String,
+                           minTokens: Int, maxTokens: Int,
+                           minStopwordRatio: Double, maxRepetition: Double): DataFrame = {
+    val q = T.qualityStruct(col(textCol))
+    docs
+      .filter(q.getField("n_tokens").between(minTokens, maxTokens) &&
+        q.getField("stopword_ratio") >= minStopwordRatio &&
+        T.repetitionRatio(col(textCol), 3) < maxRepetition)
+      .withColumn(textCol, P.scrub(col(textCol)))
+  }
+
+  /** Build the initial corpus-prep STATE for
+    * [[prepareCorpusIncremental]] — the relations a nightly pipeline
+    * carries so the next crawl batch is processed O(batch), never
+    * O(corpus):
+    *   - `fp/` (content_hash, keep_id): one row per distinct
+    *     normalized fingerprint among QUALITY-survivors (min id) — a
+    *     new doc matching any previously-seen fingerprint is an exact
+    *     dup of that fingerprint's keeper;
+    *   - `sigs/` (id, sig): SimHash signatures of every EXACT-dedup
+    *     survivor — near-dup LOSERS included, because a new doc
+    *     near-dupping a dropped old doc belongs to that doc's cluster
+    *     in a full rebuild;
+    *   - `canon/` (id, canonical_id): the near-dup cluster membership
+    *     (non-self rows only) — the contraction map that lets the
+    *     incremental path reconstruct full-rebuild components without
+    *     storing old-old edges;
+    *   - `survivors/` (id, text): the exported documents (scrubbed).
+    * Returns the initial export (identical to [[prepareCorpus]] on the
+    * same inputs). */
+  def writeCorpusState(docs: DataFrame, idCol: String, textCol: String,
+                       stateDir: String, nShards: Int = 16,
+                       minTokens: Int = 20, maxTokens: Int = 1000,
+                       minStopwordRatio: Double = 0.05, maxRepetition: Double = 0.2,
+                       maxHamming: Int = 3,
+                       tokenHash: Dedup.TokenHash = Dedup.xxTokenHash,
+                       hashedShard: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    val cleaned = qualityScrub(docs, idCol, textCol, minTokens, maxTokens,
+      minStopwordRatio, maxRepetition)
+    val hashed = cleaned.withColumn("__fp", md5(T.normText(col(textCol)))).cache()
+    hashed.groupBy(col("__fp").as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/fp")
+    val wFp = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    val exact = hashed
+      .withColumn("__rn", row_number().over(wFp))
+      .filter(col("__rn") === 1).drop("__fp", "__rn")
+      .cache()
+    Dedup.simhashSignatures(exact, idCol, textCol, tokenHash)
+      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/sigs")
+    val pairs = Dedup.simhashPairs(exact, idCol, textCol, maxHamming = maxHamming,
+      tokenHash = tokenHash)
+    val canon = Dedup.canonicalize(pairs).cache()
+    canon.filter(col("canonical_id") =!= col("id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/canon")
+    val keepIds = exact.select(col(idCol).as("id"))
+      .join(canon, Seq("id"), "left")
+      .filter(col("canonical_id").isNull || col("canonical_id") === col("id"))
+      .select(col("id").as(idCol))
+    exact.join(keepIds, idCol).select(col(idCol), col(textCol))
+      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/survivors")
+    hashed.unpersist(); exact.unpersist(); canon.unpersist()
+    exportLayout(docs.sparkSession, stateDir, idCol, textCol, nShards, hashedShard)
+  }
+
+  /** Shard/pos layout over the survivor store: an ID-ONLY pass (hash +
+    * per-shard rank over ~16 B rows) with the text joined back from
+    * the store — the one stage that legitimately runs over the full
+    * corpus on every crawl, because positions are a function of the
+    * whole survivor set. At 100 TB this is hash arithmetic on ids,
+    * orders of magnitude under the text stages the incremental path
+    * avoids. */
+  private def exportLayout(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+                           idCol: String, textCol: String,
+                           nShards: Int, hashedShard: Boolean): DataFrame = {
+    val surv = spark.read.parquet(s"$stateDir/survivors")
+    shuffleShard(surv.select(col(idCol)), idCol, nShards, hashed = hashedShard)
+      .join(surv, idCol)
+      .select(col(idCol), col(textCol), col("shard"), col("pos"))
+  }
+
+  /** Incremental corpus preparation — the nightly-crawl shape: process
+    * ONLY the new batch (quality gate, scrub, exact dedup vs the
+    * fingerprint store, near-dup dedup vs the signature store),
+    * append the survivors, and emit the updated export.
+    *
+    * Equals a full [[prepareCorpus]] rebuild on old ∪ new (proven by
+    * the corpus_incremental gate, whose DuckDB oracle replays the full
+    * rebuild) provided batch ids are previously unseen and larger than
+    * every stored id — min-id cluster reps then never move DOWN into
+    * the batch. A batch doc that near-dup-BRIDGES two old clusters is
+    * handled the way a rebuild would: components are computed over the
+    * cluster-CONTRACTED graph (old endpoints mapped through the stored
+    * `canon/` map), the merged cluster keeps the smallest old rep, and
+    * the larger old reps are RETRACTED from the survivor store — the
+    * correction an append-only pipeline silently skips.
+    *
+    * Scale shape per batch: every stage is O(batch ∪ pairs) except the
+    * store joins (hash-partitioned on fingerprint / band-bucket /
+    * canonical longs, ~16-24 B per stored doc — never old text) and
+    * the id-only export layout ([[exportLayout]]). The text of the old
+    * corpus is never re-read. */
+  def prepareCorpusIncremental(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+                               newDocs: DataFrame, idCol: String, textCol: String,
+                               nShards: Int = 16,
+                               minTokens: Int = 20, maxTokens: Int = 1000,
+                               minStopwordRatio: Double = 0.05, maxRepetition: Double = 0.2,
+                               maxHamming: Int = 3,
+                               tokenHash: Dedup.TokenHash = Dedup.xxTokenHash,
+                               hashedShard: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    val cleaned = qualityScrub(newDocs, idCol, textCol, minTokens, maxTokens,
+      minStopwordRatio, maxRepetition)
+    // exact stage: min-id winner per NEW fingerprint, then drop
+    // fingerprints the corpus has already seen (one hash-join against
+    // the store); localCheckpoint severs the lineage from the store
+    // files BEFORE the append grows them
+    val fpStore = spark.read.parquet(s"$stateDir/fp")
+    val wFp = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    val hashed = cleaned.withColumn("__fp", md5(T.normText(col(textCol))))
+      .withColumn("__rn", row_number().over(wFp))
+      .filter(col("__rn") === 1).drop("__rn")
+    val exactNew = hashed
+      .join(fpStore.select(col("content_hash").as("__fp")), Seq("__fp"), "left_anti")
+      .localCheckpoint(true)
+    exactNew.select(col("__fp").as("content_hash"), col(idCol).as("keep_id"))
+      .write.mode(SaveMode.Append).parquet(s"$stateDir/fp")
+    val exactKept = exactNew.drop("__fp").cache()
+    // near-dup stage: batch-vs-batch and batch-vs-store pairs (the
+    // incremental band join — appends the batch signatures to the
+    // store as a side effect)
+    val pairs = Dedup.incrementalSimhashPairs(exactKept, idCol, textCol,
+      s"$stateDir/sigs", maxHamming = maxHamming, tokenHash = tokenHash)
+    // cluster contraction: old endpoints map through their stored
+    // canonical (clusters collapse to their rep; the rep IS the
+    // cluster min), so CC over these edges reproduces the full
+    // rebuild's component minima without any old-old edges
+    val canonStore = spark.read.parquet(s"$stateDir/canon")
+    val flags = exactKept.select(col(idCol).as("__id"), lit(true).as("__new"))
+    val marked = pairs
+      .join(flags.select(col("__id").as("id_l"), col("__new").as("__l_new")), Seq("id_l"), "left")
+      .join(flags.select(col("__id").as("id_r"), col("__new").as("__r_new")), Seq("id_r"), "left")
+      .join(canonStore.select(col("id").as("id_l"), col("canonical_id").as("__cl")), Seq("id_l"), "left")
+      .join(canonStore.select(col("id").as("id_r"), col("canonical_id").as("__cr")), Seq("id_r"), "left")
+    val edges = marked.select(
+        when(coalesce(col("__l_new"), lit(false)), col("id_l"))
+          .otherwise(coalesce(col("__cl"), col("id_l"))).as("id_l"),
+        when(coalesce(col("__r_new"), lit(false)), col("id_r"))
+          .otherwise(coalesce(col("__cr"), col("id_r"))).as("id_r"))
+      .filter(col("id_l") =!= col("id_r"))
+    // sealed: everything below derives from the canon store files we
+    // overwrite at the end
+    val cc = Dedup.canonicalize(edges).localCheckpoint(true)
+    // batch doc kept iff it is its component's minimum — a component
+    // containing ANY old node has an old (smaller) minimum
+    val keepIds = exactKept.select(col(idCol))
+      .join(cc.select(col("id").as(idCol), col("canonical_id")), Seq(idCol), "left")
+      .filter(col("canonical_id").isNull || col("canonical_id") === col(idCol))
+      .select(col(idCol))
+    val newKept = exactKept.join(keepIds, Seq(idCol), "left_semi")
+      .select(col(idCol), col(textCol)).localCheckpoint(true)
+    // bridge retraction: an OLD cluster rep whose merged component has
+    // a smaller minimum loses — exactly the doc a rebuild would drop
+    val moved = cc.filter(col("canonical_id") < col("id"))
+    val retracted = moved.select(col("id"))
+      .join(exactKept.select(col(idCol).as("id")), Seq("id"), "left_anti")
+    val updatedSurv = spark.read.parquet(s"$stateDir/survivors")
+      .join(retracted.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .union(newKept).localCheckpoint(true)
+    updatedSurv.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/survivors")
+    // canon store update: re-point members of merged clusters at the
+    // new minimum, then add this round's non-self rows (dropped batch
+    // docs and retracted reps) for future batches
+    val movedMap = moved.select(col("id").as("canonical_id"), col("canonical_id").as("__m"))
+    val repointed = canonStore
+      .join(movedMap, Seq("canonical_id"), "left")
+      .select(col("id"), coalesce(col("__m"), col("canonical_id")).as("canonical_id"))
+    val fresh = cc.filter(col("canonical_id") =!= col("id"))
+      .join(repointed.select(col("id")), Seq("id"), "left_anti")
+    val newCanon = repointed.union(fresh.select(col("id"), col("canonical_id")))
+      .localCheckpoint(true)
+    newCanon.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/canon")
+    exactKept.unpersist()
+    exportLayout(spark, stateDir, idCol, textCol, nShards, hashedShard)
   }
 
   /** Deterministic k-per-stratum sample — the "give me k docs per

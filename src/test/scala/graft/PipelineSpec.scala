@@ -630,4 +630,62 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(nz(2L) == 0L)
   }
+
+  // -- incremental corpus preparation ---------------------------------
+
+  // relaxed thresholds so the tiny fixture passes the quality gate and
+  // the test exercises the dedup/state machinery, not Gopher filters
+  private def incPrep(state: String, batch: org.apache.spark.sql.DataFrame) =
+    Pipeline.prepareCorpusIncremental(spark, state, batch, "doc_id", "text",
+      nShards = 2, minTokens = 1, minStopwordRatio = 0.0, maxRepetition = 2.0)
+
+  test("prepareCorpusIncremental == full rebuild; state grows by the batch only") {
+    // permutations share a token multiset -> identical simhash
+    // signature (hamming 0), distinct normalized fingerprint: the
+    // deterministic near-dup fixture
+    val s1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val s1p = "theta eta zeta epsilon delta gamma beta alpha"
+    val s1q = "beta alpha gamma delta epsilon zeta eta theta"
+    val s2 = "one two three four five six seven eight"
+    val s3 = "red orange yellow green blue indigo violet pink"
+    val s3p = "pink violet indigo blue green yellow orange red"
+    val s4 = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val old = Seq(10L -> s1, 11L -> s1p, 20L -> s2, 30L -> s3).toDF("doc_id", "text")
+    val batch = Seq(100L -> s1q, 110L -> s2, 120L -> s4, 130L -> s3p).toDF("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("graft_inc_state").toString
+    Pipeline.writeCorpusState(old, "doc_id", "text", state, nShards = 2,
+      minTokens = 1, minStopwordRatio = 0.0, maxRepetition = 2.0)
+    assert(spark.read.parquet(s"$state/fp").count() == 4)      // 4 distinct norms
+    assert(spark.read.parquet(s"$state/sigs").count() == 4)    // all exact-survive
+    assert(spark.read.parquet(s"$state/canon").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set(11L -> 10L))
+    val inc = incPrep(state, batch)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    // exact-store dup (110), near-dup of old cluster (100), near-dup of
+    // an old singleton (130) all dropped; the novel doc survives
+    assert(inc.map(_._1) == Set(10L, 20L, 30L, 120L))
+    // state grew by the batch's contribution only
+    assert(spark.read.parquet(s"$state/fp").count() == 7)      // 110 == s2 fp, not re-added
+    assert(spark.read.parquet(s"$state/sigs").count() == 7)    // 100/120/130 signed
+    assert(spark.read.parquet(s"$state/canon").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set(11L -> 10L, 100L -> 10L, 130L -> 30L))
+    assert(spark.read.parquet(s"$state/survivors").collect()
+      .map(_.getLong(0)).toSet == Set(10L, 20L, 30L, 120L))
+    // the incremental export equals a from-scratch rebuild on old ∪ batch
+    val state2 = java.nio.file.Files.createTempDirectory("graft_inc_full").toString
+    val full = Pipeline.writeCorpusState(old.union(batch), "doc_id", "text", state2,
+      nShards = 2, minTokens = 1, minStopwordRatio = 0.0, maxRepetition = 2.0)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    assert(inc == full)
+    // a second crawl: near-dup of a doc KEPT in round one is dropped
+    // against the grown stores; survivors unchanged
+    val batch2 = Seq(200L -> "elit adipiscing consectetur amet sit dolor ipsum lorem")
+      .toDF("doc_id", "text")
+    val inc2 = incPrep(state, batch2).collect().map(_.getLong(0)).toSet
+    assert(inc2 == Set(10L, 20L, 30L, 120L))
+    assert(spark.read.parquet(s"$state/canon").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set(11L -> 10L, 100L -> 10L, 130L -> 30L, 200L -> 120L))
+  }
 }
