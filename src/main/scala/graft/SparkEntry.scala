@@ -959,6 +959,16 @@ object SparkEntry {
       Pipeline.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
         k = 5, minDocs = 2, hashGrams = false)),
 
+    "dedup_spans_maximal" -> ((s, dir) =>
+      // variable-length exact-substring dedup (Lee et al. 2022 signal):
+      // maximal common token spans per doc pair via 3-gram anchors
+      // chained along match diagonals. Gate variant joins on gram
+      // STRINGS so DuckDB replays it; production twin on shingle hashes.
+      Dedup.maximalSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, minLen = 4, hashGrams = false)
+        .select(col("id_l"), col("id_r"), col("pos_l").cast("long").as("pos_l"),
+          col("pos_r").cast("long").as("pos_r"), col("span_len"))),
+
     "text_unigram" -> ((s, dir) =>
       // corpus-unigram-frequency doc scoring (all-integer signals; the
       // mean-log-prob production variant is benched as text_unigram_prod)
@@ -1942,6 +1952,11 @@ object SparkEntry {
         .select(col("media_id"), size(col("embedding")).cast("long").as("dim"),
           round(graft.functions.VectorFunctions.norm(col("embedding")), 6).as("norm"))
     }),
+
+    "dedup_spans_maximal_prod" -> ((s, dir) =>
+      // hashed anchors: every exchange carries (hash, doc, pos) longs
+      Dedup.maximalSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, minLen = 4)),
 
     "dedup_spans_prod" -> ((s, dir) =>
       // hashed-gram variant: the gram shuffle and the shared-gram join
@@ -3036,6 +3051,28 @@ object SparkEntry {
                  round(CAST(count(*) AS DOUBLE) / e.n, 6) AS span_ratio
           FROM ex e JOIN shd ON e.g = shd.g
           GROUP BY e.doc_id, e.n""",
+
+    // maximal-span twin: positional 3-gram anchors, diagonal islands
+    // (pos - row_number constant within a consecutive run), one maximal
+    // common span per (pair, diagonal, island)
+    "dedup_spans_maximal" ->
+      s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+          grams AS (SELECT doc_id, [array_to_string(toks[i:i+2], ' ')
+                                    FOR i IN range(1, len(toks) - 1)] AS gs
+                    FROM tok WHERE len(toks) >= 3),
+          occ0 AS (SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos, unnest(gs) AS g FROM grams),
+          fok AS (SELECT g FROM occ0 GROUP BY g HAVING count(*) <= 10000),
+          occ AS (SELECT occ0.* FROM occ0 JOIN fok USING (g)),
+          m AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, a.pos AS pos_l, b.pos AS pos_r
+                FROM occ a JOIN occ b ON a.g = b.g AND a.doc_id < b.doc_id),
+          r AS (SELECT *, pos_l - pos_r AS d,
+                  pos_l - row_number() OVER (PARTITION BY id_l, id_r, pos_l - pos_r
+                                             ORDER BY pos_l) AS isl
+                FROM m)
+          SELECT id_l, id_r, min(pos_l) AS pos_l, min(pos_r) AS pos_r,
+                 CAST(max(pos_l) - min(pos_l) + 3 AS BIGINT) AS span_len
+          FROM r GROUP BY id_l, id_r, d, isl
+          HAVING max(pos_l) - min(pos_l) + 3 >= 4""",
 
     "text_unigram" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS t FROM documents),

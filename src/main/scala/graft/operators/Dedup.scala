@@ -32,6 +32,64 @@ object Dedup {
     df.groupBy(T.fingerprint(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Variable-length cross-document repeated spans — the exact-
+    * substring dedup signal of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"), re-expressed
+    * relationally instead of via a suffix array: for every doc pair,
+    * every MAXIMAL common token span of length ≥ `minLen` (a span that
+    * cannot be extended left or right and still match).
+    *
+    * Algorithm: anchor k-grams with their positions; equal grams
+    * across two docs are points (pos_l, pos_r); points on one DIAGONAL
+    * (pos_l − pos_r constant) at consecutive positions chain into a
+    * run, and a maximal run of length m covers a maximal common span
+    * of m+k−1 tokens. Runs fall out of one window per (pair, diagonal)
+    * — the islands-and-gaps trick (pos − row_number constant within a
+    * run) — no iteration, no suffix structure.
+    *
+    * Scale shape: gram occurrences are map-side (posexplode of the
+    * native shingle-hash array with `hashGrams`); the match join is
+    * keyed on the 8-byte gram hash and every exchange carries
+    * (hash, doc, pos) longs, never text; `maxGramFreq` caps
+    * pathological grams (corpus-wide boilerplate generates O(f²)
+    * matches — the same frequent-gram cap suffix-array pipelines
+    * apply), so bucket skew is bounded exactly like
+    * [[pairsFromBuckets]]. The per-(pair, diagonal) window groups are
+    * at most one doc long. Docs shorter than k tokens are excluded
+    * (sub-anchor docs are plain exact dedup's job).
+    *
+    * Output: (id_l, id_r, pos_l, pos_r, span_len), one row per maximal
+    * span. A span is reported once per doc PAIR and offset — the same
+    * text repeated in p docs yields its p·(p−1)/2 pairs, which is what
+    * the downstream cut/keep decision needs. */
+  def maximalSpans(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 5, minLen: Int = 10, maxGramFreq: Long = 10000L,
+                   hashGrams: Boolean = true): DataFrame = {
+    require(minLen >= k, s"minLen $minLen must be >= anchor length k=$k")
+    val toks = T.tokens(col(textCol))
+    val gramsCol =
+      if (hashGrams) X.shingleHashes(T.normText(col(textCol)), k)
+      else T.shingles(col(textCol), k)
+    val occ = docs.filter(size(toks) >= k)
+      .select(col(idCol).as("__doc"), posexplode(gramsCol).as(Seq("__pos", "__g")))
+    val freqOk = occ.groupBy(col("__g")).agg(count(lit(1)).as("__f"))
+      .filter(col("__f") <= maxGramFreq).select(col("__g"))
+    val occ2 = occ.join(freqOk, "__g")
+    val m = occ2.as("a").join(occ2.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__doc") < col("b.__doc"))
+      .select(col("a.__doc").as("id_l"), col("b.__doc").as("id_r"),
+        col("a.__pos").as("pos_l"), col("b.__pos").as("pos_r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_l"), col("id_r"), col("__d")).orderBy(col("pos_l"))
+    m.withColumn("__d", col("pos_l") - col("pos_r"))
+      .withColumn("__isl", col("pos_l") - row_number().over(w))
+      .groupBy(col("id_l"), col("id_r"), col("__d"), col("__isl"))
+      .agg(min(col("pos_l")).as("pos_l"), min(col("pos_r")).as("pos_r"),
+        (max(col("pos_l")) - min(col("pos_l")) + k).cast("long").as("span_len"))
+      .filter(col("span_len") >= minLen)
+      .select(col("id_l"), col("id_r"), col("pos_l"), col("pos_r"), col("span_len"))
+  }
+
   /** MinHash signatures as a relation: (id, sig array<long>).
     *
     * One map-side codegen'd pass per doc (MinHashSignature expression):

@@ -300,4 +300,62 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((1L, 3L))) // no shared shingle -> filtered
     assert(run(true) == out)        // hashed twin agrees on every value
   }
+
+  // -- maximal repeated spans -----------------------------------------
+
+  /** Independent single-node reference: token-level diagonal runs.
+    * A maximal run of consecutive token equality of length >= minLen
+    * along a diagonal IS a maximal common substring — no grams. */
+  private def refSpans(docs: Seq[(Long, String)], minLen: Int): Set[(Long, Long, Long, Long, Long)] = {
+    def toks(s: String) = s.toLowerCase.trim.split("\\s+").toSeq
+    (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      a = toks(ta); b = toks(tb)
+      d <- -(b.length - 1) to (a.length - 1)
+      } yield {
+        // walk the diagonal, collect maximal equal-token runs
+        val cells = (0 until a.length).flatMap { i =>
+          val j = i - d
+          if (j >= 0 && j < b.length && a(i) == b(j)) Some(i) else None
+        }
+        val runs = cells.foldLeft(List.empty[List[Int]]) {
+          case (acc, i) if acc.nonEmpty && acc.head.head == i - 1 => (i :: acc.head) :: acc.tail
+          case (acc, i) => List(i) :: acc
+        }
+        runs.filter(_.length >= minLen).map { r =>
+          val start = r.last
+          (ia, ib, start.toLong, (start - d).toLong, r.length.toLong)
+        }
+      }).flatten.toSet
+  }
+
+  test("maximalSpans matches the token-level diagonal-run reference and is maximal") {
+    val docs = Seq(
+      (1L, "x1 x2 aa bb cc dd ee x3 x4 aa bb cc dd x5"),   // "aa bb cc dd" twice
+      (2L, "y1 aa bb cc dd ee y2 y3 y4 y5 y6 y7"),
+      (3L, "z1 z2 z3 aa bb cc dd z4 ee ff gg hh"),
+      (4L, "totally unrelated words without any overlap at all"),
+    )
+    val df = docs.toDF("id", "text")
+    def run(hashed: Boolean) =
+      Dedup.maximalSpans(df, "id", "text", k = 3, minLen = 3, hashGrams = hashed)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getInt(2).toLong, r.getInt(3).toLong, r.getLong(4))).toSet
+    val out = run(hashed = false)
+    assert(out == refSpans(docs, minLen = 3))
+    // spot-check the headline spans: doc1 has BOTH occurrences of the
+    // repeated block against doc2 (two diagonals, the first extended
+    // by 'ee'), and maximality means no span is a sub-span of another
+    // on the same diagonal
+    assert(out.contains((1L, 2L, 2L, 1L, 5L)))   // "aa bb cc dd ee"
+    assert(out.contains((1L, 2L, 9L, 1L, 4L)))   // second occurrence, no 'ee'
+    assert(out.contains((1L, 3L, 2L, 3L, 4L)))
+    assert(!out.exists(_._1 == 4L) && !out.exists(_._2 == 4L))
+    // hashed production twin: identical relation
+    assert(run(hashed = true) == out)
+    // the frequency cap severs runs through over-frequent grams
+    val capped = Dedup.maximalSpans(df, "id", "text", k = 3, minLen = 3,
+      maxGramFreq = 1L, hashGrams = false).collect()
+    assert(capped.isEmpty) // every shared gram exceeds a cap of 1
+  }
 }
