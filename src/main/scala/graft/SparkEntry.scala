@@ -2180,6 +2180,82 @@ object SparkEntry {
                    JOIN embeddings e ON cc.vec_id = e.vec_id JOIN q qq ON qc.qid = qq.qid)
         $annRankTail"""
 
+  /** Unrolled-round DuckDB twin of Pipeline.bpeTrain (and the training
+    * half of bpe_encode). The greedy left-to-right merge FOLD equals a
+    * single-pass non-overlapping string REPLACE on a marker
+    * representation — one symbol = chr(2)‖sym‖chr(3), pair pattern =
+    * the two bracketed symbols — because both scanners move past what
+    * they just emitted: the fold's merged symbol is never re-eligible
+    * as `l` within its own pass, and replace() continues after the
+    * replacement text (the overlap argument VERDICT_r9 #6 asked for;
+    * 'a a a' under rule (a,a) → 'aa a' on both sides). Corpus is
+    * control-char-free, so the markers cannot collide with symbol
+    * text. Round CTEs AS MATERIALIZED — a 10-round chain where round i
+    * references round i−1 twice would otherwise inline 2^10-fold (the
+    * graph_kcore lesson). */
+  private def bpeTrainCtes(merges: Int): String = {
+    val marked = "array_to_string([chr(2) || c || chr(3) FOR c IN string_split(w, '')], '')"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"""w0 AS MATERIALIZED (
+         SELECT $marked AS s, CAST(cnt AS BIGINT) AS f
+         FROM (SELECT w, count(*) AS cnt
+               FROM (SELECT unnest(string_split($normSql, ' ')) AS w FROM documents) GROUP BY w)
+         WHERE length(w) BETWEEN 2 AND 64)""")
+    var prev = "w0"
+    (1 to merges).foreach { i =>
+      ctes += s"""p_$i AS MATERIALIZED (
+         SELECT u.l AS l, u.r AS r, CAST(sum(f) AS BIGINT) AS c FROM (
+           SELECT f, unnest([struct_pack(l := sy[i], r := sy[i+1]) FOR i IN range(1, len(sy))]) AS u
+           FROM (SELECT f, string_split(substr(s, 2, length(s) - 2), chr(3) || chr(2)) AS sy FROM $prev)
+         ) GROUP BY 1, 2)"""
+      ctes += s"""b_$i AS MATERIALIZED (SELECT l, r, c FROM p_$i ORDER BY c DESC, l ASC, r ASC LIMIT 1)"""
+      ctes += s"""w_$i AS MATERIALIZED (
+         SELECT s, f FROM (
+           SELECT replace(w.s, chr(2)||b.l||chr(3)||chr(2)||b.r||chr(3), chr(2)||b.l||b.r||chr(3)) AS s, w.f
+           FROM $prev w CROSS JOIN b_$i b)
+         WHERE length(s) - length(replace(s, chr(2), '')) >= 2)"""
+      prev = s"w_$i"
+    }
+    ctes.mkString(",\n")
+  }
+
+  private lazy val bpeTrainSql: String = {
+    val tail = (1 to 10).map(i =>
+      s"""SELECT CAST($i AS INT) AS "rank", l AS "left", r AS "right", l || r AS merged, c AS pair_count FROM b_$i""")
+      .mkString(" UNION ALL ")
+    s"WITH ${bpeTrainCtes(10)}\n$tail"
+  }
+
+  /** Encode twin: the whole doc as marked words joined by chr(4) (the
+    * word separator no pair pattern can cross), the 10 trained rules
+    * applied in rank order as the same marker replaces, then symbol
+    * count and the space-joined-symbol md5 recovered from the marker
+    * string. */
+  private lazy val bpeEncodeSql: String = {
+    val marked = "array_to_string([chr(2) || c || chr(3) FOR c IN string_split(w, '')], '')"
+    val ctes = scala.collection.mutable.ArrayBuffer(bpeTrainCtes(10))
+    ctes += s"""d_0 AS MATERIALIZED (
+       SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+              array_to_string([$marked FOR w IN ws], chr(4)) AS s
+       FROM (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents))"""
+    var prev = "d_0"
+    (1 to 10).foreach { i =>
+      ctes += s"""d_$i AS MATERIALIZED (
+         SELECT doc_id, n_words,
+                replace(d.s, chr(2)||b.l||chr(3)||chr(2)||b.r||chr(3), chr(2)||b.l||b.r||chr(3)) AS s
+         FROM $prev d CROSS JOIN b_$i b)"""
+      prev = s"d_$i"
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+       SELECT doc_id, n_words,
+              CAST(length(s) - length(replace(s, chr(2), '')) AS BIGINT) AS n_symbols,
+              md5(CASE WHEN length(s) < 2 THEN ''
+                       ELSE substr(replace(replace(s, chr(3)||chr(4)||chr(2), ' '), chr(3)||chr(2), ' '),
+                                   2, length(replace(replace(s, chr(3)||chr(4)||chr(2), ' '), chr(3)||chr(2), ' ')) - 2)
+                  END) AS symbols_fp
+       FROM $prev"""
+  }
+
   /** Gap sessionization (30 min) — shared by evt_sessionize and (as
     * the session relation) evt_session_stats. */
   private val sessionizeSql =
@@ -3260,6 +3336,11 @@ object SparkEntry {
                        FROM vocab WHERE length(w) >= 2))
           SELECT pair, CAST(sum(f) AS BIGINT) AS pair_count
           FROM pr GROUP BY 1 ORDER BY pair_count DESC, pair ASC LIMIT 50""",
+
+    // the two formerly rows-only entries, flipped in r10: the greedy
+    // merge fold is replayed as marker-string replaces (see bpeTrainCtes)
+    "bpe_train" -> bpeTrainSql,
+    "bpe_encode" -> bpeEncodeSql,
 
     "text_normalize" ->
       """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_fp,
