@@ -513,7 +513,19 @@ object Dedup {
     * maxIterations is hit); near-dup components are tiny, so 2-3
     * rounds in practice, and below `driverThreshold` edges a
     * path-compressed union-find on the driver skips the rounds
-    * entirely. Returns (id, canonical_id) for every id in a pair. */
+    * entirely. Returns (id, canonical_id) for every id in a pair.
+    *
+    * Why 1M edges as the default driver cutoff: the collect ships
+    * 16 B/edge = 16 MB, and the union-find holds ≤ 2M boxed
+    * (Long → Long) map entries ≈ 150 B each ≈ 300 MB transient — well
+    * inside a driver heap sized for Spark work, and far cheaper than
+    * 2-3 full shuffle rounds of the distributed path at that size.
+    * It is a DRIVER-memory bound, not a correctness bound: at 100 TB a
+    * pathological corpus (mass-duplicated spam — every doc in some
+    * pair) can exceed any driver constant, which is exactly when the
+    * min-label fallback takes over with no bound beyond cluster
+    * memory. Callers with small drivers should lower it; the
+    * distributed branch is exercised by spec at driverThreshold = 0. */
   def canonicalize(pairs: DataFrame, maxIterations: Int = 10,
                    driverThreshold: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("id_l").as("src"), col("id_r").as("dst"))

@@ -219,12 +219,22 @@ object Quality {
     * "did the distribution move" gate before any expensive divergence
     * test. */
   def profileDrift(before: DataFrame, after: DataFrame, cols: Seq[String],
-                   exactDistinct: Boolean = false): DataFrame = {
-    val b = profileNumeric(before, cols, exactDistinct).select(
+                   exactDistinct: Boolean = false): DataFrame =
+    driftFromProfiles(profileNumeric(before, cols, exactDistinct),
+      profileNumeric(after, cols, exactDistinct))
+
+  /** The compare half of [[profileDrift]], over two ALREADY-COMPUTED
+    * [[profileNumeric]] relations — so a fixed baseline profile can be
+    * computed once and compared against many loads (the per-micro-batch
+    * shape of [[graft.streaming.StreamOps.profileDriftStream]]: the
+    * baseline corpus is scanned once, ever, not once per batch). Both
+    * inputs are m-row profile relations — the join is driver-trivial. */
+  def driftFromProfiles(beforeProfile: DataFrame, afterProfile: DataFrame): DataFrame = {
+    val b = beforeProfile.select(
       col("col_name"), col("n_nonnull").as("n_before"),
       col("n_distinct").as("dist_before"), col("min_v").as("min_before"),
       col("max_v").as("max_before"), col("mean_v").as("mean_before"))
-    val a = profileNumeric(after, cols, exactDistinct).select(
+    val a = afterProfile.select(
       col("col_name"), col("n_nonnull").as("n_after"),
       col("n_distinct").as("dist_after"), col("min_v").as("min_after"),
       col("max_v").as("max_after"), col("mean_v").as("mean_after"))

@@ -156,6 +156,37 @@ object StreamOps {
       }
   }
 
+  /** Streaming data-quality monitor — the streaming twin of
+    * [[graft.operators.Quality.profileDrift]] (completing the quality
+    * family's streaming parity the way scd2Stream did for SCD2): every
+    * micro-batch is profiled (ONE partial-agg scan of the batch — the
+    * same single-aggregate shape as the batch profiler) and compared
+    * against a FIXED baseline profile computed once by the caller
+    * (pass `Quality.profileNumeric(baseline, cols)` — the baseline
+    * corpus is never re-scanned per batch). Per-batch drift rows are
+    * appended to `outPath` tagged with the batch id; on replay of the
+    * same batches the rows equal the batch
+    * [[graft.operators.Quality.profileDrift]] per batch (spec-pinned).
+    * State-free: the profile is a pure function of the batch, so the
+    * only streaming state is the checkpoint's file bookkeeping. */
+  def profileDriftStream(updates: DataFrame, baselineProfile: DataFrame,
+                         cols: Seq[String], outPath: String, checkpoint: String,
+                         exactDistinct: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sealedBaseline = baselineProfile.localCheckpoint(true) // m rows, computed once
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Quality
+            .driftFromProfiles(sealedBaseline,
+              graft.operators.Quality.profileNumeric(batch.toDF(), cols, exactDistinct))
+            .withColumn("batch_id", lit(id))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outPath)
+        }
+        ()
+      }
+  }
+
   /** One typed SCD2 change-stream event. */
   final case class Scd2Event(key: Long, state: Option[String],
                              tsMicros: Long, tie: Long)

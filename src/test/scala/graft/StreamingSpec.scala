@@ -90,6 +90,50 @@ class StreamingSpec extends SparkSpec {
       3L -> (2L, "y")))  // within-batch latest-wins
   }
 
+  test("profileDriftStream emits per-batch drift equal to batch profileDrift on replay") {
+    import spark.implicits._
+    import graft.operators.Quality
+    val base = java.nio.file.Files.createTempDirectory("graft_qdrift").toString
+    val in = s"$base/in"
+    val baseline = Seq((1L, 10.0, 100L), (2L, 20.0, 200L), (3L, 30.0, 300L))
+      .toDF("id", "x", "y")
+    val b1 = Seq((10L, 11.0, 110L), (11L, 25.0, 205L))
+    val b2 = Seq((20L, 90.0, 900L), (21L, 95.0, 950L), (22L, 99.0, 990L))
+    def writeFile(rows: Seq[(Long, Double, Long)], mtime: Long): Unit = {
+      rows.toDF("id", "x", "y").coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          if (f.lastModified() > mtime) f.setLastModified(mtime) }
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    writeFile(b1, t0)
+    writeFile(b2, t0 + 2000)
+    val cols = Seq("x", "y")
+    val schema = spark.read.parquet(in).schema
+    val stream = StreamOps.parquetStream(spark, in, schema, maxFilesPerTrigger = 1)
+    val q = StreamOps.profileDriftStream(stream,
+      Quality.profileNumeric(baseline, cols, exactDistinct = true), cols,
+      s"$base/out", s"$base/ckpt", exactDistinct = true).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.select("batch_id").distinct().count() == 2)
+    // per batch, the emitted rows equal the batch operator's answer
+    def key(r: org.apache.spark.sql.Row) = r.getValuesMap[Any](
+      out.columns.filter(_ != "batch_id").toIndexedSeq)
+    Seq(b1, b2).zipWithIndex.foreach { case (rows, i) =>
+      val expected = Quality.profileDrift(baseline, rows.toDF("id", "x", "y"),
+        cols, exactDistinct = true).collect().map(_.getValuesMap[Any](
+          out.columns.filter(_ != "batch_id").toIndexedSeq)).toSet
+      val got = out.filter(col("batch_id") === i).collect().map(key).toSet
+      assert(got == expected, s"batch $i drift mismatch")
+    }
+    // the heavy batch (b2) must actually register as drifted
+    val d2 = out.filter(col("batch_id") === 1 && col("col_name") === "x").collect().head
+    assert(d2.getAs[Double]("mean_shift") > 50.0)
+    assert(d2.getAs[Boolean]("range_widened"))
+  }
+
   test("toParquetSink writes a checkpointed stream to parquet") {
     val events = Tables.events(spark, sfDir)
     val base = java.nio.file.Files.createTempDirectory("graft_psink").toString
