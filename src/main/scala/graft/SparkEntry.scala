@@ -969,6 +969,18 @@ object SparkEntry {
         .select(col("id_l"), col("id_r"), col("pos_l").cast("long").as("pos_l"),
           col("pos_r").cast("long").as("pos_r"), col("span_len"))),
 
+    "dedup_spans_cut" -> ((s, dir) => {
+      // the CUT half: every duplicated span kept once (smallest id),
+      // removed from each later occurrence — the corpus REWRITE of
+      // Lee et al. 2022, with per-doc interval union before cutting
+      val docs = t(s, dir, "documents")
+      val spans = Dedup.maximalSpans(docs, "doc_id", "text",
+        k = 3, minLen = 4, hashGrams = false)
+      Dedup.cutSpans(docs, spans, "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("n_tokens"), col("n_cut_tokens"),
+          md5(col("text")).as("clean_fp"))
+    }),
+
     "text_unigram" -> ((s, dir) =>
       // corpus-unigram-frequency doc scoring (all-integer signals; the
       // mean-log-prob production variant is benched as text_unigram_prod)
@@ -2256,6 +2268,29 @@ object SparkEntry {
        FROM $prev"""
   }
 
+  /** Positional 3-gram anchors → diagonal islands → one maximal common
+    * span per (pair, diagonal, island): the CTE body shared by the
+    * dedup_spans_maximal and dedup_spans_cut oracles. Exposes
+    * `tok(doc_id, toks)` and `sp(id_l, id_r, pos_l, pos_r, span_len)`. */
+  private lazy val maximalSpanCtes: String =
+    s"""tok AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       grams AS (SELECT doc_id, [array_to_string(toks[i:i+2], ' ')
+                                 FOR i IN range(1, len(toks) - 1)] AS gs
+                 FROM tok WHERE len(toks) >= 3),
+       occ0 AS (SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos, unnest(gs) AS g FROM grams),
+       fok AS (SELECT g FROM occ0 GROUP BY g HAVING count(*) <= 10000),
+       occ AS (SELECT occ0.* FROM occ0 JOIN fok USING (g)),
+       m AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, a.pos AS pos_l, b.pos AS pos_r
+             FROM occ a JOIN occ b ON a.g = b.g AND a.doc_id < b.doc_id),
+       r AS (SELECT *, pos_l - pos_r AS d,
+               pos_l - row_number() OVER (PARTITION BY id_l, id_r, pos_l - pos_r
+                                          ORDER BY pos_l) AS isl
+             FROM m),
+       sp AS (SELECT id_l, id_r, min(pos_l) AS pos_l, min(pos_r) AS pos_r,
+                     CAST(max(pos_l) - min(pos_l) + 3 AS BIGINT) AS span_len
+              FROM r GROUP BY id_l, id_r, d, isl
+              HAVING max(pos_l) - min(pos_l) + 3 >= 4)"""
+
   /** Gap sessionization (30 min) — shared by evt_sessionize and (as
     * the session relation) evt_session_stats. */
   private val sessionizeSql =
@@ -3132,23 +3167,37 @@ object SparkEntry {
     // (pos - row_number constant within a consecutive run), one maximal
     // common span per (pair, diagonal, island)
     "dedup_spans_maximal" ->
-      s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-          grams AS (SELECT doc_id, [array_to_string(toks[i:i+2], ' ')
-                                    FOR i IN range(1, len(toks) - 1)] AS gs
-                    FROM tok WHERE len(toks) >= 3),
-          occ0 AS (SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos, unnest(gs) AS g FROM grams),
-          fok AS (SELECT g FROM occ0 GROUP BY g HAVING count(*) <= 10000),
-          occ AS (SELECT occ0.* FROM occ0 JOIN fok USING (g)),
-          m AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, a.pos AS pos_l, b.pos AS pos_r
-                FROM occ a JOIN occ b ON a.g = b.g AND a.doc_id < b.doc_id),
-          r AS (SELECT *, pos_l - pos_r AS d,
-                  pos_l - row_number() OVER (PARTITION BY id_l, id_r, pos_l - pos_r
-                                             ORDER BY pos_l) AS isl
-                FROM m)
-          SELECT id_l, id_r, min(pos_l) AS pos_l, min(pos_r) AS pos_r,
-                 CAST(max(pos_l) - min(pos_l) + 3 AS BIGINT) AS span_len
-          FROM r GROUP BY id_l, id_r, d, isl
-          HAVING max(pos_l) - min(pos_l) + 3 >= 4""",
+      s"""WITH $maximalSpanCtes
+          SELECT id_l, id_r, pos_l, pos_r, span_len FROM sp""",
+
+    // the cut twin: union the id_r-side ranges per doc (running-max
+    // interval merge), then drop covered token indices and fingerprint
+    // the surviving normalized token stream
+    "dedup_spans_cut" ->
+      s"""WITH $maximalSpanCtes,
+          rg AS (SELECT id, s, e,
+                   max(e) OVER (PARTITION BY id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+                 FROM (SELECT DISTINCT id_r AS id, pos_r AS s, pos_r + span_len AS e
+                       FROM sp)),
+          il AS (SELECT id, s, e,
+                   sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl
+                 FROM rg),
+          un AS (SELECT id, isl, min(s) AS s, max(e) AS e FROM il GROUP BY 1, 2),
+          cutl AS (SELECT id AS doc_id, list(struct_pack(s := s, e := e)) AS cuts,
+                          CAST(sum(e - s) AS BIGINT) AS ncut
+                   FROM un GROUP BY 1)
+          SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 COALESCE(c.ncut, 0) AS n_cut_tokens,
+                 md5(COALESCE(
+                   CASE WHEN c.doc_id IS NULL THEN array_to_string(toks, ' ')
+                        ELSE array_to_string(
+                          [toks[i] FOR i IN range(1, len(toks) + 1)
+                           IF len(list_filter(c.cuts, x -> i - 1 >= x.s AND i - 1 < x.e)) = 0],
+                          ' ') END,
+                   '')) AS clean_fp -- array_to_string([]) is NULL in DuckDB; Spark's array_join([]) is ''
+          FROM tok t LEFT JOIN cutl c ON t.doc_id = c.doc_id""",
 
     "text_unigram" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS t FROM documents),

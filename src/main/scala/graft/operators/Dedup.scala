@@ -90,6 +90,60 @@ object Dedup {
       .select(col("id_l"), col("id_r"), col("pos_l"), col("pos_r"), col("span_len"))
   }
 
+  /** The CUT half of exact-substring dedup (Lee et al. 2022 §4: each
+    * duplicated span is kept ONCE, in the smallest-id doc, and removed
+    * from every other occurrence): rewrite the corpus with the covered
+    * token ranges of [[maximalSpans]] deleted from the id_r side of
+    * every span pair.
+    *
+    * Scale shape: the span relation is orders of magnitude smaller
+    * than the corpus (it lists repeats, not text); per doc the cut
+    * ranges are UNIONED first (sort + running-max interval merge
+    * inside a per-doc window — spans overlap when a doc repeats
+    * against several partners) and collected into one small array per
+    * doc, so the rewrite is a single map-side token filter over the
+    * joined doc — no token-level shuffle, and docs with no spans pass
+    * through untouched via the left join.
+    *
+    * Output: (idCol, n_tokens, n_cut_tokens, textCol) — the text
+    * rebuilt from surviving tokens of the NORMALIZED stream (the
+    * token-level rewrite is definitionally over tokens, matching the
+    * span positions). */
+  def cutSpans(docs: DataFrame, spans: DataFrame, idCol: String, textCol: String,
+               k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__id")).orderBy(col("__s"), col("__e"))
+    // interval union: a range starting past the running max of prior
+    // ends opens a new island (strictly-after: touching ranges merge).
+    // DISTINCT first — the same (doc, range) arrives once per partner
+    // doc, and duplicate (s, e) rows are windowing hazards: the maxe
+    // and island-sum windows may order ties differently (observed as a
+    // DuckDB run-to-run flap), while distinct ranges have a total
+    // (s, e) order.
+    val ranges = spans
+      .select(col("id_r").as("__id"), col("pos_r").as("__s"),
+        (col("pos_r") + col("span_len")).as("__e"))
+      .distinct()
+      .withColumn("__maxe", max(col("__e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new", (col("__maxe").isNull || col("__s") > col("__maxe")).cast("int"))
+      .withColumn("__isl", sum(col("__new")).over(w))
+      .groupBy(col("__id"), col("__isl"))
+      .agg(min(col("__s")).as("__s"), max(col("__e")).as("__e"))
+      .groupBy(col("__id"))
+      .agg(collect_list(struct(col("__s"), col("__e"))).as("__cuts"))
+    docs
+      .join(ranges, docs(idCol) === ranges("__id"), "left")
+      .select(col(idCol), T.tokens(col(textCol)).as("__ts"), col("__cuts"))
+      .select(col(idCol),
+        size(col("__ts")).cast("long").as("n_tokens"),
+        coalesce(aggregate(col("__cuts"), lit(0L),
+          (acc, c) => acc + (c.getField("__e") - c.getField("__s"))), lit(0L))
+          .as("n_cut_tokens"),
+        array_join(filter(col("__ts"), (t, i) =>
+          col("__cuts").isNull || !exists(col("__cuts"),
+            c => i >= c.getField("__s") && i < c.getField("__e"))), " ").as(textCol))
+  }
+
   /** MinHash signatures as a relation: (id, sig array<long>).
     *
     * One map-side codegen'd pass per doc (MinHashSignature expression):

@@ -358,4 +358,25 @@ class DedupSpec extends SparkSpec {
       maxGramFreq = 1L, hashGrams = false).collect()
     assert(capped.isEmpty) // every shared gram exceeds a cap of 1
   }
+
+  test("cutSpans keeps each span once, unions overlaps, empties covered docs") {
+    val docs = Seq(
+      (1L, "x1 x2 aa bb cc dd ee x3 x4 aa bb cc dd x5"),
+      (2L, "y1 aa bb cc dd ee y2 y3 y4 y5 y6 y7"),
+      (3L, "z1 z2 z3 aa bb cc dd z4 ee ff gg hh"),
+      (5L, "aa bb cc dd ee"),                              // fully covered by doc 1
+    ).toDF("id", "text")
+    val spans = Dedup.maximalSpans(docs, "id", "text", k = 3, minLen = 3, hashGrams = false)
+    val out = Dedup.cutSpans(docs, spans, "id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // smallest id keeps everything — the one surviving occurrence
+    assert(out(1L) == ((14L, 0L, "x1 x2 aa bb cc dd ee x3 x4 aa bb cc dd x5")))
+    // doc 2: spans (pos 1 len 5) and (pos 1 len 4) union to [1, 6)
+    assert(out(2L) == ((12L, 5L, "y1 y2 y3 y4 y5 y6 y7")))
+    // doc 3: the shared block cut once though found vs both 1 and 2
+    assert(out(3L) == ((12L, 4L, "z1 z2 z3 z4 ee ff gg hh")))
+    // doc 5 is one big repeated span -> empty rewrite
+    assert(out(5L) == ((5L, 5L, "")))
+  }
 }
