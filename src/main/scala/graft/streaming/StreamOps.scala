@@ -136,25 +136,70 @@ object StreamOps {
               .upsertLatest(graft.core.Gds(batch.toDF()), keys, orderCols).toDF
         val staging = new org.apache.hadoop.fs.Path(tablePath + "__staging")
         merged.write.mode("overwrite").parquet(staging.toString)
-        // Crash-safe swap: the live dir is renamed ASIDE (never deleted
-        // before its replacement is in place) and every rename's boolean
-        // is checked — a false fails the batch so the checkpoint retries.
-        // A crash between the renames leaves tbl__old intact; the next
-        // batch (or reader) can recover it, vs the old delete-then-rename
-        // which had a window with NO table directory at all.
-        val old = new org.apache.hadoop.fs.Path(tablePath + "__old")
-        if (fs.exists(old)) fs.delete(old, true) // leftover from a prior crash
-        if (fs.exists(tbl) && !fs.rename(tbl, old))
-          throw new java.io.IOException(s"upsertStream: rename $tbl -> $old failed")
-        if (!fs.rename(staging, tbl)) {
-          if (fs.exists(old)) fs.rename(old, tbl) // best-effort restore
-          throw new java.io.IOException(s"upsertStream: rename $staging -> $tbl failed")
-        }
-        if (fs.exists(old)) fs.delete(old, true)
+        atomicSwap(fs, staging, tbl)
         } // empty batch: skip the rewrite entirely (idle-trigger no-op)
         ()
       }
   }
+
+  /** Crash-safe table swap: the live dir is renamed ASIDE (never
+    * deleted before its replacement is in place) and every rename's
+    * boolean is checked — a false fails the batch so the checkpoint
+    * retries. A crash between the renames leaves tbl__old intact for
+    * recovery, vs delete-then-rename's window with NO table directory
+    * at all. */
+  private def atomicSwap(fs: org.apache.hadoop.fs.FileSystem,
+                         staging: org.apache.hadoop.fs.Path,
+                         tbl: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(tbl.toString + "__old")
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a prior crash
+    if (fs.exists(tbl) && !fs.rename(tbl, old))
+      throw new java.io.IOException(s"atomicSwap: rename $tbl -> $old failed")
+    if (!fs.rename(staging, tbl)) {
+      if (fs.exists(old)) fs.rename(old, tbl) // best-effort restore
+      throw new java.io.IOException(s"atomicSwap: rename $staging -> $tbl failed")
+    }
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+
+  /** Streaming corpus preparation — the nightly-crawl pipeline as a
+    * Structured Streaming job (the streaming face of
+    * [[graft.operators.Pipeline.prepareCorpusIncremental]]): every
+    * micro-batch of newly crawled docs is processed O(batch) against
+    * the on-disk state (seed it once with
+    * [[graft.operators.Pipeline.writeCorpusState]]) — quality gate +
+    * scrub map-side, exact dedup vs the fingerprint store, near-dup
+    * dedup vs the signature store with bridge retraction — and the
+    * refreshed export lands at `stateDir/export` via a crash-safe
+    * swap. Batch ids must be previously unseen and increasing (the
+    * incremental contract); on replay the final export equals a full
+    * [[graft.operators.Pipeline.prepareCorpus]] rebuild over
+    * everything ever crawled (spec-pinned). */
+  def corpusStream(crawl: DataFrame, stateDir: String, idCol: String, textCol: String,
+                   checkpoint: String, nShards: Int = 16,
+                   tokenHash: graft.operators.Dedup.TokenHash = graft.operators.Dedup.xxTokenHash,
+                   hashedShard: Boolean = true,
+                   minTokens: Int = 20, maxTokens: Int = 1000,
+                   minStopwordRatio: Double = 0.05, maxRepetition: Double = 0.2,
+                   maxHamming: Int = 3): DataStreamWriter[org.apache.spark.sql.Row] =
+    crawl.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val export = graft.operators.Pipeline.prepareCorpusIncremental(
+            spark, stateDir, batch.toDF(), idCol, textCol, nShards,
+            minTokens, maxTokens, minStopwordRatio, maxRepetition,
+            maxHamming, tokenHash, hashedShard)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val staging = new org.apache.hadoop.fs.Path(s"$stateDir/export__staging")
+          export.write.mode("overwrite").parquet(staging.toString)
+          atomicSwap(fs, staging,
+            new org.apache.hadoop.fs.Path(s"$stateDir/export"))
+        }
+        ()
+      }
 
   /** Streaming data-quality monitor — the streaming twin of
     * [[graft.operators.Quality.profileDrift]] (completing the quality

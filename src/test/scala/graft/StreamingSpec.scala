@@ -90,6 +90,51 @@ class StreamingSpec extends SparkSpec {
       3L -> (2L, "y")))  // within-batch latest-wins
   }
 
+  test("corpusStream: replayed crawl batches equal a full prepareCorpus rebuild") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    val base = java.nio.file.Files.createTempDirectory("graft_cstream").toString
+    val in = s"$base/in"
+    // the PipelineSpec permutation fixture: same multiset = same
+    // simhash signature, distinct fingerprint
+    val s1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val s2 = "one two three four five six seven eight"
+    val s4 = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val old = Seq(10L -> s1, 20L -> s2).toDF("doc_id", "text")
+    val b1 = Seq(100L -> "beta alpha gamma delta epsilon zeta eta theta", // near-dup of 10
+                 110L -> s4)                                             // novel
+    val b2 = Seq(200L -> "elit adipiscing consectetur amet sit dolor ipsum lorem", // near-dup of 110
+                 210L -> "nine ten eleven twelve thirteen fourteen fifteen sixteen") // novel
+    def writeFile(rows: Seq[(Long, String)], mtime: Long): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          if (f.lastModified() > mtime) f.setLastModified(mtime) }
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    writeFile(b1, t0)
+    writeFile(b2, t0 + 2000)
+    val state = s"$base/state"
+    Pipeline.writeCorpusState(old, "doc_id", "text", state, nShards = 2,
+      minTokens = 1, minStopwordRatio = 0.0, maxRepetition = 2.0)
+    val schema = spark.read.parquet(in).schema
+    val stream = StreamOps.parquetStream(spark, in, schema, maxFilesPerTrigger = 1)
+    val q = StreamOps.corpusStream(stream, state, "doc_id", "text",
+      s"$base/ckpt", nShards = 2, minTokens = 1, minStopwordRatio = 0.0,
+      maxRepetition = 2.0).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$state/export")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    val full = Pipeline.prepareCorpus(
+      old.union(b1.toDF("doc_id", "text")).union(b2.toDF("doc_id", "text")),
+      "doc_id", "text", nShards = 2, minTokens = 1, minStopwordRatio = 0.0,
+      maxRepetition = 2.0)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    assert(got == full)
+    assert(got.map(_._1) == Set(10L, 20L, 110L, 210L)) // dups 100/200 dropped
+  }
+
   test("profileDriftStream emits per-batch drift equal to batch profileDrift on replay") {
     import spark.implicits._
     import graft.operators.Quality
