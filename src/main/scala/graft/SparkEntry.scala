@@ -814,6 +814,28 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("score"), col("rank"))
     }),
 
+    "sim_ivf_append" -> ((s, dir) => {
+      // nightly embedding-store growth: index built on the old 3/4 of
+      // the corpus, the new 1/4 appended under the FROZEN quantizer
+      // (assignment depends only on (vector, centroids), so the
+      // appended index is bit-identical to a fresh build of the union
+      // with the same centroids — the oracle replays exactly that);
+      // old vectors are never re-read, the append costs O(delta)
+      val emb = t(s, dir, "embeddings")
+      val old = emb.filter(col("vec_id") % 4 < 3)
+      val delta = emb.filter(col("vec_id") % 4 === 3)
+      val queries = emb.filter(col("vec_id") % 1000 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString + "/idx"
+      val flat = Similarity.buildIvfIndex(old, path, "vec_id", "embedding",
+        dim = 64, nCentroids = 16,
+        sampleKey = Some(id => md5(concat(lit("ivf:"), id.cast("string")))))
+      Similarity.appendIvfIndex(delta, path, flat, "embedding", dim = 64)
+      Similarity.queryIvfIndex(s, path, flat, queries, "vec_id", "embedding",
+        "qid", "qvec", k = 5, dim = 64, nProbe = 4)
+        .select(col("qid"), col("vec_id"), col("score"), col("rank"))
+    }),
+
     // ---- §2.9 text analysis -------------------------------------------
     "text_tokencount" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1558,10 +1580,23 @@ object SparkEntry {
         planes = Some(graft.functions.VectorExpressions.lcgPlanes(64, 8, 8)))),
 
     "text_search_tf" -> ((s, dir) =>
-      // inverted-index retrieval, integer-exact core (tf/df/rank);
-      // the BM25 scorer over the same relation is benched as
-      // text_bm25_prod (log() is transcendental — not oracle-gated)
+      // inverted-index retrieval, integer-exact core (tf/df/rank)
       Search.searchTopK(t(s, dir, "documents"), "doc_id", "text",
+        terms = searchTerms, k = 10)),
+
+    "text_bm25" -> ((s, dir) =>
+      // full BM25 over the same relation. GATE-SAFE despite the
+      // per-row ln(): every input to the one transcendental is the
+      // identical double on both engines (integer tf/df/N; avgdl is an
+      // exact integer-valued-double sum / n), so engines differ by
+      // ≤1 ulp; measured min adjacent-score gap on this corpus is
+      // ~2e-5 and every score sits ≥1e-8 from a round-6 boundary at
+      // all 3 SFs (7 orders above ulp noise) — ranking and the
+      // rounded value are deterministic. Float SUMS (the actual flake
+      // class) never occur: the only aggregation of doubles, avgdl,
+      // sums integer-valued doubles « 2^53, which is exact and
+      // order-free.
+      Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         terms = searchTerms, k = 10)),
 
     "text_keyphrase" -> ((s, dir) =>
@@ -2166,11 +2201,11 @@ object SparkEntry {
     * corpus cell = nearest-by-cosine (ties to the lower centroid
     * index, the nearestCentroids contract), queries probe their 4
     * nearest cells. */
-  private lazy val ivfCoarseCtes: String =
+  private def ivfCoarseCtesFrom(centWhere: String): String =
     s"""cent AS (SELECT cv, cidx FROM (
               SELECT embedding AS cv,
                      row_number() OVER (ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR))) - 1 AS cidx
-              FROM embeddings) WHERE cidx < 16),
+              FROM embeddings $centWhere) WHERE cidx < 16),
        asgn AS (SELECT v.vec_id, c.cidx,
                   row_number() OVER (PARTITION BY v.vec_id
                     ORDER BY ${cosSql("v.embedding", "c.cv")} DESC, c.cidx ASC) AS rnk
@@ -2183,14 +2218,26 @@ object SparkEntry {
                  FROM q CROSS JOIN cent c),
        qcell AS (SELECT qid, cidx AS cell FROM qasgn WHERE rnk <= 4)"""
 
+  private lazy val ivfCoarseCtes: String = ivfCoarseCtesFrom("")
+
   /** IVF ANN top-5 — shared by sim_ivf_topk and sim_ivf_index (the
     * persisted-index path is pruning-only, same relation). */
-  private lazy val ivfTopkSql: String =
-    s"""WITH $ivfCoarseCtes,
+  private def ivfTopkSqlFrom(coarseCtes: String): String =
+    s"""WITH $coarseCtes,
         scored AS (SELECT qc.qid, cc.vec_id, round(${cosSql("e.embedding", "qq.qv")}, 6) AS score
                    FROM qcell qc JOIN ccell cc ON qc.cell = cc.cell
                    JOIN embeddings e ON cc.vec_id = e.vec_id JOIN q qq ON qc.qid = qq.qid)
         $annRankTail"""
+
+  private lazy val ivfTopkSql: String = ivfTopkSqlFrom(ivfCoarseCtes)
+
+  /** sim_ivf_append: the coarse quantizer is sampled from the OLD
+    * three-quarters of the corpus only (the frozen-centroid append
+    * contract); assignment/probing/ranking are unchanged over the full
+    * corpus — a fresh build under the same centroids IS the appended
+    * index's relation. */
+  private lazy val ivfAppendSql: String =
+    ivfTopkSqlFrom(ivfCoarseCtesFrom("WHERE vec_id % 4 < 3"))
 
   /** Unrolled-round DuckDB twin of Pipeline.bpeTrain (and the training
     * half of bpe_encode). The greedy left-to-right merge FOLD equals a
@@ -3086,6 +3133,7 @@ object SparkEntry {
     // relation (same centroids, same probes — the index only prunes
     // which files the scan reads), so it shares the oracle verbatim
     "sim_ivf_index" -> ivfTopkSql,
+    "sim_ivf_append" -> ivfAppendSql,
     "sim_ivfpq_topk" -> ivfPqSql,
 
     "quality_schema_diff" ->
@@ -3771,6 +3819,31 @@ object SparkEntry {
                  FROM tf)
           SELECT rk.term, rk.doc_id, rk.tf, dfreq.df, CAST(rk.rnk AS INT) AS rank
           FROM rk JOIN dfreq USING (term) WHERE rnk <= 10""",
+
+    // BM25 twin of Search.bm25TopK: literals cast to DOUBLE and the
+    // expression tree shaped exactly as the Spark Column tree so every
+    // intermediate double matches bit-for-bit up to the single ln()
+    // (±1 ulp cross-engine, absorbed by round 6 — see the gate entry's
+    // safety note)
+    "text_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+          dl AS (SELECT doc_id, CAST(len(string_split($normSql, ' ')) AS BIGINT) AS doc_len FROM documents),
+          tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+                 WHERE term IN ($searchTermsSqlIn) GROUP BY 1, 2),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          corpus AS (SELECT count(*) AS n,
+                            avg(CAST(len(string_split($normSql, ' ')) AS DOUBLE)) AS avgdl
+                     FROM documents),
+          scored AS (SELECT tf.term, tf.doc_id,
+                       ln((c.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+                         * (tf.tf * (1.2::DOUBLE + 1))
+                         / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl.doc_len / c.avgdl)) AS score
+                     FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c),
+          rk AS (SELECT term, doc_id, score,
+                   row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id ASC) AS rnk
+                 FROM scored)
+          SELECT term, doc_id, round(score, 6) AS score, CAST(rnk AS INT) AS rank
+          FROM rk WHERE rnk <= 10""",
 
     "text_keyphrase" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),

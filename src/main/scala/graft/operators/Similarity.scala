@@ -176,6 +176,26 @@ object Similarity {
     flat
   }
 
+  /** Append a delta batch to a persisted IVF index (see
+    * [[buildIvfIndex]]) — the nightly shape of an embedding store:
+    * the coarse quantizer is FROZEN (standard IVF maintenance — only
+    * the inverted lists grow; re-clustering is a rebuild, not an
+    * append), so the delta is assigned map-side against the stored
+    * centroids and written `Append` into the same cell partitions.
+    * Because assignment depends only on (vector, centroids), the
+    * appended index is bit-identical to a fresh build of old ∪ delta
+    * under the same centroids — query results cannot tell them apart
+    * (spec-pinned; gated as sim_ivf_append). Old vectors are never
+    * re-read or re-written: the append costs O(delta). */
+  def appendIvfIndex(delta: DataFrame, path: String, centroidsFlat: Array[Double],
+                     vecCol: String, dim: Int): Unit = {
+    val c = centroidsFlat.length / dim
+    val cell1 = VectorExpressions.nearestCentroids(col(vecCol), centroidsFlat, dim, c, 1)
+    delta.withColumn("__cell", element_at(cell1, 1))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("__cell").parquet(path)
+  }
+
   /** Query a persisted IVF index (see [[buildIvfIndex]]). The probed
     * cell set (≤ nQueries × nProbe values — tiny by the small-query-
     * batch contract, one driver collect like the centroids) is applied

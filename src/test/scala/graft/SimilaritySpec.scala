@@ -161,6 +161,41 @@ class SimilaritySpec extends SparkSpec {
       s"expected pruned scan ($prunedFiles) < full scan ($allFiles)")
   }
 
+  test("appendIvfIndex: appended index == fresh build of the union under the frozen quantizer") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val old = emb.filter(col("vec_id") % 4 < 3)
+    val delta = emb.filter(col("vec_id") % 4 === 3)
+    val queries = emb.filter(col("vec_id") % 1000 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+    val appendedPath = java.nio.file.Files.createTempDirectory("graft_ivf_a").toString + "/idx"
+    val centroids = Similarity.buildIvfIndex(old, appendedPath, "vec_id", "embedding",
+      dim = 64, nCentroids = 16)
+    val oldRows = spark.read.parquet(appendedPath).count()
+    Similarity.appendIvfIndex(delta, appendedPath, centroids, "embedding", dim = 64)
+
+    // O(delta) growth: the append added exactly the delta's rows
+    val appended = spark.read.parquet(appendedPath)
+    assert(appended.count() == oldRows + delta.count())
+
+    // frozen quantizer: a fresh build of old ∪ delta under the SAME
+    // centroids produces the identical (vec_id, cell) relation...
+    val rebuiltPath = java.nio.file.Files.createTempDirectory("graft_ivf_b").toString + "/idx"
+    val cell1 = graft.functions.VectorExpressions
+      .nearestCentroids(col("embedding"), centroids, 64, centroids.length / 64, 1)
+    emb.withColumn("__cell", org.apache.spark.sql.functions.element_at(cell1, 1))
+      .write.partitionBy("__cell").parquet(rebuiltPath)
+    val rebuilt = spark.read.parquet(rebuiltPath)
+    assert(appended.select("vec_id", "__cell").collect().map(_.toSeq).toSet ==
+      rebuilt.select("vec_id", "__cell").collect().map(_.toSeq).toSet)
+
+    // ...so queries cannot tell the appended index from the rebuild
+    def q(path: String) = Similarity.queryIvfIndex(spark, path, centroids, queries,
+      "vec_id", "embedding", "qid", "qvec", k = 5, dim = 64, nProbe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(q(appendedPath) == q(rebuiltPath))
+  }
+
   test("lshTopK returns the exact match in its candidates") {
     val dim = 16
     val corpus = (1 to 200).map { i =>
