@@ -201,6 +201,34 @@ object StreamOps {
         ()
       }
 
+  /** Streaming embedding-store maintenance — the streaming twin of
+    * [[graft.operators.Similarity.appendIvfIndex]], completing ANN's
+    * streaming parity the way corpusStream does for the document
+    * pipeline: each micro-batch of new embeddings is assigned map-side
+    * against the FROZEN coarse quantizer (pass the centroids returned
+    * by buildIvfIndex) and appended into the same cell partitions —
+    * O(batch) per trigger, the existing index files never rewritten,
+    * and [[graft.operators.Similarity.queryIvfIndex]] serves queries
+    * against the growing store unchanged. On clean replay the index
+    * equals a one-shot build of everything streamed under the same
+    * centroids (spec-pinned — assignment is a pure function of
+    * (vector, centroids)). Crash-retry of a batch whose files already
+    * committed re-appends them (at-least-once, the nearDupStream
+    * contract); recovery from a suspected double-append is a rebuild
+    * via buildIvfIndex. Re-clustering (new centroids) is a rebuild by
+    * definition, not a stream operation. */
+  def ivfIndexStream(embeddings: DataFrame, indexPath: String,
+                     centroidsFlat: Array[Double], vecCol: String, dim: Int,
+                     checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    embeddings.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Similarity.appendIvfIndex(batch.toDF(), indexPath,
+            centroidsFlat, vecCol, dim)
+        ()
+      }
+
   /** Streaming data-quality monitor — the streaming twin of
     * [[graft.operators.Quality.profileDrift]] (completing the quality
     * family's streaming parity the way scd2Stream did for SCD2): every

@@ -135,6 +135,53 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._1) == Set(10L, 20L, 110L, 210L)) // dups 100/200 dropped
   }
 
+  test("ivfIndexStream: replayed embedding batches equal a one-shot build under the frozen quantizer") {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfstream").toString
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val old = emb.filter(col("vec_id") % 4 < 3)
+    val d1 = emb.filter(col("vec_id") % 8 === 3)
+    val d2 = emb.filter(col("vec_id") % 8 === 7)
+    val in = s"$base/in"
+    def writeFile(df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      df.coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          if (f.lastModified() > mtime) f.setLastModified(mtime) }
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    writeFile(d1, t0)
+    writeFile(d2, t0 + 2000)
+
+    val idxPath = s"$base/idx"
+    val centroids = Similarity.buildIvfIndex(old, idxPath, "vec_id", "embedding",
+      dim = 64, nCentroids = 16)
+    val schema = spark.read.parquet(in).schema
+    val stream = StreamOps.parquetStream(spark, in, schema, maxFilesPerTrigger = 1)
+    val q = StreamOps.ivfIndexStream(stream, idxPath, centroids, "embedding",
+      dim = 64, checkpoint = s"$base/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+
+    // the streamed index == a one-shot assignment of everything under
+    // the SAME centroids, and queries cannot tell the two apart
+    val rebuiltPath = s"$base/rebuilt"
+    val cell1 = graft.functions.VectorExpressions
+      .nearestCentroids(col("embedding"), centroids, 64, centroids.length / 64, 1)
+    emb.withColumn("__cell", element_at(cell1, 1))
+      .write.partitionBy("__cell").parquet(rebuiltPath)
+    val streamed = spark.read.parquet(idxPath)
+    val rebuilt = spark.read.parquet(rebuiltPath)
+    assert(streamed.select("vec_id", "__cell").collect().map(_.toSeq).toSet ==
+      rebuilt.select("vec_id", "__cell").collect().map(_.toSeq).toSet)
+    val queries = emb.filter(col("vec_id") % 1000 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def topk(path: String) = Similarity.queryIvfIndex(spark, path, centroids, queries,
+      "vec_id", "embedding", "qid", "qvec", k = 5, dim = 64, nProbe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(topk(idxPath) == topk(rebuiltPath))
+  }
+
   test("profileDriftStream emits per-batch drift equal to batch profileDrift on replay") {
     import spark.implicits._
     import graft.operators.Quality
