@@ -707,6 +707,19 @@ object SparkEntry {
         .filter(col("jaccard") > 0)
     }),
 
+    "dedup_method_eval" -> ((s, dir) => {
+      // detector-tuning metric: one-row recall/precision of the simhash
+      // pipeline (hamming ≤ 3, portable md5 hash) against the EXACT
+      // 3-gram Jaccard ≥ 0.5 truth. Banding is exact for hamming ≤ 3
+      // (pigeonhole over the 4 16-bit chunks), so the oracle's
+      // all-pairs hamming join replays the banded pipeline exactly
+      val docs = t(s, dir, "documents")
+      val truth = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      val pred = Dedup.simhashPairs(docs, "doc_id", "text",
+        tokenHash = Dedup.md5TokenHash).select(col("id_l"), col("id_r"))
+      Dedup.pairEval(truth, pred)
+    }),
+
     "dedup_containment" -> ((s, dir) => {
       // asymmetric containment over the same fixed candidate pairs —
       // the quote/subset-duplicate signal Jaccard misses; string
@@ -1920,6 +1933,17 @@ object SparkEntry {
     "dedup_simhash_prod" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")),
 
+    "dedup_method_eval_prod" -> ((s, dir) => {
+      // production-hash twin of dedup_method_eval, scoring the MINHASH
+      // pipeline (banding has no portable-hash twin, so this one is
+      // benched): recall/precision of banded minhash ≥ 0.5 vs the
+      // exact shared-shingle Jaccard truth
+      val docs = t(s, dir, "documents")
+      Dedup.pairEval(
+        Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5),
+        Dedup.minhashPairs(docs, "doc_id", "text").select(col("id_l"), col("id_r")))
+    }),
+
     "text_classify_prod" -> ((s, dir) =>
       // production scoring path: xxhash64 token keys — the scoring
       // shuffle carries longs, never token strings
@@ -3113,6 +3137,26 @@ object SparkEntry {
           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
               + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3""",
+
+    // composes the exact-Jaccard truth CTEs with the simhash pair
+    // relation; integer counts + the int-ratio round-6 recipe
+    "dedup_method_eval" ->
+      s"""WITH $shingleSetsSql, $exactJaccardPairsSql, $simhashChunksSql,
+          truth AS (SELECT id_l, id_r FROM jac WHERE jaccard >= 0.5),
+          pred AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r
+                   FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                   WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+                       + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3),
+          j AS (SELECT CASE WHEN t.id_l IS NOT NULL THEN 1 ELSE 0 END AS tt,
+                       CASE WHEN p.id_l IS NOT NULL THEN 1 ELSE 0 END AS pp
+                FROM truth t FULL OUTER JOIN pred p
+                  ON t.id_l = p.id_l AND t.id_r = p.id_r)
+          SELECT CAST(sum(tt) AS BIGINT) AS n_truth,
+                 CAST(sum(pp) AS BIGINT) AS n_pred,
+                 CAST(sum(tt * pp) AS BIGINT) AS n_hit,
+                 round(CAST(sum(tt * pp) AS DOUBLE) / NULLIF(sum(tt), 0), 6) AS recall,
+                 round(CAST(sum(tt * pp) AS DOUBLE) / NULLIF(sum(pp), 0), 6) AS precision
+          FROM j""",
 
     "dedup_embedding" ->
       s"""WITH bkt AS (SELECT vec_id, ${lcgBucketsSql("embedding")} AS bks FROM embeddings),

@@ -296,6 +296,53 @@ object Dedup {
     * verify) — everything a later increment needs, so the old corpus
     * TEXT is never touched again. ~8·(bands + |set|) bytes/doc, an
     * order of magnitude under the text it replaces. */
+  /** EXACT near-dup truth relation: every unordered pair with k-gram
+    * Jaccard >= threshold, via the shared-shingle prefilter — complete
+    * for threshold > 0 because a pair with J > 0 shares at least one
+    * shingle. The prefilter is a shingle-hash-keyed equi-join carrying
+    * (id, hash) longs; its cost scales with Σ df(g)² over shingles, so
+    * run it on the evaluation SAMPLE, not the full corpus — this is
+    * the truth side of [[pairEval]], the tuning metric for the banded
+    * production detectors (which never do this join). */
+  def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val ex = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(X.shingleHashes(T.normText(col(textCol)), shingleK))).as("__g"))
+    val cand = ex.select(col("__id").as("id_l"), col("__g"))
+      .join(ex.select(col("__id").as("id_r"), col("__g")), "__g")
+      .filter(col("id_l") < col("id_r"))
+      .select("id_l", "id_r").distinct()
+    ngramJaccard(cand, docs, idCol, textCol, shingleK)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** One-row recall/precision of a predicted near-dup pair relation
+    * against a truth pair relation (both (id_l, id_r), id_l < id_r) —
+    * the detector-tuning metric: how much of the exact-Jaccard truth
+    * does a simhash/minhash/embedding detector capture, and how much
+    * of what it flags is real. One full-outer join on the (tiny) pair
+    * relations + one partial-agg pass; integer counts and an
+    * integer-ratio round-6 (the sim_recall_eval recipe — engine-exact).
+    * Empty truth/prediction yields NULL recall/precision, not a
+    * division error. */
+  def pairEval(truth: DataFrame, predicted: DataFrame): DataFrame = {
+    val t = truth.select(col("id_l"), col("id_r")).distinct()
+      .withColumn("__t", lit(1L))
+    val p = predicted.select(col("id_l"), col("id_r")).distinct()
+      .withColumn("__p", lit(1L))
+    t.join(p, Seq("id_l", "id_r"), "full_outer")
+      .agg(coalesce(sum(col("__t")), lit(0L)).as("n_truth"),
+        coalesce(sum(col("__p")), lit(0L)).as("n_pred"),
+        coalesce(sum(when(col("__t") === 1L && col("__p") === 1L, 1L)
+          .otherwise(0L)), lit(0L)).as("n_hit"))
+      .select(col("n_truth"), col("n_pred"), col("n_hit"),
+        when(col("n_truth") > 0,
+          round(col("n_hit").cast("double") / col("n_truth"), 6)).as("recall"),
+        when(col("n_pred") > 0,
+          round(col("n_hit").cast("double") / col("n_pred"), 6)).as("precision"))
+  }
+
   private def minhashState(df: DataFrame, idCol: String, textCol: String,
                            shingleK: Int, numHashes: Int, bands: Int): DataFrame =
     df.filter(col(textCol).isNotNull).select(col(idCol),

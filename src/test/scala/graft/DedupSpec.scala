@@ -284,6 +284,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("exactJaccardPairs finds every J>=theta pair; pairEval counts hand-checked") {
+    // 1-2 are 3-gram near-dups (4 shared of 6 distinct grams, J = 2/3);
+    // 3 shares one shingle with 1 (J = 1/9 < 0.5); 4 is disjoint
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f x"),
+      (3L, "e f g h i j k"),
+      (4L, "p q r s t u v"),
+    ).toDF("doc_id", "text")
+    val truth = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(truth.toSeq == Seq((1L, 2L, 0.666667)))
+    // completeness below threshold too: at theta=0.1 the weak 1-3 pair appears
+    val loose = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((1L, 2L), (1L, 3L)))
+
+    // pairEval vs a predictor that has one hit, one miss, one false alarm
+    val pred = Seq((1L, 2L), (3L, 4L)).toDF("id_l", "id_r")
+    val ev = Dedup.pairEval(
+      Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.1), pred)
+      .collect().head
+    assert((ev.getLong(0), ev.getLong(1), ev.getLong(2)) == ((2L, 2L, 1L)))
+    assert(ev.getDouble(3) == 0.5 && ev.getDouble(4) == 0.5)
+    // empty truth -> NULL recall, not a division error
+    val empty = Dedup.pairEval(
+      Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 1.1), pred).collect().head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(3) && empty.getDouble(4) == 0.0)
+  }
+
   test("ngramContainment: subset doc has containment 1.0 on its side; hashed == string") {
     val docs = Seq(
       (1L, "a b c d e f g h"),       // superset
