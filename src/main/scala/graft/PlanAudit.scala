@@ -67,14 +67,17 @@ object PlanAudit {
       // (quota scale m / corpus token total) — same scalar-subquery
       // pattern as ds_takewhile. r6 members of the same two families:
       // q22 (1-row acctbal (Σ, n) stats), text_collocations/_prod and
-      // text_bm25_prod (1-row corpus token total / avgdl),
+      // text_bm25/_prod (1-row corpus token total / avgdl),
       // sim_recall_eval (composes sim_bruteforce_topk's broadcast
       // query batch as its ground-truth side)
       // graph_pagerank joins the 1-row node-count aggregate into the
       // rank relation — the same scalar-broadcast shape as q22's stats
       val nljByDesign = Set("ds_cartesian", "ds_takewhile", "sim_bruteforce_topk",
         "corpus_mix", "text_unigram_prod", "q22_dormant_customers",
-        "text_collocations", "text_bm25_prod", "sim_recall_eval",
+        // text_bm25 (gate + prod): 1-row (N, avgdl) corpus-stats
+        // scalar crossJoin(broadcast) feeding the idf/length-norm —
+        // the q15/sample_importance pattern
+        "text_collocations", "text_bm25", "sim_recall_eval",
         "graph_pagerank", "sample_importance",
         // 1-row corpus-count scalar crossJoin(broadcast(...)) for the
         // integer idf — the q15/sample_importance pattern
@@ -93,6 +96,10 @@ object PlanAudit {
           Some(s"nested-loop/cartesian join") else None,
         if (distinctLines(p, "InMemoryTableScan") > 0 &&
           !Set("dedup_minhash", "dedup_keeplist", "dedup_simhash",
+            // pairEval's predicted side is simhashPairs/minhashPairs,
+            // which cache their tiny candidate relation by design
+            // (documented at the cache site in Dedup.scala)
+            "dedup_method_eval",
             "graph_", "pipeline_prepare",
             // hotKeyJoin's hot-key set: tiny by construction, cached
             // for its three consumers (documented in SkewJoin.scala)
@@ -113,7 +120,7 @@ object PlanAudit {
     sb.append("total parquet scans. Flags call out anti-patterns. Nested-loop\n")
     sb.append("joins in ds_cartesian (the operator IS a cartesian), ds_takewhile,\n")
     sb.append("corpus_mix, text_unigram_prod, q22_dormant_customers,\n")
-    sb.append("text_collocations(_prod) and text_bm25_prod (1-row scalar\n")
+    sb.append("text_collocations(_prod) and text_bm25(_prod) (1-row scalar\n")
     sb.append("broadcast: global cutoff / quota scale / token total / balance\n")
     sb.append("stats / avgdl) and sim_bruteforce_topk + sim_recall_eval\n")
     sb.append("(broadcast query batch — brute force is definitionally\n")
