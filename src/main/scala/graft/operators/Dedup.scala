@@ -306,14 +306,27 @@ object Dedup {
     * production detectors (which never do this join). */
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val ex = docs.filter(col(textCol).isNotNull)
+    // count-based exact Jaccard: |A∩B| = the number of shared DISTINCT
+    // shingle hashes, counted directly off the prefilter join, and
+    // |A∪B| = |A|+|B|−|A∩B| from two tiny (id, size) joins — the
+    // shuffles carry (id, hash) longs and pair counts only, never the
+    // per-doc shingle arrays (an ngramJaccard-style verify join would
+    // ship text-sized arrays to every candidate pair)
+    val sets = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
-        explode(array_distinct(X.shingleHashes(T.normText(col(textCol)), shingleK))).as("__g"))
-    val cand = ex.select(col("__id").as("id_l"), col("__g"))
+        array_distinct(X.shingleHashes(T.normText(col(textCol)), shingleK)).as("__set"))
+    val sizes = sets.select(col("__id"), size(col("__set")).as("__n"))
+    val ex = sets.select(col("__id"), explode(col("__set")).as("__g"))
+    val inter = ex.select(col("__id").as("id_l"), col("__g"))
       .join(ex.select(col("__id").as("id_r"), col("__g")), "__g")
       .filter(col("id_l") < col("id_r"))
-      .select("id_l", "id_r").distinct()
-    ngramJaccard(cand, docs, idCol, textCol, shingleK)
+      .groupBy(col("id_l"), col("id_r")).agg(count(lit(1)).as("__i"))
+    inter
+      .join(sizes.select(col("__id").as("id_l"), col("__n").as("__nl")), "id_l")
+      .join(sizes.select(col("__id").as("id_r"), col("__n").as("__nr")), "id_r")
+      .select(col("id_l"), col("id_r"),
+        round(col("__i").cast("double") /
+          (col("__nl") + col("__nr") - col("__i")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
