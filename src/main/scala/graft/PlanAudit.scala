@@ -90,7 +90,10 @@ object PlanAudit {
         "quality_constraints",
         // histogram: broadcast 1-row min/max scalar against the scan
         // (the q22/importanceSample pattern, documented in Quality.scala)
-        "quality_histogram")
+        "quality_histogram",
+        // embeddingDrift: three 1-row stat relations (per-side counts/
+        // norms + the centroid cosine) crossJoined into the report row
+        "quality_emb_drift")
       val flags = Seq(
         if (bnlj + cart > 0 && !nljByDesign.exists(name.startsWith))
           Some(s"nested-loop/cartesian join") else None,

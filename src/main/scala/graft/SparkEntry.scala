@@ -1776,6 +1776,15 @@ object SparkEntry {
       // scalar min/max + map-side IEEE bin expression + partial count
       Quality.histogramNumeric(t(s, dir, "lineitem"), "l_extendedprice", bins = 16)),
 
+    "quality_emb_drift" -> ((s, dir) => {
+      // embedding-space drift between the even/odd snapshot halves:
+      // centroid cosine from exact decimal per-dim sums + spread
+      // (mean |x|²) per side — the vector-space drift monitor
+      val emb = t(s, dir, "embeddings")
+      Quality.embeddingDrift(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "embedding")
+    }),
+
     "quality_drift" -> ((s, dir) => {
       // numeric drift between the early and late halves of the fact
       // stream (shipdate ≤ 1997 vs after): count/mean/distinct/range
@@ -4097,6 +4106,36 @@ object SparkEntry {
       Seq(("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
         ("l_extendedprice", "l_discount"))
         .map { case (a, b) => one(a, b) }.mkString("\nUNION ALL\n")
+    },
+
+    // embeddingDrift twin: per-dim DECIMAL sums (19,6 — int128 storage
+    // so the (19,6)×(19,6) product lands exactly in (38,12); Spark's
+    // (18,6)×(18,6) → (37,12) — the quality_correlation recipe), the
+    // |x|² row fold mirroring the sequential double fold, and the
+    // int-ratio/round-6 tails
+    "quality_emb_drift" -> {
+      def fold(a: String) = {
+        val n = s"len($a)"
+        s"list_reduce([CAST($a[i+1] AS DOUBLE) * CAST($a[i+1] AS DOUBLE) FOR i IN range(0, $n)], (x, y) -> x + y)"
+      }
+      s"""WITH eb AS (SELECT embedding FROM embeddings WHERE vec_id % 2 = 0),
+          ec AS (SELECT embedding FROM embeddings WHERE vec_id % 2 = 1),
+          exb AS (SELECT unnest([struct_pack(i := i, v := CAST(embedding[i+1] AS DECIMAL(19,6)))
+                                 FOR i IN range(0, len(embedding))], recursive := true) FROM eb),
+          exc AS (SELECT unnest([struct_pack(i := i, v := CAST(embedding[i+1] AS DECIMAL(19,6)))
+                                 FOR i IN range(0, len(embedding))], recursive := true) FROM ec),
+          sb AS (SELECT i, CAST(sum(v) AS DECIMAL(19,6)) AS s FROM exb GROUP BY i),
+          sc AS (SELECT i, CAST(sum(v) AS DECIMAL(19,6)) AS s FROM exc GROUP BY i),
+          cosr AS (SELECT round(CAST(sum(sb.s * sc.s) AS DOUBLE) /
+                          (sqrt(CAST(sum(sb.s * sb.s) AS DOUBLE)) * sqrt(CAST(sum(sc.s * sc.s) AS DOUBLE))), 6) AS centroid_cosine
+                   FROM sb JOIN sc USING (i)),
+          qb AS (SELECT count(*) AS n_base, sum(CAST(${fold("embedding")} AS DECIMAL(19,6))) AS qs FROM eb),
+          qc AS (SELECT count(*) AS n_cur,  sum(CAST(${fold("embedding")} AS DECIMAL(19,6))) AS qs FROM ec)
+          SELECT qb.n_base, qc.n_cur,
+                 round(CAST(qb.qs AS DOUBLE) / qb.n_base, 6) AS mean_sq_norm_base,
+                 round(CAST(qc.qs AS DOUBLE) / qc.n_cur, 6) AS mean_sq_norm_cur,
+                 cosr.centroid_cosine
+          FROM qb, qc, cosr"""
     },
 
     "quality_histogram" ->

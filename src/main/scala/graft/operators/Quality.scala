@@ -278,6 +278,45 @@ object Quality {
     * at 100 TB this is the one rule that genuinely needs a shuffle, so
     * it is a separate relation unioned onto [[checkConstraints]]'s
     * single-scan output. */
+  /** Embedding-space drift between two snapshots — the vector-space
+    * member of the drift family (profileDrift covers scalar columns):
+    * detects embedding-model version skew or corpus shift before an
+    * ANN index rebuild is attempted. Metrics:
+    *   - centroid_cosine: cosine between the per-dimension SUM vectors
+    *     (scale-invariant, so sums stand in for means with no division
+    *     — and the sums are exact: each element cast to DECIMAL(18,6),
+    *     summed order-free, products in (18,6)×(18,6) = (37,12), the
+    *     quality_correlation recipe)
+    *   - mean_sq_norm per side: spread movement (per-row |x|² is a
+    *     deterministic sequential double fold, then the decimal-sum
+    *     mean recipe)
+    * One explode + per-dim partial agg per side (dim rows out of each
+    * map task), a dim-row join, and three 1-row scalar broadcasts —
+    * nothing row-count-sized ever shuffles. */
+  def embeddingDrift(base: DataFrame, cur: DataFrame, vecCol: String): DataFrame = {
+    def dimSums(df: DataFrame, tag: String) = df
+      .select(posexplode(col(vecCol)).as(Seq("__i", "__v")))
+      .groupBy(col("__i"))
+      .agg(sum(col("__v").cast("decimal(18,6)")).cast("decimal(18,6)").as(s"__s$tag"))
+    def scalarStats(df: DataFrame, tag: String) = df
+      .select(aggregate(col(vecCol).cast("array<double>"), lit(0.0d),
+        (a, x) => a + x * x).cast("decimal(18,6)").as("__q"))
+      .agg(count(lit(1)).as(s"n_$tag"), sum(col("__q")).as(s"__qs$tag"))
+    val cosRow = dimSums(base, "b").join(dimSums(cur, "c"), "__i")
+      .agg(sum(col("__sb") * col("__sc")).as("__dot"),
+        sum(col("__sb") * col("__sb")).as("__nb"),
+        sum(col("__sc") * col("__sc")).as("__nc"))
+      .select(round(col("__dot").cast("double") /
+        (sqrt(col("__nb").cast("double")) * sqrt(col("__nc").cast("double"))), 6)
+        .as("centroid_cosine"))
+    scalarStats(base, "base").crossJoin(broadcast(scalarStats(cur, "cur")))
+      .crossJoin(broadcast(cosRow))
+      .select(col("n_base"), col("n_cur"),
+        round(col("__qsbase").cast("double") / col("n_base"), 6).as("mean_sq_norm_base"),
+        round(col("__qscur").cast("double") / col("n_cur"), 6).as("mean_sq_norm_cur"),
+        col("centroid_cosine"))
+  }
+
   def referentialCheck(name: String, child: DataFrame, childKey: String,
                        parent: DataFrame, parentKey: String): DataFrame = {
     val orphans = child.select(col(childKey))

@@ -213,6 +213,23 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(out.head.getDouble(2) - 1.0) < 0.01) // near-perfectly correlated
   }
 
+  test("embeddingDrift: identity snapshot scores cosine 1.0; a shifted snapshot registers") {
+    val base = (1 to 100).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (math.sin(i * 13 + d * 7) * 0.5).toFloat).toSeq)
+    }.toDF("id", "v")
+    val same = Quality.embeddingDrift(base, base, "v").collect().head
+    assert(same.getLong(0) == 100L && same.getLong(1) == 100L)
+    assert(same.getDouble(4) == 1.0)
+    assert(same.getDouble(2) == same.getDouble(3)) // identical spread
+
+    // shift every vector along dimension 0: centroid turns, norms grow
+    val shifted = base.select(col("id"),
+      transform(col("v"), (x, i) => when(i === 0, x + lit(3.0f)).otherwise(x)).as("v"))
+    val drift = Quality.embeddingDrift(base, shifted, "v").collect().head
+    assert(drift.getDouble(4) < 0.9, s"cosine ${drift.getDouble(4)} should drop")
+    assert(drift.getDouble(3) > drift.getDouble(2)) // mean |x|^2 grew
+  }
+
   test("upsert is idempotent: applying the same updates twice changes nothing") {
     val target = (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
     val updates = (40L to 60L).map(i => (i, s"U$i")).toDF("k", "v")
