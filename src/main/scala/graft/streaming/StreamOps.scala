@@ -229,6 +229,31 @@ object StreamOps {
         ()
       }
 
+  /** Streaming embedding-drift monitor — [[profileDriftStream]]'s
+    * vector-space sibling: every micro-batch of embeddings is scored
+    * against a FIXED baseline snapshot with
+    * [[graft.operators.Quality.embeddingDrift]] (centroid cosine +
+    * spread), one drift row per batch appended with its batch_id. The
+    * baseline side's per-dim sums and norm stats are recomputed per
+    * batch from the sealed baseline relation — dim+1 rows of state, so
+    * sealing (localCheckpoint) the small baseline once is the whole
+    * optimization; state-free beyond the checkpoint bookkeeping. */
+  def embeddingDriftStream(updates: DataFrame, baseline: DataFrame,
+                           vecCol: String, outPath: String, checkpoint: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sealedBaseline = baseline.localCheckpoint(true)
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Quality.embeddingDrift(sealedBaseline, batch.toDF(), vecCol)
+            .withColumn("batch_id", lit(id))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outPath)
+        }
+        ()
+      }
+  }
+
   /** Streaming data-quality monitor — the streaming twin of
     * [[graft.operators.Quality.profileDrift]] (completing the quality
     * family's streaming parity the way scd2Stream did for SCD2): every

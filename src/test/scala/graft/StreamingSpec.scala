@@ -135,6 +135,47 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._1) == Set(10L, 20L, 110L, 210L)) // dups 100/200 dropped
   }
 
+  test("embeddingDriftStream emits per-batch drift equal to batch embeddingDrift on replay") {
+    import spark.implicits._
+    import graft.operators.Quality
+    val base = java.nio.file.Files.createTempDirectory("graft_edrift").toString
+    val in = s"$base/in"
+    // dim 1 carries a shared bias so same-distribution centroids align;
+    // the drifted batch shifts dim 0 instead, turning the centroid
+    def vec(seed: Int, shift: Float) =
+      Array.tabulate(8)(d => (math.sin(seed * 13 + d * 7) * 0.5).toFloat +
+        (if (d == 0) shift else 0f) + (if (d == 1) 1.0f else 0f)).toSeq
+    val baseline = (1 to 50).map(i => (i.toLong, vec(i, 0f))).toDF("id", "v")
+    val b1 = (100 to 120).map(i => (i.toLong, vec(i, 0f)))     // same distribution
+    val b2 = (200 to 220).map(i => (i.toLong, vec(i, 3f)))     // shifted along dim 0
+    def writeFile(rows: Seq[(Long, Seq[Float])], mtime: Long): Unit = {
+      rows.toDF("id", "v").coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          if (f.lastModified() > mtime) f.setLastModified(mtime) }
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    writeFile(b1, t0)
+    writeFile(b2, t0 + 2000)
+    val schema = spark.read.parquet(in).schema
+    val stream = StreamOps.parquetStream(spark, in, schema, maxFilesPerTrigger = 1)
+    val q = StreamOps.embeddingDriftStream(stream, baseline, "v",
+      s"$base/out", s"$base/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 2)
+    Seq(b1, b2).zipWithIndex.foreach { case (rows, i) =>
+      val expected = Quality.embeddingDrift(baseline, rows.toDF("id", "v"), "v")
+        .collect().head.toSeq
+      val got = out.filter(col("batch_id") === i).drop("batch_id").collect().head.toSeq
+      assert(got == expected, s"batch $i drift mismatch")
+    }
+    // the shifted batch registers, the same-distribution batch does not
+    val cosines = out.orderBy("batch_id").collect().map(_.getAs[Double]("centroid_cosine"))
+    assert(cosines(0) > 0.9 && cosines(1) < 0.9)
+  }
+
   test("ivfIndexStream: replayed embedding batches equal a one-shot build under the frozen quantizer") {
     import graft.operators.Similarity
     val base = java.nio.file.Files.createTempDirectory("graft_ivfstream").toString
