@@ -61,6 +61,11 @@ PIPELINE = [
     "evt_session_stats", "evt_dau_rolling", "evt_churn", "evt_ab_test",
     "ds_pivot", "bpe_pairs", "corpus_diff", "corpus_quantiles",
     "emb_truncate", "text_normalize", "graph_pagerank",
+    # r10: BM25 is plain SQL (tf/df CTEs + ln + window) — a natural
+    # single-node formulation. quality_emb_drift / dedup_method_eval
+    # stay excluded: decimal-cast / rebuilt-candidate gate
+    # reconstructions, not how one would write them in DuckDB.
+    "text_bm25",
 ]
 
 sf_dir, oracle_path = sys.argv[1], sys.argv[2]
