@@ -931,6 +931,12 @@ object SparkEntry {
       Pipeline.keepBestByFingerprint(t(s, dir, "documents"), "doc_id", "text",
         score = T.qualityStruct(col("text")).getField("n_tokens"))),
 
+    "corpus_manifest" -> ((s, dir) =>
+      // per-shard export manifest over the shuffle_shard layout: doc/
+      // token/char totals + the position-salted DECIMAL(38,0) hash-sum
+      // content fingerprint (order-sensitive yet partial-agg'able)
+      Pipeline.shardManifest(t(s, dir, "documents"), "doc_id", "text", nShards = 8)),
+
     // ---- §2.10 multimodal ---------------------------------------------
     "mm_binary_meta" -> ((s, dir) => {
       val media = Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text")
@@ -3026,6 +3032,28 @@ object SparkEntry {
                  CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT) AS shard,
                  ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
                FROM documents)""",
+
+    // shardManifest twin: the shuffle_shard layout rejoined to the
+    // docs, per-row 60-bit hash of (shard:pos:md5(text)) summed
+    // exactly (HUGEINT -> DECIMAL(38,0) on this side, decimal sum on
+    // the Spark side)
+    "corpus_manifest" ->
+      s"""WITH l AS (
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+            FROM (SELECT doc_id,
+                    CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT) AS shard,
+                    ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
+                  FROM documents)),
+          r AS (SELECT l.shard,
+                  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS t,
+                  CAST(length(d.text) AS BIGINT) AS c,
+                  ('0x' || substr(md5(CAST(l.shard AS VARCHAR) || ':' || CAST(l.pos AS VARCHAR) || ':' || md5(d.text)), 1, 15))::BIGINT AS fp
+                FROM l JOIN documents d USING (doc_id))
+          SELECT shard, count(*) AS n_docs,
+                 CAST(sum(t) AS BIGINT) AS n_tokens, CAST(sum(c) AS BIGINT) AS n_chars,
+                 CAST(sum(fp) AS DECIMAL(38,0)) AS content_fp
+          FROM r GROUP BY shard""",
 
     "text_bigram_lm" ->
       s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS ts FROM documents),

@@ -709,6 +709,37 @@ object Pipeline {
     * order, partitioning, and engines (gate mode md5; `hashed=true`
     * production mode xxhash64, ~3× cheaper, not oracle-recomputable).
     * Output: (id, shard, pos). */
+  /** Export manifest for a [[shuffleShard]] layout — the artifact a
+    * training job consumes before reading a single shard: per shard,
+    * document and token/char totals plus a CONTENT fingerprint that
+    * pins both the documents and their positions. The fingerprint is
+    * an exact DECIMAL(38,0) SUM of a per-row 60-bit hash of
+    * (shard, pos, md5(text)) — position-salted so any reorder, drop,
+    * duplicate or edit moves it, yet commutative so it partial-aggs
+    * map-side like any sum (an ordered fp CHAIN would need the whole
+    * shard through one reducer). Everything here is map-side + one
+    * partial agg over the existing shuffleShard relation; the
+    * manifest is nShards rows. */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String, nShards: Int,
+                    seed: String = "shuffle", hashed: Boolean = false): DataFrame = {
+    val layout = shuffleShard(df, idCol, nShards, seed, hashed)
+    val rowFp = {
+      val salted = concat(col("shard").cast("string"), lit(":"),
+        col("pos").cast("string"), lit(":"), md5(col(textCol)))
+      if (hashed) xxhash64(salted)
+      else conv(substring(md5(salted), 1, 15), 16, 10).cast("long")
+    }
+    df.select(col(idCol), col(textCol)).join(layout, idCol :: Nil)
+      .select(col("shard"), col("pos"),
+        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("__t"),
+        length(col(textCol)).cast("long").as("__c"),
+        rowFp.cast("decimal(38,0)").as("__fp"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"),
+        sum(col("__c")).as("n_chars"),
+        sum(col("__fp")).cast("decimal(38,0)").as("content_fp"))
+  }
+
   def shuffleShard(df: DataFrame, idCol: String, nShards: Int,
                    seed: String = "shuffle", hashed: Boolean = false): DataFrame = {
     val sortKey = if (hashed) xxhash64(lit(s"$seed:"), col(idCol).cast("string"))

@@ -639,6 +639,30 @@ class PipelineSpec extends SparkSpec {
     Pipeline.prepareCorpusIncremental(spark, state, batch, "doc_id", "text",
       nShards = 2, minTokens = 1, minStopwordRatio = 0.0, maxRepetition = 2.0)
 
+  test("shardManifest: partition-invariant; any drop, edit or position change moves the fingerprint") {
+    val docs = (1L to 80L).map(i => (i, s"doc $i body word$i end")).toDF("doc_id", "text")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.shardManifest(df, "doc_id", "text", nShards = 4)
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDecimal(4).toBigInteger)).toMap
+    val base = manifest(docs)
+    assert(base.keySet == Set(0, 1, 2, 3))
+    // physical layout must not matter
+    assert(manifest(docs.repartition(13)) == base)
+    // dropping one doc moves exactly its shard's row (fp AND counts) —
+    // and, because positions shift below the dropped doc, the fp moves
+    // even though every remaining text is unchanged
+    val dropped = manifest(docs.filter(col("doc_id") =!= 7L))
+    val changed = base.keySet.filter(s => base(s) != dropped.getOrElse(s, null))
+    assert(changed.size == 1)
+    // an edit that keeps length and token count still moves the fp
+    val edited = manifest(docs.select(col("doc_id"),
+      when(col("doc_id") === 7L, lit("doc 7 bodY word7 end")).otherwise(col("text")).as("text")))
+    assert(base.keySet.count(s => edited(s)._4 != base(s)._4) == 1)
+    assert(base.keySet.forall(s =>
+      (edited(s)._1, edited(s)._2, edited(s)._3) == ((base(s)._1, base(s)._2, base(s)._3))))
+  }
+
   test("prepareCorpusIncremental == full rebuild; state grows by the batch only") {
     // permutations share a token multiset -> identical simhash
     // signature (hamming 0), distinct normalized fingerprint: the
