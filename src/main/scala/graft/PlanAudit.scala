@@ -78,7 +78,7 @@ object PlanAudit {
         // scalar crossJoin(broadcast) feeding the idf/length-norm —
         // the q15/sample_importance pattern
         "text_collocations", "text_bm25", "sim_recall_eval",
-        "graph_pagerank", "sample_importance",
+        "graph_pagerank", "graph_ppr", "sample_importance",
         // 1-row corpus-count scalar crossJoin(broadcast(...)) for the
         // integer idf — the q15/sample_importance pattern
         "text_keyphrase",

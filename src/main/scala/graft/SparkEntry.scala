@@ -1443,6 +1443,21 @@ object SparkEntry {
       operators.Graph.pagerank(edges, "src", "dst", iters = 2)
     }),
 
+    "graph_ppr" -> ((s, dir) => {
+      // personalized PageRank from a sparse trusted-customer seed set
+      // (custkey % 50): proximity-to-seeds over the same bidirected
+      // purchase graph — the "expand a high-quality seed corpus"
+      // scorer; same integer fixed-point, teleport split over seeds
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000000L).as("p"))
+        .distinct()
+      val edges = base.select(col("c").as("src"), col("p").as("dst"))
+        .union(base.select(col("p").as("src"), col("c").as("dst")))
+      val seeds = base.select(col("c")).distinct().filter(col("c") % 50 === 0)
+      operators.Graph.personalizedPagerank(edges, "src", "dst", seeds, "c", iters = 2)
+    }),
+
     "q_skew_join" -> ((s, dir) => {
       // explicit salt-and-replicate skew join (SkewJoin.hotKeyJoin): every
       // supplier key is a heavy hitter vs the 500-row threshold
@@ -3803,6 +3818,33 @@ object SparkEntry {
          r2 AS (SELECT r1.node,
                        (3 * 1099511627776 // 20) // n + 17 * coalesce(s2.s, 0) // 20 AS r
                 FROM r1 LEFT JOIN s2 ON r1.node = s2.node, nn)
+         SELECT node, CAST(r AS BIGINT) AS rank FROM r2""",
+
+    // personalized twin: identical chain, teleport split over the
+    // custkey%50 seed set instead of every node
+    "graph_ppr" ->
+      """WITH b AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS p
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT c AS src, p AS dst FROM b
+               UNION ALL SELECT p AS src, c AS dst FROM b),
+         deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+         seeds AS (SELECT DISTINCT c AS node FROM b WHERE c % 50 = 0),
+         ns AS (SELECT count(*) AS m FROM seeds),
+         r0 AS (SELECT deg.node, deg.d,
+                       CASE WHEN se.node IS NOT NULL THEN 1099511627776 // m ELSE 0 END AS r
+                FROM deg LEFT JOIN seeds se ON deg.node = se.node, ns),
+         s1 AS (SELECT e.dst AS node, sum(r0.r // r0.d) AS s
+                FROM e JOIN r0 ON e.src = r0.node GROUP BY 1),
+         r1 AS (SELECT r0.node, r0.d,
+                       CASE WHEN se.node IS NOT NULL THEN (3 * 1099511627776 // 20) // m ELSE 0 END
+                         + 17 * coalesce(s1.s, 0) // 20 AS r
+                FROM r0 LEFT JOIN s1 ON r0.node = s1.node LEFT JOIN seeds se ON r0.node = se.node, ns),
+         s2 AS (SELECT e.dst AS node, sum(r1.r // r1.d) AS s
+                FROM e JOIN r1 ON e.src = r1.node GROUP BY 1),
+         r2 AS (SELECT r1.node,
+                       CASE WHEN se.node IS NOT NULL THEN (3 * 1099511627776 // 20) // m ELSE 0 END
+                         + 17 * coalesce(s2.s, 0) // 20 AS r
+                FROM r1 LEFT JOIN s2 ON r1.node = s2.node LEFT JOIN seeds se ON r1.node = se.node, ns)
          SELECT node, CAST(r AS BIGINT) AS rank FROM r2""",
 
     "q_skew_join" ->

@@ -42,7 +42,28 @@ object Graph {
     *
     * Output: (node, rank) with rank in units of 2^-40 total mass. */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int, weightCol: Option[String] = None): DataFrame = {
+               iters: Int, weightCol: Option[String] = None): DataFrame =
+    prRun(edges, srcCol, dstCol, iters, weightCol, None)
+
+  /** Personalized PageRank: the teleport mass (3/20 per step, and all
+    * of the initial mass) is split over a SEED set instead of every
+    * node — rank then measures proximity to the seeds, the standard
+    * "expand a trusted/high-quality seed corpus" scorer (harmonic-ish
+    * centrality to the seeds over the hyperlink/purchase graph).
+    * Same integer fixed-point, same per-iteration shape and linear
+    * lineage as [[pagerank]] — only the teleport target differs.
+    * Every seed must have at least one out-edge (the rebuild skeleton
+    * is keyed by out-degree; a seed outside it would silently leak its
+    * teleport mass — enforced with a per-row raise_error). */
+  def personalizedPagerank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iters: Int, weightCol: Option[String] = None): DataFrame =
+    prRun(edges, srcCol, dstCol, iters, weightCol,
+      Some(seeds.select(col(seedCol).cast("long").as("node")).distinct()))
+
+  private def prRun(edges: DataFrame, srcCol: String, dstCol: String,
+                    iters: Int, weightCol: Option[String],
+                    seeds: Option[DataFrame]): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     // Weighted form: share = (rank · w_e) div Σw(src) — still pure
     // integer arithmetic; weights must be positive longs with
@@ -88,18 +109,45 @@ object Graph {
     // unmaterialized plan every step: 2^k recompute between
     // checkpoints at production iteration counts.) base teleport share
     // = (3·T div 20) div N, derived per row from the broadcast count.
-    val nodes = deg.crossJoin(broadcast(n)).cache()
-    var ranks = nodes.select(col("node"), col("__deg"), col("__n"),
-      expr(s"${TotalUnits}L div __n").as("__r"))
+    // Personalized variant: nodes additionally carries (__seed, __ns)
+    // and the init/teleport expressions target the seed rows only —
+    // the per-iteration plan (and its cost) is otherwise unchanged.
+    val nodes = seeds match {
+      case None => deg.crossJoin(broadcast(n)).cache()
+      case Some(s) =>
+        // evaluated per seed row via the sum: a seed without out-edges
+        // raises instead of silently leaking its teleport mass
+        val ns = s.join(deg, Seq("node"), "left")
+          .select(when(col("__deg").isNull,
+            raise_error(concat(lit("personalizedPagerank: seed has no out-edges: "),
+              col("node").cast("string"))).cast("long"))
+            .otherwise(lit(1L)).as("__one"))
+          .agg(sum(col("__one")).as("__ns"))
+        deg.crossJoin(broadcast(n))
+          .join(s.withColumn("__seed", lit(1L)), Seq("node"), "left")
+          .crossJoin(broadcast(ns)).cache()
+    }
+    val carry = Seq(col("node"), col("__deg"), col("__n")) ++
+      (if (seeds.isDefined) Seq(col("__ns"), col("__seed")) else Nil)
+    def initExpr = seeds match {
+      case None => expr(s"${TotalUnits}L div __n")
+      case Some(_) => when(col("__seed").isNotNull,
+        expr(s"${TotalUnits}L div __ns")).otherwise(lit(0L))
+    }
+    def teleportExpr = seeds match {
+      case None => expr(s"(3 * ${TotalUnits}L div 20) div __n")
+      case Some(_) => when(col("__seed").isNotNull,
+        expr(s"(3 * ${TotalUnits}L div 20) div __ns")).otherwise(lit(0L))
+    }
+    var ranks = nodes.select(carry :+ initExpr.as("__r"): _*)
     for (i <- 1 to iters) {
       val contrib = e
         .join(ranks, col("__src") === col("node"))
         .groupBy(col("__dst"))
         .agg(sum(expr("(__r * __w) div __deg")).as("__s"))
       ranks = nodes.join(contrib, col("node") === col("__dst"), "left_outer")
-        .select(col("node"), col("__deg"), col("__n"),
-          (expr(s"(3 * ${TotalUnits}L div 20) div __n") +
-            expr("17 * coalesce(__s, 0L) div 20")).as("__r"))
+        .select(carry :+
+          (teleportExpr + expr("17 * coalesce(__s, 0L) div 20")).as("__r"): _*)
       // bound analyzer/codegen cost for long runs (lineage is linear
       // now, so this is plan-SIZE hygiene, not a recompute guard);
       // short runs skip the (blocking) checkpoint barrier entirely

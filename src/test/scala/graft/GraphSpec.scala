@@ -46,6 +46,34 @@ class GraphSpec extends SparkSpec {
     assert(wr(3L) > wr(1L) * 3)
   }
 
+  test("personalizedPagerank: all-nodes seed == pagerank; mass stays near the seed; bad seed raises") {
+    val edges = bidirect(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)))
+    val all = (1L to 6L).toDF("node")
+    val uniform = Graph.pagerank(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // with every node seeded, the teleport split is 1/n — bit-identical
+    // to the uniform operator
+    val seededAll = Graph.personalizedPagerank(edges, "src", "dst", all, "node", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seededAll == uniform)
+
+    // a single seed at one chain end: rank decays with distance
+    val one = Seq(1L).toDF("node")
+    val ppr = Graph.personalizedPagerank(edges, "src", "dst", one, "node", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr(1L) > ppr(2L) && ppr(2L) > ppr(4L) && ppr(4L) >= ppr(6L))
+    // non-seeds hold only propagated mass; total conserved within truncation
+    val total = ppr.values.sum
+    assert(total <= Graph.TotalUnits && total > Graph.TotalUnits - 1000L)
+
+    // a seed with no out-edges would leak its teleport mass — refuse
+    val e = intercept[Exception] {
+      Graph.personalizedPagerank(edges, "src", "dst", Seq(99L).toDF("node"), "node",
+        iters = 1).collect()
+    }
+    assert(e.getMessage.contains("seed has no out-edges"))
+  }
+
   test("labelPropagation: disconnected cliques converge to distinct uniform labels") {
     val clique1 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
     val clique2 = Seq((10L, 11L), (11L, 12L), (10L, 12L))
