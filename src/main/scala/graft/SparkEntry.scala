@@ -1851,6 +1851,14 @@ object SparkEntry {
       Pipeline.selectToBudget(t(s, dir, "documents"), "doc_id", "n_chars",
         col("n_chars"), budget = 100000L)),
 
+    "sample_token_mix" -> ((s, dir) =>
+      // token-budget mixture: src0/src1/src2 get 3:2:1 char budgets,
+      // each filled by hash-priority prefix; unbudgeted sources pass
+      // through selected=false — the per-source generalization of
+      // sample_token_budget (same prefix-offset machinery, per group)
+      Pipeline.tokenMixToBudget(t(s, dir, "documents"), "doc_id", "source",
+        "n_chars", budgets = Seq("src0" -> 6000L, "src1" -> 4000L, "src2" -> 2000L))),
+
     "evt_asof_nearest_tol" -> ((s, dir) => {
       // tolerance-bounded nearest: candidates farther than 30 min are
       // disqualified BEFORE the pick (a stale backward loses to an
@@ -4260,6 +4268,24 @@ object SparkEntry {
                       OVER (ORDER BY n_chars DESC, doc_id ASC
                             ROWS UNBOUNDED PRECEDING) AS BIGINT) <= 100000) AS selected
          FROM documents""",
+
+    // tokenMixToBudget twin: per-source running sum over the budgeted
+    // sources only (hash priority, id tie-break), unbudgeted sources
+    // selected=false with NULL cum
+    "sample_token_mix" ->
+      """WITH b AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS tok,
+                      ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS p,
+                      CASE source WHEN 'src0' THEN 6000
+                                  WHEN 'src1' THEN 4000
+                                  WHEN 'src2' THEN 2000 END AS bud
+                    FROM documents),
+          c AS (SELECT doc_id,
+                  CAST(sum(tok) OVER (PARTITION BY source ORDER BY p, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                FROM b WHERE bud IS NOT NULL)
+          SELECT b.doc_id, b.source, b.tok AS n_tokens, c.cum_tokens,
+                 coalesce(c.cum_tokens <= b.bud, false) AS selected
+          FROM b LEFT JOIN c USING (doc_id)""",
 
     "evt_asof_nearest_tol" ->
       """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),

@@ -1123,6 +1123,78 @@ object Pipeline {
     * per-partition cumulative-sum pass. Exact integer arithmetic
     * throughout. Output: (idCol, n_tokens, cum_tokens, selected) with
     * cum_tokens the INCLUSIVE running total. */
+  /** Token-budget mixture construction — the LLM recipe corpusMix
+    * approximates in documents, done in the unit that matters: each
+    * source gets a TOKEN budget and contributes its hash-priority
+    * prefix up to that budget (training mixtures are specified as
+    * token fractions; doc quotas drift with per-source length skew).
+    * Sources without a budget pass through selected=false (the
+    * corpusMix weight-0 contract).
+    *
+    * Scale shape: the [[selectToBudget]] machinery generalized per
+    * group — range partition on (source, priority), per-partition
+    * per-source sums to the driver (≤ partitions × sources longs, the
+    * sanctioned tiny relation), exclusive offsets broadcast back, one
+    * streaming pass. No per-source window ever materializes a
+    * source's full row set through one task. Deterministic: priority
+    * is the 60-bit md5 of the id (engine-portable), ties broken by id.
+    * Output: (id, stratum, n_tokens, cum_tokens, selected). */
+  def tokenMixToBudget(df: DataFrame, idCol: String, stratumCol: String,
+                       tokensCol: String, budgets: Seq[(String, Long)],
+                       seed: String = "mix"): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_._2 >= 0), "budgets must be >= 0")
+    val spark = df.sparkSession
+    val bcol = budgets.foldRight(lit(null).cast("long"): Column) { case ((s, b), els) =>
+      when(col(stratumCol) === s, lit(b)).otherwise(els)
+    }
+    val prio = conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val pre = df.select(col(idCol), col(stratumCol).cast("string").as("__src"),
+      coalesce(col(tokensCol).cast("long"), lit(0L)).as("__tok"),
+      prio.as("__p"), bcol.as("__b"))
+    val budgeted = pre.filter(col("__b").isNotNull)
+      .repartitionByRange(col("__src").asc, col("__p").asc, col(idCol).asc)
+      .sortWithinPartitions(col("__src").asc, col("__p").asc, col(idCol).asc)
+    val rdd = budgeted.rdd
+    rdd.cache()
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { r => val s = r.getString(1); m(s) = m.getOrElse(s, 0L) + r.getLong(2) }
+      Iterator((i, m.toMap))
+    }.collect().sortBy(_._1)
+    val running = scala.collection.mutable.HashMap.empty[String, Long]
+    val offsets = partSums.map { case (_, sums) =>
+      val off = sums.keys.map(s => s -> running.getOrElse(s, 0L)).toMap
+      sums.foreach { case (s, v) => running(s) = running.getOrElse(s, 0L) + v }
+      off
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(idCol),
+      org.apache.spark.sql.types.StructField("__src", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cum_tokens", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__b2", org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = rdd.mapPartitionsWithIndex { (i, it) =>
+      val acc = scala.collection.mutable.HashMap.empty[String, Long]
+      bc.value(i).foreach { case (s, v) => acc(s) = v }
+      it.map { r =>
+        val s = r.getString(1)
+        val c = acc.getOrElse(s, 0L) + r.getLong(2)
+        acc(s) = c
+        org.apache.spark.sql.Row(r.get(0), s, r.getLong(2), c, r.getLong(4))
+      }
+    }
+    val selectedPart = spark.createDataFrame(rows, schema)
+      .select(col(idCol), col("__src").as(stratumCol), col("n_tokens"),
+        col("cum_tokens"), (col("cum_tokens") <= col("__b2")).as("selected"))
+    val rest = pre.filter(col("__b").isNull)
+      .select(col(idCol), col("__src").as(stratumCol), col("__tok").as("n_tokens"),
+        lit(null).cast("long").as("cum_tokens"), lit(false).as("selected"))
+    val out = selectedPart.unionByName(rest).localCheckpoint(eager = true)
+    rdd.unpersist(false)
+    out
+  }
+
   def selectToBudget(df: DataFrame, idCol: String, tokensCol: String,
                      scoreCol: Column, budget: Long): DataFrame = {
     require(budget >= 0, "budget must be >= 0")

@@ -639,6 +639,42 @@ class PipelineSpec extends SparkSpec {
     Pipeline.prepareCorpusIncremental(spark, state, batch, "doc_id", "text",
       nShards = 2, minTokens = 1, minStopwordRatio = 0.0, maxRepetition = 2.0)
 
+  test("tokenMixToBudget matches the single-node per-source reference and is partition-invariant") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 120L).map { i =>
+      (i, s"s${(i % 4)}", 5L + rnd.nextInt(40))
+    }.toDF("doc_id", "src", "tok")
+    val budgets = Seq("s0" -> 300L, "s1" -> 150L) // s2/s3 unbudgeted
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.tokenMixToBudget(df, "doc_id", "src", "tok", budgets)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toMap
+    val out = run(docs)
+    assert(out == run(docs.repartition(17))) // layout must not matter
+
+    // single-node reference: per budgeted source, md5-priority prefix sums
+    def prio(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16)
+    }
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    budgets.foreach { case (s, b) =>
+      var acc = 0L
+      rows.filter(_._2 == s).sortBy(t => (prio(t._1), t._1)).foreach { case (id, _, tok) =>
+        acc += tok
+        assert(out(id) == ((s, tok, acc, acc <= b)), s"doc $id in $s")
+      }
+      // the selected prefix respects the budget exactly
+      val sel = rows.filter(t => t._2 == s && out(t._1)._4).map(_._3).sum
+      assert(sel <= b)
+    }
+    // unbudgeted sources pass through unselected with no running total
+    rows.filter(t => t._2 == "s2" || t._2 == "s3").foreach { case (id, s, tok) =>
+      assert(out(id) == ((s, tok, -1L, false)))
+    }
+  }
+
   test("shardManifest: partition-invariant; any drop, edit or position change moves the fingerprint") {
     val docs = (1L to 80L).map(i => (i, s"doc $i body word$i end")).toDF("doc_id", "text")
     def manifest(df: org.apache.spark.sql.DataFrame) =
