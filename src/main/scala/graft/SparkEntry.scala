@@ -3211,9 +3211,9 @@ object SparkEntry {
                        CASE WHEN p.id_l IS NOT NULL THEN 1 ELSE 0 END AS pp
                 FROM truth t FULL OUTER JOIN pred p
                   ON t.id_l = p.id_l AND t.id_r = p.id_r)
-          SELECT CAST(sum(tt) AS BIGINT) AS n_truth,
-                 CAST(sum(pp) AS BIGINT) AS n_pred,
-                 CAST(sum(tt * pp) AS BIGINT) AS n_hit,
+          SELECT CAST(coalesce(sum(tt), 0) AS BIGINT) AS n_truth,
+                 CAST(coalesce(sum(pp), 0) AS BIGINT) AS n_pred,
+                 CAST(coalesce(sum(tt * pp), 0) AS BIGINT) AS n_hit,
                  round(CAST(sum(tt * pp) AS DOUBLE) / NULLIF(sum(tt), 0), 6) AS recall,
                  round(CAST(sum(tt * pp) AS DOUBLE) / NULLIF(sum(pp), 0), 6) AS precision
           FROM j""",
@@ -3755,22 +3755,22 @@ object SparkEntry {
     "corpus_incremental" -> corpusIncrementalSql,
 
     "graph_pagerank_weighted" ->
-      """WITH b AS (SELECT o_custkey AS c, l_suppkey + 1000000000 AS p, count(*) AS w
+      """WITH b AS MATERIALIZED (SELECT o_custkey AS c, l_suppkey + 1000000000 AS p, count(*) AS w
                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                     GROUP BY 1, 2),
-         e AS (SELECT c AS src, p AS dst, w FROM b
+         e AS MATERIALIZED (SELECT c AS src, p AS dst, w FROM b
                UNION ALL SELECT p AS src, c AS dst, w FROM b),
-         deg AS (SELECT src AS node, sum(w) AS d FROM e GROUP BY 1),
-         nn AS (SELECT count(*) AS n FROM deg),
-         r0 AS (SELECT node, d, 1099511627776 // n AS r FROM deg, nn),
-         s1 AS (SELECT e.dst AS node, sum(r0.r * e.w // r0.d) AS s
+         deg AS MATERIALIZED (SELECT src AS node, sum(w) AS d FROM e GROUP BY 1),
+         nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+         r0 AS MATERIALIZED (SELECT node, d, 1099511627776 // n AS r FROM deg, nn),
+         s1 AS MATERIALIZED (SELECT e.dst AS node, sum(r0.r * e.w // r0.d) AS s
                 FROM e JOIN r0 ON e.src = r0.node GROUP BY 1),
-         r1 AS (SELECT r0.node, r0.d,
+         r1 AS MATERIALIZED (SELECT r0.node, r0.d,
                        (3 * 1099511627776 // 20) // n + 17 * coalesce(s1.s, 0) // 20 AS r
                 FROM r0 LEFT JOIN s1 ON r0.node = s1.node, nn),
-         s2 AS (SELECT e.dst AS node, sum(r1.r * e.w // r1.d) AS s
+         s2 AS MATERIALIZED (SELECT e.dst AS node, sum(r1.r * e.w // r1.d) AS s
                 FROM e JOIN r1 ON e.src = r1.node GROUP BY 1),
-         r2 AS (SELECT r1.node,
+         r2 AS MATERIALIZED (SELECT r1.node,
                        (3 * 1099511627776 // 20) // n + 17 * coalesce(s2.s, 0) // 20 AS r
                 FROM r1 LEFT JOIN s2 ON r1.node = s2.node, nn)
          SELECT node, CAST(r AS BIGINT) AS rank FROM r2""",
@@ -3809,21 +3809,21 @@ object SparkEntry {
          SELECT node, label FROM a2""",
 
     "graph_pagerank" ->
-      """WITH b AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS p
+      """WITH b AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS p
                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         e AS (SELECT c AS src, p AS dst FROM b
+         e AS MATERIALIZED (SELECT c AS src, p AS dst FROM b
                UNION ALL SELECT p AS src, c AS dst FROM b),
-         deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
-         nn AS (SELECT count(*) AS n FROM deg),
-         r0 AS (SELECT node, d, 1099511627776 // n AS r FROM deg, nn),
-         s1 AS (SELECT e.dst AS node, sum(r0.r // r0.d) AS s
+         deg AS MATERIALIZED (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+         nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+         r0 AS MATERIALIZED (SELECT node, d, 1099511627776 // n AS r FROM deg, nn),
+         s1 AS MATERIALIZED (SELECT e.dst AS node, sum(r0.r // r0.d) AS s
                 FROM e JOIN r0 ON e.src = r0.node GROUP BY 1),
-         r1 AS (SELECT r0.node, r0.d,
+         r1 AS MATERIALIZED (SELECT r0.node, r0.d,
                        (3 * 1099511627776 // 20) // n + 17 * coalesce(s1.s, 0) // 20 AS r
                 FROM r0 LEFT JOIN s1 ON r0.node = s1.node, nn),
-         s2 AS (SELECT e.dst AS node, sum(r1.r // r1.d) AS s
+         s2 AS MATERIALIZED (SELECT e.dst AS node, sum(r1.r // r1.d) AS s
                 FROM e JOIN r1 ON e.src = r1.node GROUP BY 1),
-         r2 AS (SELECT r1.node,
+         r2 AS MATERIALIZED (SELECT r1.node,
                        (3 * 1099511627776 // 20) // n + 17 * coalesce(s2.s, 0) // 20 AS r
                 FROM r1 LEFT JOIN s2 ON r1.node = s2.node, nn)
          SELECT node, CAST(r AS BIGINT) AS rank FROM r2""",
@@ -3831,25 +3831,25 @@ object SparkEntry {
     // personalized twin: identical chain, teleport split over the
     // custkey%50 seed set instead of every node
     "graph_ppr" ->
-      """WITH b AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS p
+      """WITH b AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS p
                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         e AS (SELECT c AS src, p AS dst FROM b
+         e AS MATERIALIZED (SELECT c AS src, p AS dst FROM b
                UNION ALL SELECT p AS src, c AS dst FROM b),
-         deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
-         seeds AS (SELECT DISTINCT c AS node FROM b WHERE c % 50 = 0),
-         ns AS (SELECT count(*) AS m FROM seeds),
-         r0 AS (SELECT deg.node, deg.d,
+         deg AS MATERIALIZED (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+         seeds AS MATERIALIZED (SELECT DISTINCT c AS node FROM b WHERE c % 50 = 0),
+         ns AS MATERIALIZED (SELECT count(*) AS m FROM seeds),
+         r0 AS MATERIALIZED (SELECT deg.node, deg.d,
                        CASE WHEN se.node IS NOT NULL THEN 1099511627776 // m ELSE 0 END AS r
                 FROM deg LEFT JOIN seeds se ON deg.node = se.node, ns),
-         s1 AS (SELECT e.dst AS node, sum(r0.r // r0.d) AS s
+         s1 AS MATERIALIZED (SELECT e.dst AS node, sum(r0.r // r0.d) AS s
                 FROM e JOIN r0 ON e.src = r0.node GROUP BY 1),
-         r1 AS (SELECT r0.node, r0.d,
+         r1 AS MATERIALIZED (SELECT r0.node, r0.d,
                        CASE WHEN se.node IS NOT NULL THEN (3 * 1099511627776 // 20) // m ELSE 0 END
                          + 17 * coalesce(s1.s, 0) // 20 AS r
                 FROM r0 LEFT JOIN s1 ON r0.node = s1.node LEFT JOIN seeds se ON r0.node = se.node, ns),
-         s2 AS (SELECT e.dst AS node, sum(r1.r // r1.d) AS s
+         s2 AS MATERIALIZED (SELECT e.dst AS node, sum(r1.r // r1.d) AS s
                 FROM e JOIN r1 ON e.src = r1.node GROUP BY 1),
-         r2 AS (SELECT r1.node,
+         r2 AS MATERIALIZED (SELECT r1.node,
                        CASE WHEN se.node IS NOT NULL THEN (3 * 1099511627776 // 20) // m ELSE 0 END
                          + 17 * coalesce(s2.s, 0) // 20 AS r
                 FROM r1 LEFT JOIN s2 ON r1.node = s2.node LEFT JOIN seeds se ON r1.node = se.node, ns)

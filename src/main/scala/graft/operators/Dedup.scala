@@ -312,9 +312,15 @@ object Dedup {
     // shuffles carry (id, hash) longs and pair counts only, never the
     // per-doc shingle arrays (an ngramJaccard-style verify join would
     // ship text-sized arrays to every candidate pair)
+    // cached: consumed by the exploded self-join AND both size joins —
+    // without it the tokenize+shingle projection runs ~3×. (id,
+    // hash-array) rows, sample-sized; same non-unpersist contract as
+    // the banded detectors' candidate caches (Bench clearCache()s
+    // between measured passes).
     val sets = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
         array_distinct(X.shingleHashes(T.normText(col(textCol)), shingleK)).as("__set"))
+      .cache()
     val sizes = sets.select(col("__id"), size(col("__set")).as("__n"))
     val ex = sets.select(col("__id"), explode(col("__set")).as("__g"))
     val inter = ex.select(col("__id").as("id_l"), col("__g"))

@@ -122,7 +122,14 @@ object Graph {
             raise_error(concat(lit("personalizedPagerank: seed has no out-edges: "),
               col("node").cast("string"))).cast("long"))
             .otherwise(lit(1L)).as("__one"))
-          .agg(sum(col("__one")).as("__ns"))
+          // sum over an EMPTY seed relation is NULL — without this
+          // guard every teleport share would silently take the
+          // non-seed 0 branch and the operator would return all-zero
+          // ranks (100% mass leak), the exact contract violation the
+          // per-row guard above exists to prevent
+          .agg(coalesce(sum(col("__one")),
+            raise_error(lit("personalizedPagerank: seed set is empty")).cast("long"))
+            .as("__ns"))
         deg.crossJoin(broadcast(n))
           .join(s.withColumn("__seed", lit(1L)), Seq("node"), "left")
           .crossJoin(broadcast(ns)).cache()

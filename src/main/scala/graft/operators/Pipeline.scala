@@ -1154,35 +1154,15 @@ object Pipeline {
     val budgeted = pre.filter(col("__b").isNotNull)
       .repartitionByRange(col("__src").asc, col("__p").asc, col(idCol).asc)
       .sortWithinPartitions(col("__src").asc, col("__p").asc, col(idCol).asc)
-    val rdd = budgeted.rdd
-    rdd.cache()
-    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
-      val m = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach { r => val s = r.getString(1); m(s) = m.getOrElse(s, 0L) + r.getLong(2) }
-      Iterator((i, m.toMap))
-    }.collect().sortBy(_._1)
-    val running = scala.collection.mutable.HashMap.empty[String, Long]
-    val offsets = partSums.map { case (_, sums) =>
-      val off = sums.keys.map(s => s -> running.getOrElse(s, 0L)).toMap
-      sums.foreach { case (s, v) => running(s) = running.getOrElse(s, 0L) + v }
-      off
-    }
-    val bc = spark.sparkContext.broadcast(offsets)
+    val (cached, withCum) = runningTotals(budgeted, tokIdx = 2, groupOf = _.getString(1))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       df.schema(idCol),
       org.apache.spark.sql.types.StructField("__src", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("cum_tokens", org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("__b2", org.apache.spark.sql.types.LongType, nullable = false)))
-    val rows = rdd.mapPartitionsWithIndex { (i, it) =>
-      val acc = scala.collection.mutable.HashMap.empty[String, Long]
-      bc.value(i).foreach { case (s, v) => acc(s) = v }
-      it.map { r =>
-        val s = r.getString(1)
-        val c = acc.getOrElse(s, 0L) + r.getLong(2)
-        acc(s) = c
-        org.apache.spark.sql.Row(r.get(0), s, r.getLong(2), c, r.getLong(4))
-      }
+    val rows = withCum.map { case (r, c) =>
+      org.apache.spark.sql.Row(r.get(0), r.getString(1), r.getLong(2), c, r.getLong(4))
     }
     val selectedPart = spark.createDataFrame(rows, schema)
       .select(col(idCol), col("__src").as(stratumCol), col("n_tokens"),
@@ -1191,8 +1171,49 @@ object Pipeline {
       .select(col(idCol), col("__src").as(stratumCol), col("__tok").as("n_tokens"),
         lit(null).cast("long").as("cum_tokens"), lit(false).as("selected"))
     val out = selectedPart.unionByName(rest).localCheckpoint(eager = true)
-    rdd.unpersist(false)
+    cached.unpersist(false)
     out
+  }
+
+  /** Shared two-pass distributed running-total core for the budget
+    * selectors ([[selectToBudget]] = the single-group case,
+    * [[tokenMixToBudget]] = per-group): `prepared` must already be
+    * range-partitioned and sorted in the intended scan order. Pass 1
+    * collects per-partition PER-GROUP sums to the driver (≤ partitions
+    * × groups longs — the sanctioned tiny relation) and derives
+    * exclusive offsets; pass 2 streams each partition once, pairing
+    * every row with its inclusive per-group running total. Returns the
+    * cached input RDD too: the caller must materialize its result
+    * (eager localCheckpoint) and then unpersist it. */
+  private def runningTotals(prepared: DataFrame, tokIdx: Int,
+                            groupOf: org.apache.spark.sql.Row => String)
+      : (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+         org.apache.spark.rdd.RDD[(org.apache.spark.sql.Row, Long)]) = {
+    val rdd = prepared.rdd
+    rdd.cache()
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { r => val g = groupOf(r); m(g) = m.getOrElse(g, 0L) + r.getLong(tokIdx) }
+      Iterator((i, m.toMap))
+    }.collect().sortBy(_._1)
+    val running = scala.collection.mutable.HashMap.empty[String, Long]
+    val offsets = partSums.map { case (_, sums) =>
+      val off = sums.keys.map(s => s -> running.getOrElse(s, 0L)).toMap
+      sums.foreach { case (s, v) => running(s) = running.getOrElse(s, 0L) + v }
+      off
+    }
+    val bc = prepared.sparkSession.sparkContext.broadcast(offsets)
+    val rows = rdd.mapPartitionsWithIndex { (i, it) =>
+      val acc = scala.collection.mutable.HashMap.empty[String, Long]
+      bc.value(i).foreach { case (s, v) => acc(s) = v }
+      it.map { r =>
+        val g = groupOf(r)
+        val c = acc.getOrElse(g, 0L) + r.getLong(tokIdx)
+        acc(g) = c
+        (r, c)
+      }
+    }
+    (rdd, rows)
   }
 
   def selectToBudget(df: DataFrame, idCol: String, tokensCol: String,
@@ -1205,32 +1226,19 @@ object Pipeline {
         scoreCol.as("__score"))
       .repartitionByRange(col("__score").desc, col(idCol).asc)
       .sortWithinPartitions(col("__score").desc, col(idCol).asc)
-    val rdd = prepared.rdd
-    rdd.cache()
-    // per-partition totals -> exclusive prefix offsets (tiny by
-    // construction: one long per partition)
-    val partSums = rdd
-      .mapPartitionsWithIndex { (i, it) =>
-        var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator((i, s))
-      }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0L)(_ + _)
-    val bc = spark.sparkContext.broadcast(offsets)
+    // the single-group case of the shared per-group prefix-offset core
+    val (cached, withCum) = runningTotals(prepared, tokIdx = 1, groupOf = _ => "")
     val schema = org.apache.spark.sql.types.StructType(Seq(
       df.schema(idCol),
       org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("cum_tokens", org.apache.spark.sql.types.LongType, nullable = false)))
-    val rows = rdd.mapPartitionsWithIndex { (i, it) =>
-      var acc = bc.value(i)
-      it.map { r =>
-        acc += r.getLong(1)
-        org.apache.spark.sql.Row(r.get(0), r.getLong(1), acc)
-      }
+    val rows = withCum.map { case (r, c) =>
+      org.apache.spark.sql.Row(r.get(0), r.getLong(1), c)
     }
     val out = spark.createDataFrame(rows, schema)
       .withColumn("selected", col("cum_tokens") <= budget)
       .localCheckpoint(eager = true) // seal, then drop the 2-pass cache
-    rdd.unpersist(false)
+    cached.unpersist(false)
     out
   }
 }

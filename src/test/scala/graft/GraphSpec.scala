@@ -72,6 +72,13 @@ class GraphSpec extends SparkSpec {
         iters = 1).collect()
     }
     assert(e.getMessage.contains("seed has no out-edges"))
+    // an EMPTY seed set would silently zero every rank (sum over no
+    // rows is NULL, so every teleport share takes the non-seed branch)
+    val e2 = intercept[Exception] {
+      Graph.personalizedPagerank(edges, "src", "dst",
+        Seq.empty[Long].toDF("node"), "node", iters = 1).collect()
+    }
+    assert(e2.getMessage.contains("seed set is empty"))
   }
 
   test("labelPropagation: disconnected cliques converge to distinct uniform labels") {
