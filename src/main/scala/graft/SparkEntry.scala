@@ -3057,9 +3057,11 @@ object SparkEntry {
                FROM documents)""",
 
     // shardManifest twin: the shuffle_shard layout rejoined to the
-    // docs, per-row 60-bit hash of (shard:pos:md5(text)) summed
-    // exactly (HUGEINT -> DECIMAL(38,0) on this side, decimal sum on
-    // the Spark side)
+    // docs, per-row 60-bit hash of (shard:pos:md5(text)) summed as
+    // two BIGINT lanes (hi = fp>>30, lo = fp & (2^30-1)) — each lane
+    // stays below 2^53 so the value survives every numeric path a
+    // harness can take (a single 60-bit sum lands ~4e19, above both
+    // int64 max and float64's exact range — the r10 red row)
     "corpus_manifest" ->
       s"""WITH l AS (
             SELECT doc_id, shard,
@@ -3075,7 +3077,8 @@ object SparkEntry {
                 FROM l JOIN documents d USING (doc_id))
           SELECT shard, count(*) AS n_docs,
                  CAST(sum(t) AS BIGINT) AS n_tokens, CAST(sum(c) AS BIGINT) AS n_chars,
-                 CAST(sum(fp) AS DECIMAL(38,0)) AS content_fp
+                 CAST(sum(fp >> 30) AS BIGINT) AS fp_hi,
+                 CAST(sum(fp & 1073741823) AS BIGINT) AS fp_lo
           FROM r GROUP BY shard""",
 
     "text_bigram_lm" ->

@@ -1,9 +1,52 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Representation-portability gate (closes the r10 corpus_manifest
+    * defect CLASS, not just the instance): every dumped column must
+    * either be integral/string/bool/date/timestamp/binary — exact in
+    * every engine — or hold only values with |v| < 2^53, the largest
+    * range float64 carries exactly. A dump that violates this can
+    * hash differently in any harness that routes one side through
+    * float64 and the other through an exact decimal path, even when
+    * both engines agree mathematically. Arrays and structs are
+    * checked element-/field-wise. Throws naming the query+column. */
+  def assertPortable(df: DataFrame, name: String): Unit = {
+    val limit = 9007199254740992d // 2^53
+    def bad(c: Column, dt: DataType): Option[(String, Column)] = dt match {
+      case DoubleType | FloatType | _: DecimalType =>
+        Some(dt.simpleString -> (abs(c.cast("double")) >= lit(limit)))
+      case ArrayType(et, _) =>
+        bad(lit(0), et).map { case (lbl, _) =>
+          s"array<$lbl>" -> exists(c, x => bad(x, et).get._2) }
+      case st: StructType =>
+        val inner = st.fields.toSeq.flatMap(f => bad(c.getField(f.name), f.dataType))
+        inner.map(_._2).reduceOption(_ || _).map(p => "struct" -> p)
+      case MapType(_, vt, _) =>
+        bad(lit(0), vt).map { case (lbl, _) =>
+          s"map<$lbl>" -> exists(map_values(c), x => bad(x, vt).get._2) }
+      case _ => None // integral/string/bool/date/timestamp/binary: exact everywhere
+    }
+    val perCol = df.schema.fields.toSeq.flatMap { f =>
+      bad(col(f.name), f.dataType).map { case (lbl, p) =>
+        (f.name, lbl, coalesce(p, lit(false))) }
+    }
+    if (perCol.nonEmpty) {
+      val hit = df.filter(perCol.map(_._3).reduce(_ || _)).limit(1)
+        .select(perCol.map { case (n, _, p) => p.as(n) }: _*).collect()
+      if (hit.nonEmpty) {
+        val cols = perCol.zipWithIndex.collect {
+          case ((n, lbl, _), i) if hit(0).getBoolean(i) => s"$n ($lbl)" }
+        throw new IllegalStateException(
+          s"[portability] $name dumps |value| >= 2^53 in non-exact column(s) " +
+          s"${cols.mkString(", ")} — re-encode (string / hi-lo lanes / mod < 2^53)")
+      }
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
@@ -29,9 +72,19 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // portability gate runs on the READ-BACK dump (exactly what
+        // the driver hashes); on violation the dump is removed so
+        // check.py flags the query as missing rather than comparing
+        // a value no representation carries exactly
+        try assertPortable(spark.read.parquet(s"$outDir/$name"), name)
+        catch { case e: Throwable =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$outDir/$name"))
+          throw e
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -713,31 +713,41 @@ object Pipeline {
     * training job consumes before reading a single shard: per shard,
     * document and token/char totals plus a CONTENT fingerprint that
     * pins both the documents and their positions. The fingerprint is
-    * an exact DECIMAL(38,0) SUM of a per-row 60-bit hash of
-    * (shard, pos, md5(text)) — position-salted so any reorder, drop,
-    * duplicate or edit moves it, yet commutative so it partial-aggs
-    * map-side like any sum (an ordered fp CHAIN would need the whole
-    * shard through one reducer). Everything here is map-side + one
-    * partial agg over the existing shuffleShard relation; the
-    * manifest is nShards rows. */
+    * a SUM of a per-row 60-bit hash of (shard, pos, md5(text)) —
+    * position-salted so any reorder, drop, duplicate or edit moves
+    * it, yet commutative so it partial-aggs map-side like any sum (an
+    * ordered fp CHAIN would need the whole shard through one
+    * reducer). The sum is carried as TWO BIGINT lanes — fp_hi =
+    * Σ(fp >> 30), fp_lo = Σ(fp & (2^30−1)) — because a single sum of
+    * 60-bit values (~4e19 per shard even at test scale) exceeds both
+    * int64 max and float64's exact range (2^53), so no portable
+    * representation carries it exactly across harnesses (the r10 gate
+    * defect). Each lane stays < 2^53 up to 2^23 rows per shard; the
+    * pair loses no information (hi·2^30 + lo reconstructs the exact
+    * sum) and keeps the same blast radius. Everything here is
+    * map-side + one partial agg over the existing shuffleShard
+    * relation; the manifest is nShards rows. */
   def shardManifest(df: DataFrame, idCol: String, textCol: String, nShards: Int,
                     seed: String = "shuffle", hashed: Boolean = false): DataFrame = {
     val layout = shuffleShard(df, idCol, nShards, seed, hashed)
     val rowFp = {
       val salted = concat(col("shard").cast("string"), lit(":"),
         col("pos").cast("string"), lit(":"), md5(col(textCol)))
-      if (hashed) xxhash64(salted)
+      // mask to 60 bits in BOTH modes so the lanes are non-negative
+      // (xxhash64 is signed; the md5 path is 60-bit by construction)
+      if (hashed) xxhash64(salted).bitwiseAND(lit((1L << 60) - 1))
       else conv(substring(md5(salted), 1, 15), 16, 10).cast("long")
     }
     df.select(col(idCol), col(textCol)).join(layout, idCol :: Nil)
       .select(col("shard"), col("pos"),
         graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("__t"),
         length(col(textCol)).cast("long").as("__c"),
-        rowFp.cast("decimal(38,0)").as("__fp"))
+        rowFp.as("__fp"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"),
         sum(col("__c")).as("n_chars"),
-        sum(col("__fp")).cast("decimal(38,0)").as("content_fp"))
+        sum(shiftright(col("__fp"), 30)).as("fp_hi"),
+        sum(col("__fp").bitwiseAND(lit(0x3FFFFFFFL))).as("fp_lo"))
   }
 
   def shuffleShard(df: DataFrame, idCol: String, nShards: Int,

@@ -680,9 +680,15 @@ class PipelineSpec extends SparkSpec {
     def manifest(df: org.apache.spark.sql.DataFrame) =
       Pipeline.shardManifest(df, "doc_id", "text", nShards = 4)
         .collect().map(r => r.getInt(0) ->
-          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDecimal(4).toBigInteger)).toMap
+          // fp lanes recombined: hi*2^30 + lo is the exact 60-bit-hash sum
+          (r.getLong(1), r.getLong(2), r.getLong(3),
+            BigInt(r.getLong(4)) * (1L << 30) + BigInt(r.getLong(5)))).toMap
     val base = manifest(docs)
     assert(base.keySet == Set(0, 1, 2, 3))
+    // every lane value must survive float64 round-trips exactly
+    Pipeline.shardManifest(docs, "doc_id", "text", nShards = 4).collect().foreach { r =>
+      assert(r.getLong(4) < (1L << 53) && r.getLong(5) < (1L << 53))
+    }
     // physical layout must not matter
     assert(manifest(docs.repartition(13)) == base)
     // dropping one doc moves exactly its shard's row (fp AND counts) —
