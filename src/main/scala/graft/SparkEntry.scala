@@ -1458,6 +1458,22 @@ object SparkEntry {
       operators.Graph.personalizedPagerank(edges, "src", "dst", seeds, "c", iters = 2)
     }),
 
+    "graph_ppr_weighted" -> ((s, dir) => {
+      // weighted personalized PageRank — the full pagerank-variant
+      // matrix: seed-set teleport (custkey % 50) AND count-weighted
+      // edges (share = rank·w div Σw) in one run; prRun supports the
+      // combination natively, this gate pins it cross-engine
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"), (col("l_suppkey") + 1000000000L).as("p"))
+        .agg(count(lit(1)).as("w"))
+      val edges = base.select(col("c").as("src"), col("p").as("dst"), col("w"))
+        .union(base.select(col("p").as("src"), col("c").as("dst"), col("w")))
+      val seeds = base.select(col("c")).distinct().filter(col("c") % 50 === 0)
+      operators.Graph.personalizedPagerank(edges, "src", "dst", seeds, "c",
+        iters = 2, weightCol = Some("w"))
+    }),
+
     "q_skew_join" -> ((s, dir) => {
       // explicit salt-and-replicate skew join (SkewJoin.hotKeyJoin): every
       // supplier key is a heavy hitter vs the 500-row threshold
@@ -3851,6 +3867,34 @@ object SparkEntry {
                          + 17 * coalesce(s1.s, 0) // 20 AS r
                 FROM r0 LEFT JOIN s1 ON r0.node = s1.node LEFT JOIN seeds se ON r0.node = se.node, ns),
          s2 AS MATERIALIZED (SELECT e.dst AS node, sum(r1.r // r1.d) AS s
+                FROM e JOIN r1 ON e.src = r1.node GROUP BY 1),
+         r2 AS MATERIALIZED (SELECT r1.node,
+                       CASE WHEN se.node IS NOT NULL THEN (3 * 1099511627776 // 20) // m ELSE 0 END
+                         + 17 * coalesce(s2.s, 0) // 20 AS r
+                FROM r1 LEFT JOIN s2 ON r1.node = s2.node LEFT JOIN seeds se ON r1.node = se.node, ns)
+         SELECT node, CAST(r AS BIGINT) AS rank FROM r2""",
+
+    // the graph_ppr chain with graph_pagerank_weighted's weighted
+    // shares (rank·w // Σw) — the CASE-teleport × weight merge
+    "graph_ppr_weighted" ->
+      """WITH b AS MATERIALIZED (SELECT o_custkey AS c, l_suppkey + 1000000000 AS p, count(*) AS w
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+         e AS MATERIALIZED (SELECT c AS src, p AS dst, w FROM b
+               UNION ALL SELECT p AS src, c AS dst, w FROM b),
+         deg AS MATERIALIZED (SELECT src AS node, sum(w) AS d FROM e GROUP BY 1),
+         seeds AS MATERIALIZED (SELECT DISTINCT c AS node FROM b WHERE c % 50 = 0),
+         ns AS MATERIALIZED (SELECT count(*) AS m FROM seeds),
+         r0 AS MATERIALIZED (SELECT deg.node, deg.d,
+                       CASE WHEN se.node IS NOT NULL THEN 1099511627776 // m ELSE 0 END AS r
+                FROM deg LEFT JOIN seeds se ON deg.node = se.node, ns),
+         s1 AS MATERIALIZED (SELECT e.dst AS node, sum(r0.r * e.w // r0.d) AS s
+                FROM e JOIN r0 ON e.src = r0.node GROUP BY 1),
+         r1 AS MATERIALIZED (SELECT r0.node, r0.d,
+                       CASE WHEN se.node IS NOT NULL THEN (3 * 1099511627776 // 20) // m ELSE 0 END
+                         + 17 * coalesce(s1.s, 0) // 20 AS r
+                FROM r0 LEFT JOIN s1 ON r0.node = s1.node LEFT JOIN seeds se ON r0.node = se.node, ns),
+         s2 AS MATERIALIZED (SELECT e.dst AS node, sum(r1.r * e.w // r1.d) AS s
                 FROM e JOIN r1 ON e.src = r1.node GROUP BY 1),
          r2 AS MATERIALIZED (SELECT r1.node,
                        CASE WHEN se.node IS NOT NULL THEN (3 * 1099511627776 // 20) // m ELSE 0 END

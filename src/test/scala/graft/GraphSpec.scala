@@ -81,6 +81,29 @@ class GraphSpec extends SparkSpec {
     assert(e2.getMessage.contains("seed set is empty"))
   }
 
+  test("weighted personalizedPagerank: all-nodes seed == weighted pagerank; weight steers seeded mass") {
+    val base = Seq((1L, 2L, 1L), (2L, 3L, 9L), (3L, 4L, 1L))
+    val edges = (base ++ base.map { case (a, b, w) => (b, a, w) }).toDF("src", "dst", "w")
+    // the refactor-safety pin for the variant matrix: seeding every
+    // node makes the teleport split 1/n — bit-identical to the
+    // uniform weighted operator
+    val all = (1L to 4L).toDF("node")
+    val uniform = Graph.pagerank(edges, "src", "dst", 3, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seededAll = Graph.personalizedPagerank(edges, "src", "dst", all, "node",
+        iters = 3, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seededAll == uniform)
+    // seed at node 2: the weight-9 edge (2,3) carries 90% of node 2's
+    // mass to 3, so 3 must far outrank 1 even though both are one hop
+    // from the seed
+    val ppr = Graph.personalizedPagerank(edges, "src", "dst", Seq(2L).toDF("node"),
+        "node", iters = 2, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr(3L) > ppr(1L) * 3)
+    assert(ppr(2L) > ppr(3L)) // the seed keeps the teleport mass
+  }
+
   test("labelPropagation: disconnected cliques converge to distinct uniform labels") {
     val clique1 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
     val clique2 = Seq((10L, 11L), (11L, 12L), (10L, 12L))
