@@ -1634,6 +1634,13 @@ object SparkEntry {
       Search.searchTopK(t(s, dir, "documents"), "doc_id", "text",
         terms = searchTerms, k = 10)),
 
+    "text_search_phrase" -> ((s, dir) =>
+      // positional phrase retrieval ("hash join", adjacent in order)
+      // via the diagonal trick — integer-exact (positions + count
+      // distinct), engine-reproducible as-is
+      Search.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+        phrase = Seq("hash", "join"))),
+
     "text_bm25" -> ((s, dir) =>
       // full BM25 over the same relation. GATE-SAFE despite the
       // per-row ln(): every input to the one transcendental is the
@@ -3997,6 +4004,20 @@ object SparkEntry {
                  FROM tf)
           SELECT rk.term, rk.doc_id, rk.tf, dfreq.df, CAST(rk.rnk AS INT) AS rank
           FROM rk JOIN dfreq USING (term) WHERE rnk <= 10""",
+
+    // phraseSearch twin: positions from the list comprehension (the
+    // text_bigram_lm recipe), slots as VALUES, and a phrase match =
+    // a (doc, diagonal) group holding both distinct slots
+    "text_search_phrase" ->
+      s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS ts FROM documents),
+          occ AS (SELECT doc_id, u.pos, u.term
+                  FROM tok, unnest([struct_pack(pos := i - 1, term := ts[i])
+                                    FOR i IN range(1, len(ts) + 1)]) t(u)),
+          sl AS (SELECT * FROM (VALUES ('hash', 0), ('join', 1)) s(term, slot)),
+          m AS (SELECT occ.doc_id, occ.pos - sl.slot AS p, sl.slot
+                FROM occ JOIN sl USING (term) WHERE occ.pos >= sl.slot)
+          SELECT doc_id, CAST(p AS BIGINT) AS pos
+          FROM m GROUP BY doc_id, p HAVING count(DISTINCT slot) = 2""",
 
     // BM25 twin of Search.bm25TopK: literals cast to DOUBLE and the
     // expression tree shaped exactly as the Spark Column tree so every

@@ -94,6 +94,46 @@ object Search {
         round(col("__e.score"), 6).as("score"), (col("__r") + 1).cast("int").as("rank"))
   }
 
+  /** Positional phrase search over the token stream: every occurrence
+    * of the exact k-token `phrase` (adjacent tokens, in order) — the
+    * retrieval depth the reference delegates to Elasticsearch's
+    * match_phrase (eel-elasticsearch), re-expressed relationally.
+    *
+    * The diagonal trick (the maximalSpans recipe): a token occurrence
+    * of phrase-slot i at position p lies on diagonal p − i; a phrase
+    * match starting at p0 is exactly a diagonal holding ALL k distinct
+    * slots. No self-join chain of length k, no window over the token
+    * stream — one broadcast join with the k-row slot relation and one
+    * count-distinct aggregate. A term filling several slots ("the …
+    * the") just lands on several diagonals.
+    *
+    * Scale shape: the conjunction-of-contains prefilter skips
+    * tokenize+explode for every doc missing any term as a substring
+    * (at 100 TB the vast majority); after the slot join the exchange
+    * carries only (id, diagonal, slot) longs for matching occurrences
+    * — never text, never non-matching tokens. The per-(doc, diagonal)
+    * group is bounded by the phrase length, so there is no skew.
+    * Output: (idCol, pos) — one row per occurrence, pos = 0-based
+    * token index of the phrase start. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    require(phrase.forall(t => t.nonEmpty && t == t.toLowerCase),
+      "phrase terms must be lowercase")
+    val slotDf = docs.sparkSession.createDataFrame(phrase.zipWithIndex)
+      .toDF("term", "__slot")
+    val mayMatch = phrase.distinct.map(t => lower(col(textCol)).contains(t)).reduce(_ && _)
+    docs.filter(mayMatch)
+      .select(col(idCol), posexplode(T.tokens(col(textCol))).as(Seq("__pos", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+      .join(broadcast(slotDf), "term")
+      .filter(col("__pos") >= col("__slot"))
+      .groupBy(col(idCol), (col("__pos") - col("__slot")).cast("long").as("pos"))
+      .agg(count_distinct(col("__slot")).as("__hits"))
+      .filter(col("__hits") === phrase.length)
+      .select(col(idCol), col("pos"))
+  }
+
   /** Per-document TF-IDF keyphrase extraction: each doc's top-k terms
     * by tf · idf_fp, where idf_fp = (N·scale) div df is the integer
     * fixed-point inverse document rate (no log, no float — the

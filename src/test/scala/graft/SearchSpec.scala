@@ -81,4 +81,31 @@ class SearchSpec extends SparkSpec {
         (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(re == out)
   }
+
+  test("phraseSearch: exact adjacent-in-order matches, overlaps, repeated slots") {
+    val pd = Seq(
+      (1L, "hash join beats sort merge join"),      // one match at 0
+      (2L, "join hash and hash join again"),        // reversed no, real at 3
+      (3L, "hash hash join"),                       // match at 1 only
+      (4L, "hash and also join"),                   // both terms, never adjacent
+      (5L, "sort merge only")).toDF("doc_id", "text")
+    def hits(df: org.apache.spark.sql.DataFrame, phrase: Seq[String]) =
+      Search.phraseSearch(df, "doc_id", "text", phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits(pd, Seq("hash", "join")) == Set((1L, 0L), (2L, 3L), (3L, 1L)))
+    // overlapping occurrences of a self-adjacent phrase all surface
+    val rep = Seq((9L, "go go go stop go go")).toDF("doc_id", "text")
+    assert(hits(rep, Seq("go", "go")) == Set((9L, 0L), (9L, 1L), (9L, 4L)))
+    // one term filling two slots (the … the) matches only the full triple
+    val tri = Seq(
+      (11L, "the data the rest"), (12L, "the data lake the")).toDF("doc_id", "text")
+    assert(hits(tri, Seq("the", "data", "the")) == Set((11L, 0L)))
+    // 3-gram and partition invariance
+    val p3 = Seq("sort", "merge", "join")
+    assert(hits(pd, p3) == Set((1L, 3L)))
+    assert(hits(pd.repartition(7), p3) == hits(pd, p3))
+    // substring prefilter must not fake token matches ("joined" != join)
+    val sub = Seq((21L, "hash joined stream")).toDF("doc_id", "text")
+    assert(hits(sub, Seq("hash", "join")) == Set.empty)
+  }
 }
