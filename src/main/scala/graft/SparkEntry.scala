@@ -4327,12 +4327,15 @@ object SparkEntry {
                       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
           FROM g""",
 
+    // coalesce(n_chars, 0) in the summed term mirrors selectToBudget's
+    // NULL-to-0 (ADVICE r10 null-symmetry class; both engines sort
+    // DESC with NULLS LAST, so the scan order agrees too)
     "sample_token_budget" ->
-      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens,
-                CAST(sum(CAST(n_chars AS BIGINT))
+      """SELECT doc_id, CAST(coalesce(n_chars, 0) AS BIGINT) AS n_tokens,
+                CAST(sum(CAST(coalesce(n_chars, 0) AS BIGINT))
                      OVER (ORDER BY n_chars DESC, doc_id ASC
                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
-                (CAST(sum(CAST(n_chars AS BIGINT))
+                (CAST(sum(CAST(coalesce(n_chars, 0) AS BIGINT))
                       OVER (ORDER BY n_chars DESC, doc_id ASC
                             ROWS UNBOUNDED PRECEDING) AS BIGINT) <= 100000) AS selected
          FROM documents""",
@@ -4340,8 +4343,11 @@ object SparkEntry {
     // tokenMixToBudget twin: per-source running sum over the budgeted
     // sources only (hash priority, id tie-break), unbudgeted sources
     // selected=false with NULL cum
+    // coalesce(tok, 0) mirrors tokenMixToBudget's NULL handling —
+    // the two sides must agree on NULL inputs should n_chars ever
+    // become nullable in data (ADVICE r10)
     "sample_token_mix" ->
-      """WITH b AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS tok,
+      """WITH b AS (SELECT doc_id, source, CAST(coalesce(n_chars, 0) AS BIGINT) AS tok,
                       ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS p,
                       CASE source WHEN 'src0' THEN 6000
                                   WHEN 'src1' THEN 4000

@@ -201,6 +201,61 @@ object StreamOps {
         ()
       }
 
+  /** Streaming token-budget mixture construction — the streaming twin
+    * of [[graft.operators.Pipeline.tokenMixToBudget]], completing the
+    * mixture constructor's parity: as document metadata streams in,
+    * `stateDir/mix` always holds the mixture over EVERYTHING seen so
+    * far — each source's hash-priority prefix up to its token budget.
+    *
+    * Selection is global by nature (a later high-priority doc
+    * displaces an earlier low-priority one), so the operator keeps an
+    * id-only state relation at `stateDir/rows` — (id, source, tokens)
+    * per doc, never text — and re-ranks it per batch. That is the
+    * corpus_incremental layout-stage contract: a hash+sort pass over
+    * ~16-byte rows, paid per trigger; in exchange the mixture stays a
+    * pure function of the corpus (identical to the one-shot batch
+    * operator on arbitrary replays — spec-pinned), where a greedy
+    * remaining-budget consumer would be O(batch) but arrival-order
+    * dependent, which a training mixture cannot be.
+    *
+    * Crash-safe and replay-idempotent: state and mix land via the
+    * upsertStream swap, and the merge dedupes on id, so a crash-retry
+    * re-delivering a committed batch is a no-op (ids re-merge to the
+    * same rows — stronger than ivfIndexStream's at-least-once).
+    * Re-delivered ids are assumed to carry identical (source, tokens)
+    * — the append-only crawl contract; latest-wins re-crawl merging
+    * is [[upsertStream]] composed upstream. */
+  def tokenMixStream(docs: DataFrame, stateDir: String, idCol: String,
+                     stratumCol: String, tokensCol: String,
+                     budgets: Seq[(String, Long)], checkpoint: String,
+                     seed: String = "mix"): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val rowsPath = new org.apache.hadoop.fs.Path(s"$stateDir/rows")
+          val slim = batch.toDF().select(col(idCol), col(stratumCol), col(tokensCol))
+          val merged =
+            (if (fs.exists(rowsPath))
+               spark.read.parquet(rowsPath.toString).unionByName(slim)
+             else slim)
+              .dropDuplicates(Seq(idCol))
+          val staging = new org.apache.hadoop.fs.Path(s"$stateDir/rows__staging")
+          merged.write.mode("overwrite").parquet(staging.toString)
+          atomicSwap(fs, staging, rowsPath)
+          val mix = graft.operators.Pipeline.tokenMixToBudget(
+            spark.read.parquet(rowsPath.toString), idCol, stratumCol, tokensCol,
+            budgets, seed)
+          val mixStaging = new org.apache.hadoop.fs.Path(s"$stateDir/mix__staging")
+          mix.write.mode("overwrite").parquet(mixStaging.toString)
+          atomicSwap(fs, mixStaging, new org.apache.hadoop.fs.Path(s"$stateDir/mix"))
+        }
+        ()
+      }
+
   /** Streaming embedding-store maintenance — the streaming twin of
     * [[graft.operators.Similarity.appendIvfIndex]], completing ANN's
     * streaming parity the way corpusStream does for the document

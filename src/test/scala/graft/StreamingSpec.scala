@@ -135,6 +135,55 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._1) == Set(10L, 20L, 110L, 210L)) // dups 100/200 dropped
   }
 
+  test("tokenMixStream: replayed batches equal one-shot tokenMixToBudget; later batch displaces") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    val base = java.nio.file.Files.createTempDirectory("graft_mixstream").toString
+    val in = s"$base/in"
+    // two sources; batch 2 carries ids whose hash priority beats some
+    // of batch 1's, so the final mixture must displace early picks —
+    // the case a greedy remaining-budget consumer gets wrong
+    val b1 = (1L to 20L).map(i => (i, if (i % 2 == 0) "a" else "b", 40L))
+    val b2 = (21L to 40L).map(i => (i, if (i % 2 == 0) "a" else "b", 40L))
+    def writeFile(rows: Seq[(Long, String, Long)], mtime: Long): Unit = {
+      rows.toDF("doc_id", "source", "n_tokens").coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          if (f.lastModified() > mtime) f.setLastModified(mtime) }
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    writeFile(b1, t0)
+    writeFile(b2, t0 + 2000)
+    val budgets = Seq("a" -> 200L, "b" -> 120L) // 5 and 3 docs' worth
+    val schema = spark.read.parquet(in).schema
+    val stream = StreamOps.parquetStream(spark, in, schema, maxFilesPerTrigger = 1)
+    val state = s"$base/state"
+    val q = StreamOps.tokenMixStream(stream, state, "doc_id", "source",
+      "n_tokens", budgets, s"$base/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), Option(r.get(3)), r.getBoolean(4))).toMap
+    val got = asMap(spark.read.parquet(s"$state/mix"))
+    val oneShot = asMap(Pipeline.tokenMixToBudget(
+      (b1 ++ b2).toDF("doc_id", "source", "n_tokens"),
+      "doc_id", "source", "n_tokens", budgets))
+    assert(got == oneShot)
+    // the displacement actually happened: some batch-1 doc selected
+    // after batch 1 alone is unselected in the final mixture
+    val afterB1 = asMap(Pipeline.tokenMixToBudget(
+      b1.toDF("doc_id", "source", "n_tokens"),
+      "doc_id", "source", "n_tokens", budgets))
+    val displaced = b1.map(_._1).filter(id => afterB1(id)._4 && !got(id)._4)
+    assert(displaced.nonEmpty)
+    // budgets hold per source
+    Seq("a" -> 200L, "b" -> 120L).foreach { case (s0, b) =>
+      val sel = got.values.filter(v => v._1 == s0 && v._4).map(_._2).sum
+      assert(sel <= b && sel > 0)
+    }
+  }
+
   test("embeddingDriftStream emits per-batch drift equal to batch embeddingDrift on replay") {
     import spark.implicits._
     import graft.operators.Quality
