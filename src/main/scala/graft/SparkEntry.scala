@@ -1393,11 +1393,9 @@ object SparkEntry {
 
     "graph_pagerank_weighted" -> ((s, dir) => {
       // weighted pagerank: edge weight = shared-order count, share =
-      // (rank·w) div Σw — still pure integer arithmetic
-      val base = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey").as("c"), (col("l_suppkey") + 1000000000L).as("p"))
-        .agg(count(lit(1)).as("w"))
+      // (rank·w) div Σw — still pure integer arithmetic; base from
+      // the shared sealed purchase-graph cache (Tables.purchaseBase)
+      val base = Tables.purchaseBase(s, dir)
       val edges = base.select(col("c").as("src"), col("p").as("dst"), col("w"))
         .union(base.select(col("p").as("src"), col("c").as("dst"), col("w")))
       operators.Graph.pagerank(edges, "src", "dst", iters = 2, weightCol = Some("w"))
@@ -1419,11 +1417,9 @@ object SparkEntry {
 
     "graph_labelprop" -> ((s, dir) => {
       // community detection (2 synchronous LP rounds, min-label ties)
-      // on the same bidirected purchase graph as graph_pagerank
-      val base = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000000L).as("p"))
-        .distinct()
+      // on the same bidirected purchase graph as graph_pagerank;
+      // distinct pairs = the cached grouped base's keys
+      val base = Tables.purchaseBase(s, dir).select(col("c"), col("p"))
       val edges = base.select(col("c").as("src"), col("p").as("dst"))
         .union(base.select(col("p").as("src"), col("c").as("dst")))
       operators.Graph.labelPropagation(edges, "src", "dst", iters = 2)
@@ -1434,10 +1430,8 @@ object SparkEntry {
       // over the bidirected customer↔supplier purchase graph —
       // pairwise-signal → per-node-score propagation. Suppliers get
       // disjoint ids (key + 10^9) so the two partites can't collide.
-      val base = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000000L).as("p"))
-        .distinct()
+      // Distinct pairs = the shared sealed cache's group keys.
+      val base = Tables.purchaseBase(s, dir).select(col("c"), col("p"))
       val edges = base.select(col("c").as("src"), col("p").as("dst"))
         .union(base.select(col("p").as("src"), col("c").as("dst")))
       operators.Graph.pagerank(edges, "src", "dst", iters = 2)
@@ -1448,10 +1442,7 @@ object SparkEntry {
       // (custkey % 50): proximity-to-seeds over the same bidirected
       // purchase graph — the "expand a high-quality seed corpus"
       // scorer; same integer fixed-point, teleport split over seeds
-      val base = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000000L).as("p"))
-        .distinct()
+      val base = Tables.purchaseBase(s, dir).select(col("c"), col("p"))
       val edges = base.select(col("c").as("src"), col("p").as("dst"))
         .union(base.select(col("p").as("src"), col("c").as("dst")))
       val seeds = base.select(col("c")).distinct().filter(col("c") % 50 === 0)
@@ -1463,10 +1454,7 @@ object SparkEntry {
       // matrix: seed-set teleport (custkey % 50) AND count-weighted
       // edges (share = rank·w div Σw) in one run; prRun supports the
       // combination natively, this gate pins it cross-engine
-      val base = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey").as("c"), (col("l_suppkey") + 1000000000L).as("p"))
-        .agg(count(lit(1)).as("w"))
+      val base = Tables.purchaseBase(s, dir)
       val edges = base.select(col("c").as("src"), col("p").as("dst"), col("w"))
         .union(base.select(col("p").as("src"), col("c").as("dst"), col("w")))
       val seeds = base.select(col("c")).distinct().filter(col("c") % 50 === 0)
@@ -2029,10 +2017,7 @@ object SparkEntry {
       // purchase graph: benches the LINEAR-lineage iteration shape —
       // per-iteration marginal cost is the number that holds at a
       // cluster's 30-50 iteration convergence runs
-      val base = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000000L).as("p"))
-        .distinct()
+      val base = Tables.purchaseBase(s, dir).select(col("c"), col("p"))
       val edges = base.select(col("c").as("src"), col("p").as("dst"))
         .union(base.select(col("p").as("src"), col("c").as("dst")))
       operators.Graph.pagerank(edges, "src", "dst", iters = 10)
