@@ -1622,6 +1622,13 @@ object SparkEntry {
       Search.searchTopK(t(s, dir, "documents"), "doc_id", "text",
         terms = searchTerms, k = 10)),
 
+    "text_search_proximity" -> ((s, dir) =>
+      // minimal covering window over the three search terms — the
+      // integer-exact proximity ("slop") scorer; docs holding all
+      // three terms only
+      Search.proximityWindow(t(s, dir, "documents"), "doc_id", "text",
+        terms = searchTerms)),
+
     "text_search_phrase" -> ((s, dir) =>
       // positional phrase retrieval ("hash join", adjacent in order)
       // via the diagonal trick — integer-exact (positions + count
@@ -3989,6 +3996,25 @@ object SparkEntry {
                  FROM tf)
           SELECT rk.term, rk.doc_id, rk.tf, dfreq.df, CAST(rk.rnk AS INT) AS rank
           FROM rk JOIN dfreq USING (term) WHERE rnk <= 10""",
+
+    // proximityWindow twin: per-term conditional running max over the
+    // doc-ordered occurrence stream; a window ending at pos starts at
+    // least(latest-seen per term), valid once every term has appeared
+    "text_search_proximity" ->
+      s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS ts FROM documents),
+          occ AS (SELECT doc_id, u.pos, u.term
+                  FROM tok, unnest([struct_pack(pos := i - 1, term := ts[i])
+                                    FOR i IN range(1, len(ts) + 1)]) t(u)
+                  WHERE u.term IN ($searchTermsSqlIn)),
+          r AS (SELECT doc_id, pos,
+                  max(CASE WHEN term = 'spark' THEN pos END) OVER w AS l0,
+                  max(CASE WHEN term = 'join' THEN pos END) OVER w AS l1,
+                  max(CASE WHEN term = 'window' THEN pos END) OVER w AS l2
+                FROM occ
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING))
+          SELECT doc_id, CAST(min(pos - least(l0, l1, l2) + 1) AS BIGINT) AS window_len
+          FROM r WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL
+          GROUP BY doc_id""",
 
     // phraseSearch twin: positions from the list comprehension (the
     // text_bigram_lm recipe), slots as VALUES, and a phrase match =

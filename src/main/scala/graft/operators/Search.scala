@@ -134,6 +134,55 @@ object Search {
       .select(col(idCol), col("pos"))
   }
 
+  /** Proximity retrieval ("slop" matching, the other half of the
+    * Elasticsearch surface [[phraseSearch]] covers): for every doc
+    * containing ALL `terms` as tokens, the length of the SMALLEST
+    * token window holding at least one occurrence of each — 3 means
+    * the terms appear adjacent-ish, doc_len means they merely co-occur.
+    * The classic minimal-covering-window, relationally: scanning
+    * occurrences in token order, a window ENDING at position p starts
+    * at the minimum over terms of "latest occurrence of that term at
+    * or before p" (one conditional running max per term — k window
+    * columns over ONE doc-partitioned sort, valid only when every term
+    * has been seen); the answer is the min over end positions. All
+    * integer arithmetic.
+    *
+    * Scale shape: same as [[phraseSearch]] — contains-prefilter, then
+    * the exchange carries (id, pos, term) for query-term occurrences
+    * only; the window partition is one doc's own occurrences, bounded
+    * by doc length (the keyphrase anti-window exemption: the
+    * invariant targets unbounded groups).
+    * Output: (idCol, window_len), docs with all terms only. */
+  def proximityWindow(docs: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms == terms.distinct, "terms must be distinct")
+    require(terms.forall(t => t.nonEmpty && t == t.toLowerCase),
+      "terms must be lowercase")
+    val mayMatch = terms.map(t => lower(col(textCol)).contains(t)).reduce(_ && _)
+    val occ = docs.filter(mayMatch)
+      .select(col(idCol), posexplode(T.tokens(col(textCol))).as(Seq("__pos", "__term")))
+      .filter(col("__term").isin(terms: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val lastCols = terms.indices.map { i =>
+      max(when(col("__term") === terms(i), col("__pos"))).over(w).as(s"__l$i")
+    }
+    val withLast = occ.select(col(idCol) +: col("__pos") +: lastCols: _*)
+    val allSeen = terms.indices.map(i => col(s"__l$i").isNotNull).reduce(_ && _)
+    // least() skips nulls, so gate it: a window only exists once every
+    // term has occurred at least once before this position
+    val earliest =
+      if (terms.size == 1) col("__l0") // least() requires >= 2 args
+      else least(terms.indices.map(i => col(s"__l$i")): _*)
+    val winLen = when(allSeen, col("__pos") - earliest + 1)
+    withLast.select(col(idCol), winLen.as("__wl"))
+      .groupBy(col(idCol))
+      .agg(min(col("__wl")).cast("long").as("window_len"))
+      .filter(col("window_len").isNotNull)
+  }
+
   /** Per-document TF-IDF keyphrase extraction: each doc's top-k terms
     * by tf · idf_fp, where idf_fp = (N·scale) div df is the integer
     * fixed-point inverse document rate (no log, no float — the

@@ -108,4 +108,22 @@ class SearchSpec extends SparkSpec {
     val sub = Seq((21L, "hash joined stream")).toDF("doc_id", "text")
     assert(hits(sub, Seq("hash", "join")) == Set.empty)
   }
+
+  test("proximityWindow: minimal covering window, all-terms-only, partition-invariant") {
+    val pd = Seq(
+      (1L, "spark keeps join near window now"),     // cover [0..4] = 5
+      (2L, "spark join window"),                    // adjacent: 3
+      (3L, "window stuff stuff spark more join"),   // [0..5] = 6
+      (4L, "spark join spark window join spark"),   // best = spark(2),window(3),join(4): [2..4] = 3
+      (5L, "spark join only"),                      // missing "window" -> absent
+      (6L, "sparky joined windows")).toDF("doc_id", "text") // substrings only -> absent
+    def run(df: org.apache.spark.sql.DataFrame, ts: Seq[String]) =
+      Search.proximityWindow(df, "doc_id", "text", ts)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = run(pd, Seq("spark", "join", "window"))
+    assert(out == Map(1L -> 5L, 2L -> 3L, 3L -> 6L, 4L -> 3L))
+    assert(run(pd.repartition(7), Seq("spark", "join", "window")) == out)
+    // single term: every containing doc has window 1
+    assert(run(pd, Seq("join")) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
 }
