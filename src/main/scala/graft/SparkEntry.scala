@@ -1487,16 +1487,10 @@ object SparkEntry {
       // express). Gate-exercises Graph.connectedComponents' DISTRIBUTED
       // min-label path — dedup_keeplist's tiny pair sets take the
       // driver union-find shortcut, so this is the path's only gate.
-      // The edge self-join is keyed on o_custkey: per-customer fanout
-      // is bounded by orders-per-customer (~10 at any corpus scale),
-      // so the pair count stays linear in the order count.
-      val o = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").cast("date").as("__d"))
-      val e = o.as("x").join(o.as("y"),
-          col("x.o_custkey") === col("y.o_custkey") &&
-            col("x.o_orderkey") < col("y.o_orderkey") &&
-            abs(datediff(col("y.__d"), col("x.__d"))) <= 7)
-        .select(col("x.o_orderkey").as("a"), col("y.o_orderkey").as("b"))
+      // Pairs from the shared sealed burst cache (Tables.burstPairs —
+      // the custkey-keyed self-join with fanout bounded by
+      // orders-per-customer runs once per gate session).
+      val e = Tables.burstPairs(s, dir).select(col("a"), col("b"))
       operators.Graph.connectedComponents(e, "a", "b").orderBy(col("node"))
     }),
 
@@ -1506,13 +1500,7 @@ object SparkEntry {
       // sparse deterministic order subset (o_orderkey % 97 == 0).
       // Components are per-customer bursts, so distances stay small
       // but genuinely multi-hop; unreachable orders are absent.
-      val o = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").cast("date").as("__d"))
-      val pairs = o.as("x").join(o.as("y"),
-          col("x.o_custkey") === col("y.o_custkey") &&
-            col("x.o_orderkey") < col("y.o_orderkey") &&
-            abs(datediff(col("y.__d"), col("x.__d"))) <= 7)
-        .select(col("x.o_orderkey").as("a"), col("y.o_orderkey").as("b"))
+      val pairs = Tables.burstPairs(s, dir).select(col("a"), col("b"))
       val e = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
       val seeds = t(s, dir, "orders")
         .filter(col("o_orderkey") % 97 === 0).select(col("o_orderkey"))
@@ -1523,14 +1511,7 @@ object SparkEntry {
       // weighted shortest paths over the burst graph: edge cost =
       // 1 + day gap, explored within a 21-cost budget (the bounded-
       // radius variant that keeps the recursive-CTE oracle finite)
-      val o = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").cast("date").as("__d"))
-      val pairs = o.as("x").join(o.as("y"),
-          col("x.o_custkey") === col("y.o_custkey") &&
-            col("x.o_orderkey") < col("y.o_orderkey") &&
-            abs(datediff(col("y.__d"), col("x.__d"))) <= 7)
-        .select(col("x.o_orderkey").as("a"), col("y.o_orderkey").as("b"),
-          (abs(datediff(col("y.__d"), col("x.__d"))) + 1).cast("long").as("w"))
+      val pairs = Tables.burstPairs(s, dir)
       val e = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
       val seeds = t(s, dir, "orders")
         .filter(col("o_orderkey") % 97 === 0).select(col("o_orderkey"))
@@ -1545,13 +1526,7 @@ object SparkEntry {
       // clusters survive (the 3-core is empty on this corpus, which
       // made the old gate trivially green — r9); oracle = the same
       // peeling unrolled maxRounds times (idempotent once converged)
-      val o = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").cast("date").as("__d"))
-      val pairs = o.as("x").join(o.as("y"),
-          col("x.o_custkey") === col("y.o_custkey") &&
-            col("x.o_orderkey") < col("y.o_orderkey") &&
-            abs(datediff(col("y.__d"), col("x.__d"))) <= 7)
-        .select(col("x.o_orderkey").as("a"), col("y.o_orderkey").as("b"))
+      val pairs = Tables.burstPairs(s, dir).select(col("a"), col("b"))
       val e = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
       operators.Graph.kcore(e, "a", "b", k = 2, maxRounds = 8)
         .orderBy(col("node"))
