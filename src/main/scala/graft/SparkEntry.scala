@@ -993,6 +993,14 @@ object SparkEntry {
       // src15..19 carry no weight -> kept rows flagged keep=false
       Pipeline.corpusMix(t(s, dir, "documents"), "doc_id", "source", mixWeights)),
 
+    "corpus_mix_temperature" -> ((s, dir) =>
+      // α=1/2 temperature sampling: per-source quota ∝ isqrt(count),
+      // capped at count, budget 300 — the derived-ratio member of the
+      // mixing family (corpus_mix = fixed ratios, sample_token_mix =
+      // token budgets); isqrt is float-seeded + integer ±1-corrected
+      Pipeline.corpusMixTemperature(t(s, dir, "documents"), "doc_id", "source",
+        budget = 300L)),
+
     "dedup_spans" -> ((s, dir) =>
       // cross-doc repeated 5-gram spans (boilerplate/template signal).
       // Gate variant shuffles gram STRINGS so DuckDB rebuilds the sets;
@@ -3298,6 +3306,24 @@ object SparkEntry {
                 FROM documents)
           SELECT r.doc_id, r.source, (r.rn <= COALESCE(wv.w, 0) * m.m) AS keep
           FROM r LEFT JOIN wv USING (source) CROSS JOIN m""",
+
+    // corpusMixTemperature twin: same pow-seeded ±1-corrected integer
+    // sqrt, quota and rank arithmetic all-integer
+    "corpus_mix_temperature" ->
+      """WITH cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+          w0 AS (SELECT source, c, CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS s0 FROM cnt),
+          wv AS (SELECT source, c,
+                   s0 + CASE WHEN (s0 + 1) * (s0 + 1) <= c THEN 1 ELSE 0 END
+                      - CASE WHEN s0 * s0 > c THEN 1 ELSE 0 END AS w
+                 FROM w0),
+          tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wv),
+          q AS (SELECT source, least(c, (300 * w) // tw) AS q FROM wv, tw),
+          r AS (SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5('temp:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+                FROM documents)
+          SELECT r.doc_id, r.source, (r.rn <= q.q) AS keep
+          FROM r JOIN q USING (source)""",
 
     "dedup_spans" ->
       s"""WITH ${shingleSetsSqlK(5)},

@@ -169,6 +169,48 @@ object Pipeline {
         (col("__rn") <= wcol * col("__m")).as("keep"))
   }
 
+  /** Temperature-scaled corpus mixing — the multilingual-pretraining
+    * α-sampling recipe (XLM-R / mT5 style, α = 1/2): stratum s
+    * contributes quota_s = min(count_s, budget·w_s div Σw) docs with
+    * w_s = ⌊√count_s⌋, which up-weights tail strata relative to
+    * proportional sampling without ever upsampling — the standard
+    * answer to "English is 1000× Swahili but must not be 1000× of the
+    * mixture". Complements [[corpusMix]] (fixed target ratios) and
+    * [[tokenMixToBudget]] (explicit per-source token budgets): here
+    * the ratio is DERIVED from the corpus itself.
+    *
+    * Engine-exact despite the square root: the integer sqrt is
+    * float-seeded then ±1-corrected by integer comparisons
+    * ((s+1)² ≤ c / s² > c), so the float path only needs to land
+    * within 1 of the truth — no boundary can disagree across engines.
+    * Everything downstream is the corpusMix integer machinery: tiny
+    * per-stratum counts broadcast back, quota filled by ascending
+    * id-hash rank per stratum. Quota surplus from the count_s cap is
+    * NOT redistributed to other strata (one-shot quota — documented
+    * contract; run with a larger budget if the capped strata leave
+    * too much unfilled). Returns (id, stratum, keep). */
+  def corpusMixTemperature(df: DataFrame, idCol: String, stratumCol: String,
+                           budget: Long, seed: String = "temp"): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val cnt = df.select(col(stratumCol)).groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val s0 = floor(sqrt(col("__cnt").cast("double"))).cast("long")
+    val isq = (s0 +
+      when((s0 + 1) * (s0 + 1) <= col("__cnt"), 1L).otherwise(0L) -
+      when(s0 * s0 > col("__cnt"), 1L).otherwise(0L)).as("__w")
+    val ws = cnt.select(col(stratumCol), col("__cnt"), isq)
+    val tot = ws.agg(sum(col("__w")).as("__tw"))
+    val quota = ws.crossJoin(broadcast(tot))
+      .select(col(stratumCol),
+        least(col("__cnt"), expr(s"(${budget}L * __w) div __tw")).as("__q"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))).asc, col(idCol).asc)
+    df.select(col(idCol), col(stratumCol))
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(quota), stratumCol)
+      .select(col(idCol), col(stratumCol), (col("__rn") <= col("__q")).as("keep"))
+  }
+
   /** Cross-document repeated-span detection: for each doc, how many of
     * its distinct word-k-grams occur in at least `minDocs` documents —
     * the boilerplate/template signal (site chrome, license headers,

@@ -136,6 +136,32 @@ class PipelineSpec extends SparkSpec {
     assert(out.except(re).isEmpty && re.except(out).isEmpty)
   }
 
+  test("corpusMixTemperature: isqrt weights, exact quotas, count cap, tail up-weighting") {
+    // strata sizes: a=100, b=16, c=4 -> isqrt weights 10, 4, 2 (Σ=16)
+    // budget 32 -> quotas: a = min(100, 32·10÷16) = 20,
+    //                      b = min(16, 8) = 8, c = min(4, 4) = 4
+    val d = spark.range(0, 120).select(col("id").as("doc_id"),
+      when(col("id") < 100, "a").when(col("id") < 116, "b").otherwise("c").as("src"))
+    val out = Pipeline.corpusMixTemperature(d, "doc_id", "src", budget = 32L)
+    val kept = out.filter(col("keep")).groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("a" -> 20L, "b" -> 8L, "c" -> 4L))
+    assert(out.count() == 120) // every row present, unselected ones keep=false
+    // the α=1/2 point: the tail stratum keeps 100% while the head keeps 20% —
+    // proportional sampling at the same budget would give c only ~1 doc
+    // isqrt exactness at square boundaries: counts 15/16/17 -> weights 3/4/4
+    val sq = spark.range(0, 48).select(col("id").as("doc_id"),
+      when(col("id") < 15, "p").when(col("id") < 31, "q").otherwise("r").as("src"))
+    val w2 = Pipeline.corpusMixTemperature(sq, "doc_id", "src", budget = 11L)
+      .filter(col("keep")).groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Σw = 3+4+4 = 11, budget 11 -> quotas exactly the weights
+    assert(w2 == Map("p" -> 3L, "q" -> 4L, "r" -> 4L))
+    // deterministic under relayout
+    val re = Pipeline.corpusMixTemperature(d.repartition(7), "doc_id", "src", budget = 32L)
+    assert(out.except(re).isEmpty && re.except(out).isEmpty)
+  }
+
   // -- repeatedSpans ---------------------------------------------------
 
   test("repeatedSpans finds cross-doc shared k-grams; hashed == string") {
