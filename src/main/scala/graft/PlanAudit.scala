@@ -72,6 +72,9 @@ object PlanAudit {
       // query batch as its ground-truth side)
       // graph_pagerank joins the 1-row node-count aggregate into the
       // rank relation — the same scalar-broadcast shape as q22's stats
+      // corpus_mix prefix also covers corpus_mix_temperature: its
+      // 1-row Σw total crossJoins(broadcast) into the stratum quota —
+      // the same scalar shape as corpus_mix's min-quota m
       val nljByDesign = Set("ds_cartesian", "ds_takewhile", "sim_bruteforce_topk",
         "corpus_mix", "text_unigram_prod", "q22_dormant_customers",
         // text_bm25 (gate + prod): 1-row (N, avgdl) corpus-stats
