@@ -66,6 +66,13 @@ PIPELINE = [
     # stay excluded: decimal-cast / rebuilt-candidate gate
     # reconstructions, not how one would write them in DuckDB.
     "text_bm25",
+    # r11: natural single-node formulations — positional phrase match
+    # (position unnest + slot join + HAVING count distinct), proximity
+    # (conditional running-max windows, the textbook SQL shape), and
+    # temperature mixing (counts + sqrt + rank window).
+    # graph_ppr_weighted stays out with graph_ppr/_weighted (only the
+    # uniform pagerank represents the unrolled-CTE family, r10 ruling).
+    "text_search_phrase", "text_search_proximity", "corpus_mix_temperature",
 ]
 
 sf_dir, oracle_path = sys.argv[1], sys.argv[2]
