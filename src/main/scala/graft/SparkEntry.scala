@@ -982,6 +982,23 @@ object SparkEntry {
         md5(P.scrub(col("__txt"))).as("scrub_fp"))
     }),
 
+    "text_pii_luhn" -> ((s, dir) => {
+      // checksum-validated payment-card detection: 16-digit runs on
+      // word boundaries, Luhn-verified (pure integer fold — the part
+      // that separates cards from ids/hashes), valid ones scrubbed.
+      // Synthetic card = fixed 12-digit prefix + id-derived tail, so
+      // ~10% of planted candidates pass the checksum by construction
+      val withCard = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" card 411111111111"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(col("text")).as("__txt"))
+      withCard.select(col("doc_id"),
+        P.cardCandidateCount(col("__txt")).cast("long").as("n_cards"),
+        P.cardCount(col("__txt")).cast("long").as("n_valid"),
+        md5(P.scrubCards(col("__txt"))).as("scrub_fp"))
+    }),
+
     "sample_stratified" -> ((s, dir) =>
       // downweight over-represented languages: per-stratum keep rate,
       // pure per-row hash arithmetic (no corpus stats, no shuffle)
@@ -3288,6 +3305,32 @@ object SparkEntry {
                      '${P.ipPattern}', '[IP]', 'g'),
                      '${P.phonePattern}', '[PHONE]', 'g')) AS scrub_fp
           FROM d""",
+
+    // Luhn replayed digit-by-digit as a list comprehension (1-based i,
+    // position from right = len-i+1 — same parity as the Spark fold);
+    // valid cards folded over the text with literal replaces
+    // (list_prepend seeds list_reduce with the text itself)
+    "text_pii_luhn" ->
+      s"""WITH d AS (SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN text || ' card 411111111111' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE text END AS txt
+                 FROM documents),
+          c AS (SELECT doc_id, txt, regexp_extract_all(txt, '\\b\\d{16}\\b') AS cards FROM d),
+          v AS (SELECT doc_id, txt, cards,
+                  [x FOR x IN cards IF
+                     list_sum([CASE WHEN (len(x) - i + 1) % 2 = 0
+                                    THEN CASE WHEN CAST(x[i] AS INT) * 2 > 9
+                                              THEN CAST(x[i] AS INT) * 2 - 9
+                                              ELSE CAST(x[i] AS INT) * 2 END
+                                    ELSE CAST(x[i] AS INT) END
+                               FOR i IN range(1, len(x) + 1)]) % 10 = 0] AS valid
+                FROM c)
+          SELECT doc_id, CAST(len(cards) AS BIGINT) AS n_cards,
+                 CAST(len(valid) AS BIGINT) AS n_valid,
+                 md5(list_reduce(list_prepend(txt, valid),
+                     (acc, x) -> replace(acc, x, '[CARD]'))) AS scrub_fp
+          FROM v""",
 
     "sample_stratified" ->
       """SELECT doc_id, lang, bucket,

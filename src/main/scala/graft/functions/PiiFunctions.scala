@@ -44,6 +44,50 @@ object PiiFunctions {
     regexp_replace(noIp, phonePattern, "[PHONE]")
   }
 
+  /** Candidate payment-card numbers: 16-digit runs on word
+    * boundaries (\b is in the Java∩RE2 subset). Candidates are then
+    * CHECKSUM-validated with [[luhnValid]] — digit-run matching alone
+    * drowns in false positives (ids, timestamps, hashes); the Luhn
+    * pass is what separates "looks like a card" from "is a card". */
+  val cardPattern = "\\b\\d{16}\\b"
+
+  /** Luhn checksum (ISO/IEC 7812) as a pure integer Column
+    * expression, length-generic: from the rightmost digit, double
+    * every second digit, fold digits >9 back by −9, valid iff the
+    * total is ≡ 0 (mod 10). Per-character substr + small-int
+    * arithmetic inside one HOF fold — cheap per element (the
+    * nested-expensive-expression HOF rule targets recomputed heavy
+    * subtrees, not single-char math). */
+  def luhnValid(card: Column): Column = {
+    val len = length(card)
+    val total = aggregate(
+      sequence(lit(0), len - 1),
+      lit(0),
+      (acc, i) => {
+        val d = card.substr(i + lit(1), lit(1)).cast("int")
+        // position from the right r = len - i; double when r is even
+        val dd = when(((len - i) % 2) === 0, d * 2).otherwise(d)
+        acc + when(dd > 9, dd - 9).otherwise(dd)
+      })
+    (total % 10) === 0
+  }
+
+  /** The Luhn-valid card numbers present in the text. */
+  def validCards(c: Column): Column =
+    filter(regexp_extract_all(c, lit(cardPattern), lit(0)), luhnValid(_))
+
+  def cardCandidateCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(cardPattern), lit(0)))
+  def cardCount(c: Column): Column = size(validCards(c))
+
+  /** Redact exactly the Luhn-VALID card numbers: a regex replace
+    * cannot condition on the checksum, so the valid candidates are
+    * folded over the text with literal replaces — candidate counts
+    * are tiny per row, and an invalid digit run (an id, a hash) is
+    * deliberately left untouched. */
+  def scrubCards(c: Column): Column =
+    aggregate(validCards(c), c, (acc, card) => replace(acc, card, lit("[CARD]")))
+
   /** Struct of all detection counts + a has_pii flag, one scan. */
   def piiStruct(c: Column): Column =
     struct(

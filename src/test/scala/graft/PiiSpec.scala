@@ -33,6 +33,32 @@ class PiiSpec extends SparkSpec {
     assert(once.select(PiiFunctions.scrub(col("c"))).head().getString(0) == s)
   }
 
+  test("luhnValid matches known vectors; card scrub redacts only checksum-valid runs") {
+    // classic Luhn vectors (length-generic)
+    val vecs = Seq(
+      "4111111111111111" -> true,   // the canonical valid test PAN
+      "4111111111111112" -> false,  // off-by-one check digit
+      "5500005555555559" -> true,
+      "79927398713" -> true,        // the ISO worked example (11 digits)
+      "79927398710" -> false)
+    vecs.foreach { case (n, want) =>
+      assert(one(n).select(PiiFunctions.luhnValid(col("t"))).head().getBoolean(0) == want,
+        s"luhn($n) should be $want")
+    }
+    // detection counts candidates, validation separates real cards
+    // from id-like digit runs; scrub touches only the valid one
+    val df = one("pay 4111111111111111 ref 1234567890123456 end")
+    val r = df.select(
+      PiiFunctions.cardCandidateCount(col("t")).as("n"),
+      PiiFunctions.cardCount(col("t")).as("v"),
+      PiiFunctions.scrubCards(col("t")).as("s")).head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 1)
+    assert(r.getString(2) == "pay [CARD] ref 1234567890123456 end")
+    // word boundary: a 17-digit run is not a card candidate
+    assert(one("id 41111111111111110 x")
+      .select(PiiFunctions.cardCandidateCount(col("t"))).head().getInt(0) == 0)
+  }
+
   test("email is scrubbed before its digit runs can be misread as ip/phone") {
     val s = one("reach 12.34.56.78x999-123-4567@a.bc now")
       .select(PiiFunctions.scrub(col("t"))).head().getString(0)
