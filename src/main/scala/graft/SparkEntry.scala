@@ -969,6 +969,23 @@ object SparkEntry {
           col("frame_bytes").cast("long").as("frame_bytes"))
     }),
 
+    "mm_frame_dedup" -> ((s, dir) => {
+      // cross-media near-dup by sampled-frame fingerprint overlap
+      // (the video-dedup shape: re-encodes/trims share frames even
+      // when whole-payload hashes differ). Gate plants trimmed-tail
+      // clones of every 5th doc's payload — each shares its base's
+      // full 64-byte frames while the edited tail frame differs
+      val docs = t(s, dir, "documents")
+      val base = Multimodal.attachPayload(docs, "doc_id", "text")
+      val clones = Multimodal.attachPayload(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            concat(col("text"), lit(" re-encoded tail")).as("text")),
+        "doc_id", "text")
+      Multimodal.frameDedup(base.unionByName(clones),
+        frameBytes = 64, stride = 1, minShared = 3)
+    }),
+
     // ---- §2.12 PII / sampling / mixing / span-dedup / LM quality ------
     "text_pii" -> ((s, dir) => {
       // the synthetic corpus carries no natural PII, so the scan runs
@@ -3009,6 +3026,26 @@ object SparkEntry {
                       unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS f
                FROM documents)
          WHERE f % 4 = 0""",
+
+    // frameDedup twin: same 64-byte frame slicing (ASCII corpus ->
+    // char slicing == byte slicing), md5 frame fingerprints, 2..64
+    // bucket cap, pair overlap count
+    "mm_frame_dedup" ->
+      """WITH m AS (SELECT doc_id AS media_id, text AS txt FROM documents
+                    UNION ALL
+                    SELECT doc_id + 5000000, text || ' re-encoded tail'
+                    FROM documents WHERE doc_id % 5 = 0),
+          fr AS (SELECT media_id,
+                   md5(substr(txt, CAST(f * 64 + 1 AS INT), 64)) AS fp
+                 FROM (SELECT media_id, txt,
+                         unnest(range(0, CAST(ceil(length(txt) / 64.0) AS INT))) AS f
+                       FROM m WHERE length(txt) > 0)),
+          d AS (SELECT DISTINCT media_id, fp FROM fr),
+          ok AS (SELECT fp FROM d GROUP BY fp HAVING count(*) BETWEEN 2 AND 64),
+          dd AS (SELECT d.media_id, d.fp FROM d JOIN ok USING (fp))
+          SELECT x.media_id AS media_a, y.media_id AS media_b, count(*) AS n_shared
+          FROM dd x JOIN dd y ON x.fp = y.fp AND x.media_id < y.media_id
+          GROUP BY 1, 2 HAVING count(*) >= 3""",
 
     "sim_bruteforce_topk" -> bruteTopkSql,
 

@@ -95,6 +95,43 @@ object Multimodal {
     media.select(col("media_id"), array(slots: _*).as("embedding"))
   }
 
+  /** Frame-fingerprint near-duplicate detection across media — the
+    * standard video-dedup shape: two payloads sharing at least
+    * `minShared` identical sampled frames are re-encodes / trims /
+    * container-swaps of each other (whole-payload hashing misses all
+    * of those). No decode needed: frames come straight from
+    * [[sampleFrames]]'s byte slicing, fingerprinted per frame.
+    *
+    * Scale shape (the minhash-LSH discipline): per-media DISTINCT
+    * frame fingerprints map-side; ONE shuffle keyed on the
+    * fingerprint; degenerate frames (black/blank intros shared by
+    * everything) are capped at `maxBucket` media per fingerprint
+    * before the pair join, so no quadratic hub; the pair count is a
+    * partial-agg groupBy. Exchanges carry (fp, media_id) longs —
+    * never payload bytes. Gate mode fingerprints with the portable
+    * 60-bit md5; `hashed=true` uses xxhash64 (~3× cheaper, not
+    * oracle-replayable). Output: (media_a, media_b, n_shared),
+    * media_a < media_b. */
+  def frameDedup(media: DataFrame, frameBytes: Int, stride: Int,
+                 minShared: Long, maxBucket: Int = 64,
+                 hashed: Boolean = false): DataFrame = {
+    require(minShared >= 1 && maxBucket >= 2, "minShared >= 1, maxBucket >= 2")
+    val frames = sampleFrames(media, frameBytes, stride)
+    val fp =
+      if (hashed) xxhash64(col("frame"))
+      else conv(substring(md5(col("frame")), 1, 15), 16, 10).cast("long")
+    val d = frames.select(col("media_id"), fp.as("__fp")).distinct()
+    val ok = d.groupBy(col("__fp")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__n") <= maxBucket)
+      .select(col("__fp"))
+    val dd = d.join(ok, "__fp")
+    dd.as("x").join(dd.as("y"),
+        col("x.__fp") === col("y.__fp") && col("x.media_id") < col("y.media_id"))
+      .groupBy(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Deterministic frame/chunk sampling: split the payload into
     * `frameBytes` chunks and keep every `stride`-th, without decoding —
     * pure expressions, no data copy of unsampled frames after pushdown. */

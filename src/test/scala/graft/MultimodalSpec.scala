@@ -59,4 +59,36 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 2))
     assert(out.map(_.getAs[Int]("frame_bytes")).sorted.toSeq == Seq(64, 64))
   }
+
+  test("frameDedup: trims/re-encodes pair by shared frames; cap kills degenerate fps; hashed == md5") {
+    val block = "0123456789abcdef" * 4 // exactly one 64-byte frame
+    val fill = (i: Int) => s"unique-filler-$i-" * 4
+    val vids = Multimodal.attachPayload(Seq(
+      1L -> (block * 4),                       // frames: B B B B (one distinct fp)
+      2L -> (block * 3 + fill(2).take(64)),    // shares B with 1 (3 frames worth -> 1 distinct)
+      3L -> (fill(31) + fill(32)).take(192),   // disjoint content
+      4L -> (block + fill(4).take(64))         // shares B, only 1 distinct shared fp
+    ).toDF("id", "txt"), "id", "txt")
+    // distinct fingerprints: media 1,2,4 all contain fp(B); pair overlap
+    // counts are DISTINCT-fp counts, so (1,2)=(1,4)=(2,4)=1
+    val out = Multimodal.frameDedup(vids, 64, 1, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 2L) -> 1L, (1L, 4L) -> 1L, (2L, 4L) -> 1L))
+    // minShared above the overlap -> empty
+    assert(Multimodal.frameDedup(vids, 64, 1, minShared = 2).count() == 0)
+    // a degenerate frame present in more media than maxBucket is dropped
+    assert(Multimodal.frameDedup(vids, 64, 1, minShared = 1, maxBucket = 2).count() == 0)
+    // multi-frame overlap counts distinct shared fps
+    val two = Multimodal.attachPayload(Seq(
+      10L -> (block + fill(7).take(64) + block.reverse),
+      11L -> (block + fill(7).take(64) + block.reverse + fill(8).take(64))
+    ).toDF("id", "txt"), "id", "txt")
+    val o2 = Multimodal.frameDedup(two, 64, 1, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(o2 == Map((10L, 11L) -> 3L))
+    // hashed production twin produces the identical relation
+    val h = Multimodal.frameDedup(two, 64, 1, minShared = 3, hashed = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(h == o2)
+  }
 }
