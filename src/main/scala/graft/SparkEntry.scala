@@ -999,6 +999,24 @@ object SparkEntry {
         md5(P.scrub(col("__txt"))).as("scrub_fp"))
     }),
 
+    "text_script" -> ((s, dir) => {
+      // Unicode script composition (the multilingual corpus probe;
+      // langId covers Latin-alphabet languages only — script anomalies
+      // are how mojibake/mixed-script spam/wrong-langid docs surface).
+      // ASCII corpus -> planted script suffixes: 1-in-4 docs become
+      // Cyrillic-dominant, others gain CJK or Greek+digit admixtures
+      val base = t(s, dir, "documents")
+      val txt = when(col("doc_id") % 4 === 1, repeat(lit("привет мир "), 20))
+        .when(col("doc_id") % 4 === 2, concat(col("text"), lit(" 世界 你好 123")))
+        .when(col("doc_id") % 4 === 3, concat(col("text"), lit(" αβγ δεζ 456789")))
+        .otherwise(col("text"))
+      base.select(col("doc_id"), graft.functions.TextFunctions.scriptCounts(txt).as("__sc"))
+        .select(col("doc_id") +:
+          graft.functions.TextFunctions.scriptRanges.map { case (n, _) =>
+            col(s"__sc.n_$n").cast("long").as(s"n_$n") } :+
+          col("__sc.main_script").as("main_script"): _*)
+    }),
+
     "text_pii_luhn" -> ((s, dir) => {
       // checksum-validated payment-card detection: 16-digit runs on
       // word boundaries, Luhn-verified (pure integer fold — the part
@@ -3342,6 +3360,37 @@ object SparkEntry {
                      '${P.ipPattern}', '[IP]', 'g'),
                      '${P.phonePattern}', '[PHONE]', 'g')) AS scrub_fp
           FROM d""",
+
+    // scriptCounts twin: identical \x{...} classes (Java∩RE2), count =
+    // len(regexp_extract_all); main_script = first script in listed
+    // order attaining the max (== the Spark strict-> fold's earliest
+    // argmax), 'none' when every class is empty
+    "text_script" -> {
+      val g = "greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_cjk, n_digit)"
+      s"""WITH d AS (SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 1 THEN repeat('привет мир ', 20)
+                        WHEN doc_id % 4 = 2 THEN text || ' 世界 你好 123'
+                        WHEN doc_id % 4 = 3 THEN text || ' αβγ δεζ 456789'
+                        ELSE text END AS txt
+                 FROM documents),
+          c AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(txt, '[A-Za-z]')) AS BIGINT) AS n_latin,
+                  CAST(len(regexp_extract_all(txt, '[\\x{0400}-\\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+                  CAST(len(regexp_extract_all(txt, '[\\x{0370}-\\x{03FF}]')) AS BIGINT) AS n_greek,
+                  CAST(len(regexp_extract_all(txt, '[\\x{0600}-\\x{06FF}]')) AS BIGINT) AS n_arabic,
+                  CAST(len(regexp_extract_all(txt, '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]')) AS BIGINT) AS n_cjk,
+                  CAST(len(regexp_extract_all(txt, '[0-9]')) AS BIGINT) AS n_digit
+                FROM d)
+          SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk, n_digit,
+                 CASE WHEN $g = 0 THEN 'none'
+                      WHEN n_latin = $g THEN 'latin'
+                      WHEN n_cyrillic = $g THEN 'cyrillic'
+                      WHEN n_greek = $g THEN 'greek'
+                      WHEN n_arabic = $g THEN 'arabic'
+                      WHEN n_cjk = $g THEN 'cjk'
+                      ELSE 'digit' END AS main_script
+          FROM c"""
+    },
 
     // Luhn replayed digit-by-digit as a list comprehension (1-based i,
     // position from right = len-i+1 — same parity as the Spark fold);

@@ -131,4 +131,42 @@ object TextFunctions {
       .foldLeft(noTags) { case (acc, (ent, ch)) => replace(acc, lit(ent), lit(ch)) }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
+
+  /** Unicode script ranges for [[scriptCounts]] — the `\x{...}` class
+    * syntax is in the Java∩RE2 subset, so the same literals drive
+    * Spark and the DuckDB oracle. Deliberately the big contiguous
+    * base blocks (no supplements/extensions): corpus-prep script
+    * profiling needs the dominant-script signal, not a full UCD. */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]",
+    "digit" -> "[0-9]")
+
+  /** Per-script character counts + the dominant script — the
+    * multilingual-corpus composition probe (mixed-script spam,
+    * mojibake, and wrong-langid docs all show up as script
+    * anomalies; langId covers Latin-alphabet languages only).
+    * Counts are exact integers (regexp_extract_all size per class,
+    * one codegen'd per-row expression each, no shuffle); dominant =
+    * argmax with first-listed tie-break, "none" when every class is
+    * empty (whitespace/punctuation-only text). */
+  def scriptCounts(c: Column): Column = {
+    val counts = scriptRanges.map { case (name, cls) =>
+      name -> size(regexp_extract_all(c, lit(cls), lit(0)))
+    }
+    val best = counts.tail.foldLeft(
+      struct(counts.head._2.as("n"), lit(counts.head._1).as("s"))) {
+      case (acc, (name, cnt)) =>
+        // strict > keeps the earlier script on ties
+        when(cnt > acc.getField("n"), struct(cnt.as("n"), lit(name).as("s")))
+          .otherwise(acc)
+    }
+    struct(
+      counts.map { case (name, cnt) => cnt.as(s"n_$name") } :+
+        when(best.getField("n") > 0, best.getField("s")).otherwise(lit("none"))
+          .as("main_script"): _*)
+  }
 }

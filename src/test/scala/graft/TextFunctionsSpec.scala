@@ -121,6 +121,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(plain == "no markup here")
   }
 
+  test("scriptCounts: exact per-script counts, earliest-argmax dominant, none on empty") {
+    def sc(s: String) = one(s).select(T.scriptCounts(col("t")).as("c"))
+      .select("c.n_latin", "c.n_cyrillic", "c.n_greek", "c.n_arabic",
+        "c.n_cjk", "c.n_digit", "c.main_script").head
+    val mixed = sc("hello мир 世界 αβ ٣٤ 42")
+    assert((mixed.getInt(0), mixed.getInt(1), mixed.getInt(2), mixed.getInt(3),
+      mixed.getInt(4), mixed.getInt(5)) == ((5, 3, 2, 2, 2, 2)))
+    assert(mixed.getString(6) == "latin")
+    // Arabic-Indic digits ٣٤ land in the Arabic block, not [0-9]
+    assert(sc("٣٤").getInt(3) == 2 && sc("٣٤").getInt(5) == 0 &&
+      sc("٣٤").getString(6) == "arabic")
+    assert(sc("привет мир").getString(6) == "cyrillic")
+    assert(sc("ひらがな と 漢字").getString(6) == "cjk") // hiragana + han both in the cjk class
+    // tie goes to the earlier-listed script: 2 latin vs 2 cyrillic
+    assert(sc("ab мы").getString(6) == "latin")
+    // no script characters at all
+    assert(sc(" .,;! ").getString(6) == "none")
+    assert(sc("12345").getString(6) == "digit")
+  }
+
   test("qualityStruct fields are sane") {
     val r = one("The quick, brown fox!").select(T.qualityStruct(col("t")).as("q"))
       .select("q.n_chars", "q.n_tokens", "q.punct_ratio", "q.stopword_ratio").head
