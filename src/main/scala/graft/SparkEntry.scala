@@ -1028,10 +1028,15 @@ object SparkEntry {
           concat(col("text"), lit(" card 411111111111"),
             lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
           .otherwise(col("text")).as("__txt"))
-      withCard.select(col("doc_id"),
-        P.cardCandidateCount(col("__txt")).cast("long").as("n_cards"),
-        P.cardCount(col("__txt")).cast("long").as("n_valid"),
-        md5(P.scrubCards(col("__txt"))).as("scrub_fp"))
+      // the nondeterministic __barrier column stops CollapseProject
+      // from inlining the struct per consumer (which would re-run the
+      // Luhn fold for each projected field — HOFs are excluded from
+      // codegen subexpression elimination); the fold runs ONCE here
+      withCard.select(col("doc_id"), P.cardStruct(col("__txt")).as("__c"),
+          monotonically_increasing_id().as("__barrier"))
+        .select(col("doc_id"), col("__c.n_cards").as("n_cards"),
+          col("__c.n_valid").as("n_valid"),
+          md5(col("__c.scrubbed")).as("scrub_fp"))
     }),
 
     "sample_stratified" -> ((s, dir) =>

@@ -26,9 +26,16 @@ object Verify {
       case st: StructType =>
         val inner = st.fields.toSeq.flatMap(f => bad(c.getField(f.name), f.dataType))
         inner.map(_._2).reduceOption(_ || _).map(p => "struct" -> p)
-      case MapType(_, vt, _) =>
-        bad(lit(0), vt).map { case (lbl, _) =>
-          s"map<$lbl>" -> exists(map_values(c), x => bad(x, vt).get._2) }
+      case MapType(kt, vt, _) =>
+        // keys AND values: a non-exact map key escaping here is the
+        // same defect class as a column value
+        val parts = Seq(
+          bad(lit(0), kt).map { case (lbl, _) =>
+            s"mapkey<$lbl>" -> exists(map_keys(c), x => bad(x, kt).get._2) },
+          bad(lit(0), vt).map { case (lbl, _) =>
+            s"map<$lbl>" -> exists(map_values(c), x => bad(x, vt).get._2) }).flatten
+        parts.map(_._2).reduceOption(_ || _)
+          .map(p => parts.map(_._1).mkString("+") -> p)
       case _ => None // integral/string/bool/date/timestamp/binary: exact everywhere
     }
     val perCol = df.schema.fields.toSeq.flatMap { f =>

@@ -64,12 +64,20 @@ object PiiFunctions {
       sequence(lit(0), len - 1),
       lit(0),
       (acc, i) => {
-        val d = card.substr(i + lit(1), lit(1)).cast("int")
+        // ascii arithmetic, not cast: ANSI mode makes cast('x' as int)
+        // THROW; a non-digit must poison the fold to NULL instead
+        val ch = card.substr(i + lit(1), lit(1))
+        val d = when(ch >= "0" && ch <= "9", ascii(ch) - 48)
+          .otherwise(lit(null).cast("int"))
         // position from the right r = len - i; double when r is even
         val dd = when(((len - i) % 2) === 0, d * 2).otherwise(d)
         acc + when(dd > 9, dd - 9).otherwise(dd)
       })
-    (total % 10) === 0
+    // TOTAL function, never NULL: a non-digit character NULL-poisons
+    // the fold (substr.cast -> NULL) and empty/NULL input has no
+    // checksum — all of those are "not a valid card", not unknown
+    // (three-valued logic would silently misroute a NOT filter)
+    coalesce((len > 0) && ((total % 10) === 0), lit(false))
   }
 
   /** The Luhn-valid card numbers present in the text. */
@@ -87,6 +95,36 @@ object PiiFunctions {
     * deliberately left untouched. */
   def scrubCards(c: Column): Column =
     aggregate(validCards(c), c, (acc, card) => replace(acc, card, lit("[CARD]")))
+
+  /** One-scan struct of (n_cards, n_valid, scrubbed) — the piiStruct
+    * discipline: HOFs are excluded from codegen subexpression
+    * elimination, so composing [[cardCount]] + [[scrubCards]] in one
+    * projection re-runs the candidate regex and the per-candidate
+    * Luhn fold per consumer; here ONE fold carries a (count,
+    * scrubbed-text) struct accumulator, validating each candidate
+    * exactly once. */
+  def cardStruct(c: Column): Column = {
+    val cards = regexp_extract_all(c, lit(cardPattern), lit(0))
+    // the finish lambda builds the OUTPUT struct inside the one
+    // aggregate, so the fold tree appears exactly once in the plan
+    // (two getField consumers of a shared val would duplicate it —
+    // HOFs are excluded from subexpression elimination). luhnValid
+    // is referenced twice inside the merge lambda; that recompute is
+    // a bounded 16-digit scan per candidate, not the cross-consumer
+    // full-pipeline recompute the HOF rule targets.
+    aggregate(cards,
+      struct(lit(0L).as("n_valid"), c.as("scrubbed")),
+      (acc, card) => {
+        val valid = luhnValid(card)
+        struct(
+          (acc.getField("n_valid") + when(valid, 1L).otherwise(0L)).as("n_valid"),
+          when(valid, replace(acc.getField("scrubbed"), card, lit("[CARD]")))
+            .otherwise(acc.getField("scrubbed")).as("scrubbed"))
+      },
+      acc => struct(size(cards).cast("long").as("n_cards"),
+        acc.getField("n_valid").as("n_valid"),
+        acc.getField("scrubbed").as("scrubbed")))
+  }
 
   /** Struct of all detection counts + a has_pii flag, one scan. */
   def piiStruct(c: Column): Column =

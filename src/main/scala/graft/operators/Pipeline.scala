@@ -192,7 +192,12 @@ object Pipeline {
   def corpusMixTemperature(df: DataFrame, idCol: String, stratumCol: String,
                            budget: Long, seed: String = "temp"): DataFrame = {
     require(budget >= 0, "budget must be >= 0")
-    val cnt = df.select(col(stratumCol)).groupBy(col(stratumCol))
+    // NULL strata get no weight (they would inflate the denominator
+    // without ever receiving quota — the join below can't match NULL
+    // keys) and pass through keep=false, the corpusMix family
+    // contract: every input row comes back, flagged
+    val cnt = df.select(col(stratumCol)).filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol))
       .agg(count(lit(1)).as("__cnt"))
     val s0 = floor(sqrt(col("__cnt").cast("double"))).cast("long")
     val isq = (s0 +
@@ -207,8 +212,9 @@ object Pipeline {
       .orderBy(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))).asc, col(idCol).asc)
     df.select(col(idCol), col(stratumCol))
       .withColumn("__rn", row_number().over(w))
-      .join(broadcast(quota), stratumCol)
-      .select(col(idCol), col(stratumCol), (col("__rn") <= col("__q")).as("keep"))
+      .join(broadcast(quota), Seq(stratumCol), "left")
+      .select(col(idCol), col(stratumCol),
+        coalesce(col("__rn") <= col("__q"), lit(false)).as("keep"))
   }
 
   /** Cross-document repeated-span detection: for each doc, how many of

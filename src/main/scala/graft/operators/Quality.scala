@@ -292,19 +292,20 @@ object Quality {
     *     mean recipe)
     * One explode + per-dim partial agg per side (dim rows out of each
     * map task), a dim-row join, and three 1-row scalar broadcasts —
-    * nothing row-count-sized ever shuffles. */
-  /* Cast-boundary safety (the text_bm25 measurement discipline,
-   * ADVICE r10): the per-row casts below round arbitrary
-   * float-derived doubles at 6dp, the class where Spark (HALF_UP on
-   * the shortest-repr string, error < 5.5e-17 from the double) and
-   * DuckDB (the binary value) can disagree — but only for a value
-   * within repr-error of a .xxxxxx5 boundary. Measured exactly
-   * (decimal module, exact binary expansions) over every embedding
-   * element and every |x|² fold at sf0.001/0.01/0.1: min element
-   * boundary distance 5.96e-13 / 3.05e-11 / 4.29e-12 (≥4 orders
-   * above repr error), min fold distance ≥2.6e-7 (10 orders), and
-   * the two rounding paths agree on all 192k elements + 5k folds —
-   * zero mismatches. Recorded in SURVEY §7 (r11). */
+    * nothing row-count-sized ever shuffles.
+    *
+    * Cast-boundary safety (the text_bm25 measurement discipline,
+    * ADVICE r10): the per-row casts below round arbitrary
+    * float-derived doubles at 6dp, the class where Spark (HALF_UP on
+    * the shortest-repr string, error < 5.5e-17 from the double) and
+    * DuckDB (the binary value) can disagree — but only for a value
+    * within repr-error of a .xxxxxx5 boundary. Measured exactly
+    * (decimal module, exact binary expansions) over every embedding
+    * element and every |x|² fold at sf0.001/0.01/0.1: min element
+    * boundary distance 5.96e-13 / 3.05e-11 / 4.29e-12 (≥4 orders
+    * above repr error), min fold distance ≥2.6e-7 (10 orders), and
+    * the two rounding paths agree on all 192k elements + 5k folds —
+    * zero mismatches. Recorded in SURVEY §7 (r11). */
   def embeddingDrift(base: DataFrame, cur: DataFrame, vecCol: String): DataFrame = {
     def dimSums(df: DataFrame, tag: String) = df
       .select(posexplode(col(vecCol)).as(Seq("__i", "__v")))

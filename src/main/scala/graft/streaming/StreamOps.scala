@@ -238,17 +238,20 @@ object StreamOps {
             spark.sparkContext.hadoopConfiguration)
           val rowsPath = new org.apache.hadoop.fs.Path(s"$stateDir/rows")
           val slim = batch.toDF().select(col(idCol), col(stratumCol), col(tokensCol))
+          // sealed once (eager localCheckpoint), consumed twice: the
+          // state rewrite AND the mix input — re-reading the freshly
+          // swapped dir would pay a second full state scan per trigger
           val merged =
             (if (fs.exists(rowsPath))
                spark.read.parquet(rowsPath.toString).unionByName(slim)
              else slim)
               .dropDuplicates(Seq(idCol))
+              .localCheckpoint(true)
           val staging = new org.apache.hadoop.fs.Path(s"$stateDir/rows__staging")
           merged.write.mode("overwrite").parquet(staging.toString)
           atomicSwap(fs, staging, rowsPath)
           val mix = graft.operators.Pipeline.tokenMixToBudget(
-            spark.read.parquet(rowsPath.toString), idCol, stratumCol, tokensCol,
-            budgets, seed)
+            merged, idCol, stratumCol, tokensCol, budgets, seed)
           val mixStaging = new org.apache.hadoop.fs.Path(s"$stateDir/mix__staging")
           mix.write.mode("overwrite").parquet(mixStaging.toString)
           atomicSwap(fs, mixStaging, new org.apache.hadoop.fs.Path(s"$stateDir/mix"))

@@ -57,6 +57,19 @@ class PiiSpec extends SparkSpec {
     // word boundary: a 17-digit run is not a card candidate
     assert(one("id 41111111111111110 x")
       .select(PiiFunctions.cardCandidateCount(col("t"))).head().getInt(0) == 0)
+    // luhnValid is TOTAL: non-digit input and empty string are false,
+    // never NULL (three-valued logic would misroute a NOT filter)
+    Seq("4111-1111-1111-1111", "", "abc").foreach { bad =>
+      val row = one(bad).select(PiiFunctions.luhnValid(col("t")).as("v"),
+        (!PiiFunctions.luhnValid(col("t"))).as("nv")).head()
+      assert(!row.isNullAt(0) && !row.getBoolean(0), s"luhn($bad)")
+      assert(row.getBoolean(1), s"!luhn($bad) must be true, not NULL")
+    }
+    // the one-scan cardStruct equals the composable functions
+    val cs = df.select(PiiFunctions.cardStruct(col("t")).as("c"))
+      .select("c.n_cards", "c.n_valid", "c.scrubbed").head()
+    assert(cs.getLong(0) == 2 && cs.getLong(1) == 1)
+    assert(cs.getString(2) == r.getString(2))
   }
 
   test("email is scrubbed before its digit runs can be misread as ip/phone") {

@@ -160,6 +160,19 @@ class PipelineSpec extends SparkSpec {
     // deterministic under relayout
     val re = Pipeline.corpusMixTemperature(d.repartition(7), "doc_id", "src", budget = 32L)
     assert(out.except(re).isEmpty && re.except(out).isEmpty)
+    // NULL strata: rows come back keep=false and contribute NO weight
+    // to the denominator (the family contract — corpusMix flags, never
+    // drops)
+    val withNull = d.union(spark.range(900, 964)
+      .select(col("id").as("doc_id"), lit(null).cast("string").as("src")))
+    val on = Pipeline.corpusMixTemperature(withNull, "doc_id", "src", budget = 32L)
+    assert(on.count() == 184)
+    assert(on.filter(col("src").isNull && col("keep")).count() == 0)
+    // quotas unchanged vs the no-NULL run: 64 NULL rows (isqrt 8)
+    // must not have shrunk anyone's share
+    val kn = on.filter(col("keep")).groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kn == Map("a" -> 20L, "b" -> 8L, "c" -> 4L))
   }
 
   // -- repeatedSpans ---------------------------------------------------

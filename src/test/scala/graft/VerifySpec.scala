@@ -25,6 +25,18 @@ class VerifySpec extends SparkSpec {
     val bigInStruct = Seq(1L).toDF("id")
       .select(col("id"), struct(lit(3.0e18).as("x"), lit("ok").as("s")).as("st"))
     intercept[IllegalStateException](Verify.assertPortable(bigInStruct, "q_struct"))
+
+    // map KEYS are checked, not just values (a non-exact key escaping
+    // would be the same defect class)
+    val bigMapKey = Seq(1L).toDF("id")
+      .select(col("id"), map(lit(9.1e15), lit(1L)).as("m"))
+    intercept[IllegalStateException](Verify.assertPortable(bigMapKey, "q_mapkey"))
+    val bigMapVal = Seq(1L).toDF("id")
+      .select(col("id"), map(lit(1L), lit(9.1e15)).as("m"))
+    intercept[IllegalStateException](Verify.assertPortable(bigMapVal, "q_mapval"))
+    val okMap = Seq(1L).toDF("id")
+      .select(col("id"), map(lit(1.5), lit(2.5)).as("m"))
+    Verify.assertPortable(okMap, "q_mapok")
   }
 
   test("assertPortable: passes exact types at any magnitude and small floats/decimals") {
