@@ -1050,6 +1050,13 @@ object SparkEntry {
       // src15..19 carry no weight -> kept rows flagged keep=false
       Pipeline.corpusMix(t(s, dir, "documents"), "doc_id", "source", mixWeights)),
 
+    "sample_systematic" -> ((s, dir) =>
+      // token-weighted systematic (PPS) sampling: 50 evenly-spaced
+      // points on the cumulative token axis in hash order —
+      // P(picked) ∝ n_chars, the token-faithful eval subsample
+      Pipeline.systematicSample(t(s, dir, "documents"), "doc_id", "n_chars",
+        n = 50L)),
+
     "corpus_mix_temperature" -> ((s, dir) =>
       // α=1/2 temperature sampling: per-source quota ∝ isqrt(count),
       // capped at count, budget 300 — the derived-ratio member of the
@@ -3440,6 +3447,26 @@ object SparkEntry {
                 FROM documents)
           SELECT r.doc_id, r.source, (r.rn <= COALESCE(wv.w, 0) * m.m) AS keep
           FROM r LEFT JOIN wv USING (source) CROSS JOIN m""",
+
+    // systematicSample twin: running token total in hash order, stride
+    // = ceil(total/50), offset = 1 + md5-seed mod stride, picked iff
+    // the doc's token interval contains a sample point (shifted point
+    // count g(x) — all operands non-negative so // == div)
+    "sample_systematic" ->
+      """WITH r AS (SELECT doc_id, CAST(coalesce(n_chars, 0) AS BIGINT) AS n_tokens,
+                      CAST(sum(CAST(coalesce(n_chars, 0) AS BIGINT))
+                           OVER (ORDER BY ('0x' || substr(md5('pps:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                    FROM documents),
+          t AS (SELECT max(cum_tokens) AS total FROM r),
+          p AS (SELECT greatest(1, (coalesce(total, 0) + 49) // 50) AS stride FROM t),
+          o AS (SELECT stride,
+                  1 + (('0x' || substr(md5('pps:offset'), 1, 15))::BIGINT % stride) AS off
+                FROM p)
+          SELECT r.doc_id, r.n_tokens, r.cum_tokens,
+                 ((r.cum_tokens + o.stride - o.off) // o.stride >
+                  (r.cum_tokens - r.n_tokens + o.stride - o.off) // o.stride) AS picked
+          FROM r CROSS JOIN o""",
 
     // corpusMixTemperature twin: same pow-seeded ±1-corrected integer
     // sqrt, quota and rank arithmetic all-integer

@@ -1274,6 +1274,68 @@ object Pipeline {
     (rdd, rows)
   }
 
+  /** Token-weighted systematic sampling (PPS — probability
+    * proportional to size, the survey-sampling classic): lay the
+    * corpus out on a token axis in deterministic hash order, then
+    * pick every doc whose token interval contains one of the n
+    * evenly-spaced sample points — P(picked) ∝ n_tokens (for docs
+    * below the stride), which is what a token-faithful eval/
+    * inspection subsample needs (uniform doc sampling over-represents
+    * short docs in token mass; this does not). Zero-token docs have
+    * empty intervals and are never picked.
+    *
+    * All integer, engine-exact: stride = ⌈total/n⌉, sample points
+    * offset + k·stride with offset = 1 + (60-bit md5 of the seed)
+    * mod stride; doc i is picked iff g(T_i) > g(T_{i−1}) where
+    * T_i is the inclusive running token total and
+    * g(x) = (x + stride − offset) div stride counts points ≤ x
+    * (shifted to keep every operand non-negative — truncating and
+    * flooring division agree there, so Spark's div and DuckDB's //
+    * can't diverge). n points land; a doc spanning k strides absorbs
+    * k of them but is picked once (without-replacement PPS — docs at
+    * or above the stride are certain picks), so the doc count is ≤ n
+    * and exactly n when every doc is below the stride. Same
+    * distributed shape as
+    * [[selectToBudget]]: the shared [[runningTotals]] two-pass
+    * prefix-offset core, no global single-task window.
+    * Output: (id, n_tokens, cum_tokens, picked). */
+  def systematicSample(df: DataFrame, idCol: String, tokensCol: String,
+                       n: Long, seed: String = "pps"): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val spark = df.sparkSession
+    val prio = conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val prepared = df
+      .select(col(idCol),
+        coalesce(col(tokensCol).cast("long"), lit(0L)).as("__tok"),
+        prio.as("__p"))
+      .repartitionByRange(col("__p").asc, col(idCol).asc)
+      .sortWithinPartitions(col("__p").asc, col(idCol).asc)
+    val (cached, withCum) = runningTotals(prepared, tokIdx = 1, groupOf = _ => "")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(idCol),
+      org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cum_tokens", org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = withCum.map { case (r, c) =>
+      org.apache.spark.sql.Row(r.get(0), r.getLong(1), c)
+    }
+    val base = spark.createDataFrame(rows, schema)
+    val tot = base.agg(max(col("cum_tokens")).as("__total"))
+    val seedHash = conv(substring(md5(lit(s"$seed:offset")), 1, 15), 16, 10).cast("long")
+    val out = base.crossJoin(broadcast(tot))
+      // greatest(1, ·) guards the all-zero-token corpus (stride 0
+      // would divide by zero); nothing is picked there anyway
+      .withColumn("__stride",
+        expr(s"greatest(1L, (coalesce(__total, 0L) + ${n}L - 1) div ${n}L)"))
+      .withColumn("__off", lit(1L) + pmod(seedHash, col("__stride")))
+      .withColumn("picked",
+        expr("(cum_tokens + __stride - __off) div __stride") >
+          expr("(cum_tokens - n_tokens + __stride - __off) div __stride"))
+      .select(col(idCol), col("n_tokens"), col("cum_tokens"), col("picked"))
+      .localCheckpoint(eager = true)
+    cached.unpersist(false)
+    out
+  }
+
   def selectToBudget(df: DataFrame, idCol: String, tokensCol: String,
                      scoreCol: Column, budget: Long): DataFrame = {
     require(budget >= 0, "budget must be >= 0")

@@ -175,6 +175,43 @@ class PipelineSpec extends SparkSpec {
     assert(kn == Map("a" -> 20L, "b" -> 8L, "c" -> 4L))
   }
 
+  test("systematicSample: PPS picks match a driver-side reference; zero-token never picked") {
+    val data = (1L to 40L).map((_, 10L)) ++ Seq((50L, 600L), (60L, 0L), (61L, 0L))
+    val df = data.toDF("doc_id", "tok")
+    val out = Pipeline.systematicSample(df, "doc_id", "tok", n = 10L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // independent reference: same hash order, stride, offset, point count
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h(s: String) = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val ordered = data.sortBy { case (id, _) => (h(s"pps:$id"), id) }
+    val total = data.map(_._2).sum // 1000
+    val stride = (total + 9) / 10  // 100
+    val off = 1L + (h("pps:offset") % stride)
+    def g(x: Long) = (x + stride - off) / stride
+    var cum = 0L
+    val ref = ordered.map { case (id, tok) =>
+      val prev = cum; cum += tok
+      id -> ((tok, cum, g(cum) > g(prev)))
+    }.toMap
+    assert(out == ref)
+    // PPS guarantees: the 600-token doc spans 6 strides -> certain pick;
+    // zero-token docs have empty intervals -> never picked
+    assert(out(50L)._3)
+    assert(!out(60L)._3 && !out(61L)._3)
+    // pick count: 10 points land, but the giant absorbs 6 of them and
+    // is picked once (without-replacement PPS) -> 4 + 1 docs
+    assert(out.values.count(_._3) == 5)
+    // a uniform corpus (no doc above the stride) picks exactly n
+    val uni = (1L to 40L).map((_, 10L)).toDF("doc_id", "tok")
+    assert(Pipeline.systematicSample(uni, "doc_id", "tok", n = 10L)
+      .filter(col("picked")).count() == 10)
+    // deterministic under relayout
+    val re = Pipeline.systematicSample(df.repartition(7), "doc_id", "tok", n = 10L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(re == out)
+  }
+
   // -- repeatedSpans ---------------------------------------------------
 
   test("repeatedSpans finds cross-doc shared k-grams; hashed == string") {
