@@ -77,4 +77,53 @@ class SparkPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("phraseSearch == brute-force sliding-window scan for random corpora and phrases") {
+    val vocab = Vector("go", "stop", "the", "data", "lake", "x9")
+    for (seed <- Seq(5, 17, 91)) {
+      val rnd = new Random(seed)
+      val docs = (1L to 80L).map { id =>
+        id -> Vector.fill(3 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+      }
+      val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+      // random phrases of length 1..3 (repeats allowed: "go go")
+      val phrases = (0 until 5).map { _ =>
+        Vector.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size)))
+      }
+      phrases.foreach { p =>
+        val got = graft.operators.Search.phraseSearch(df, "doc_id", "text", p)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = docs.flatMap { case (id, ts) =>
+          (0 to ts.length - p.length).collect {
+            case i if ts.slice(i, i + p.length) == p => (id, i.toLong)
+          }
+        }.toSet
+        assert(got == want, s"seed=$seed phrase=${p.mkString(" ")}")
+      }
+    }
+  }
+
+  test("proximityWindow == brute-force minimal covering window for random corpora") {
+    val vocab = Vector("go", "stop", "the", "data", "lake", "x9")
+    for (seed <- Seq(7, 29, 83)) {
+      val rnd = new Random(seed)
+      val docs = (1L to 80L).map { id =>
+        id -> Vector.fill(3 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+      }
+      val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+      val termSets = Seq(Seq("go"), Seq("go", "data"), Seq("the", "data", "x9"))
+      termSets.foreach { terms =>
+        val got = graft.operators.Search.proximityWindow(df, "doc_id", "text", terms)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = docs.flatMap { case (id, ts) =>
+          val wins = for {
+            i <- ts.indices; j <- i until ts.length
+            if terms.forall(t => ts.slice(i, j + 1).contains(t))
+          } yield (j - i + 1).toLong
+          if (wins.isEmpty) None else Some(id -> wins.min)
+        }.toMap
+        assert(got == want, s"seed=$seed terms=${terms.mkString(",")}")
+      }
+    }
+  }
 }
