@@ -793,6 +793,23 @@ object SparkEntry {
       Similarity.recallAtK(ann, truth, "qid", "vec_id")
     }),
 
+    "sim_ivf_recall" -> ((s, dir) => {
+      // recall@5 of the IVF probe against exact brute force — the
+      // nProbe/nCentroids tuning metric, completing the eval matrix
+      // (sim_recall_eval scores LSH, dedup_method_eval scores the
+      // dedup detectors); same md5 sampling key as sim_ivf_topk so
+      // the oracle replays the identical centroid set
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 1000 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val truth = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        "qid", "qvec", k = 5)
+      val ann = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "qid", "qvec",
+        k = 5, dim = 64, nCentroids = 16, nProbe = 4,
+        sampleKey = Some(id => md5(concat(lit("ivf:"), id.cast("string")))))
+      Similarity.recallAtK(ann, truth, "qid", "vec_id")
+    }),
+
     "sim_ivfpq_topk" -> ((s, dir) => {
       // IVF+PQ: coarse probe → approximate scoring on PQ-DECODED
       // vectors → exact rescore of the top-20 shortlist → top-5; one
@@ -3318,6 +3335,15 @@ object SparkEntry {
     "sim_lsh_topk" -> lshTopkSql,
 
     "sim_ivf_topk" -> ivfTopkSql,
+
+    // the sim_recall_eval shape with the IVF chain as the ann side
+    "sim_ivf_recall" ->
+      s"""WITH truth AS ($bruteTopkSql), ann AS ($ivfTopkSql)
+          SELECT t.qid, count(*) AS truth_k,
+                 CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                 round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall
+          FROM truth t LEFT JOIN ann a ON t.qid = a.qid AND t.vec_id = a.vec_id
+          GROUP BY t.qid""",
     // the persisted-index query path MUST produce the identical
     // relation (same centroids, same probes — the index only prunes
     // which files the scan reads), so it shares the oracle verbatim
