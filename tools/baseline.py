@@ -73,6 +73,12 @@ PIPELINE = [
     # graph_ppr_weighted stays out with graph_ppr/_weighted (only the
     # uniform pagerank represents the unrolled-CTE family, r10 ruling).
     "text_search_phrase", "text_search_proximity", "corpus_mix_temperature",
+    # r11 close: PPS sampling is a plain running-sum window + integer
+    # stride arithmetic — natural single-node SQL. text_pii_luhn /
+    # text_script / mm_frame_dedup / sim_ivf_recall stay out: their
+    # oracles are gate reconstructions (list-comprehension Luhn
+    # replay, planted-suffix derivations, the IVF chain).
+    "sample_systematic",
 ]
 
 sf_dir, oracle_path = sys.argv[1], sys.argv[2]
