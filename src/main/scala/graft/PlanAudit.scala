@@ -80,7 +80,9 @@ object PlanAudit {
         // text_bm25 (gate + prod): 1-row (N, avgdl) corpus-stats
         // scalar crossJoin(broadcast) feeding the idf/length-norm —
         // the q15/sample_importance pattern
-        "text_collocations", "text_bm25", "sim_recall_eval",
+        // sim_ivf_recall: same composition as sim_recall_eval — the
+        // brute-force ground-truth side broadcasts the query batch
+        "text_collocations", "text_bm25", "sim_recall_eval", "sim_ivf_recall",
         "graph_pagerank", "graph_ppr", "sample_importance",
         // 1-row corpus-count scalar crossJoin(broadcast(...)) for the
         // integer idf — the q15/sample_importance pattern
