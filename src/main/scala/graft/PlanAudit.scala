@@ -83,6 +83,7 @@ object PlanAudit {
         // sim_ivf_recall: same composition as sim_recall_eval — the
         // brute-force ground-truth side broadcasts the query batch
         "text_collocations", "text_bm25", "sim_recall_eval", "sim_ivf_recall",
+        "sim_ivfpq_recall",
         "graph_pagerank", "graph_ppr", "sample_importance",
         // 1-row corpus-count scalar crossJoin(broadcast(...)) for the
         // integer idf — the q15/sample_importance pattern
