@@ -78,7 +78,17 @@ object Tables {
     * way. */
   private val purchaseCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  def purchaseBase(spark: SparkSession, dir: String): DataFrame =
+
+  /** The sealed-base caches are JVM-global; without eviction an entry
+    * for a stopped session pins its DataFrame/plan objects for the
+    * process lifetime (a slow leak in long-lived processes that create
+    * many sessions — test runs). Swept on every access: entries whose
+    * owning session has stopped are dropped before lookup. */
+  private def sweepStopped[V](m: scala.collection.concurrent.TrieMap[(SparkSession, String), V]): Unit =
+    m.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+
+  def purchaseBase(spark: SparkSession, dir: String): DataFrame = {
+    sweepStopped(purchaseCache)
     purchaseCache.getOrElseUpdate((spark, dir), {
       import org.apache.spark.sql.functions.{col, count, lit}
       lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
@@ -88,6 +98,7 @@ object Tables {
         .agg(count(lit(1)).as("w"))
         .localCheckpoint(true)
     })
+  }
 
   /** Session-scoped SEALED cache of the order-burst pair graph: one
     * row per (a, b, w) with a < b two orders of the same customer at
@@ -100,7 +111,8 @@ object Tables {
     * stays linear in the order count. */
   private val burstCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  def burstPairs(spark: SparkSession, dir: String): DataFrame =
+  def burstPairs(spark: SparkSession, dir: String): DataFrame = {
+    sweepStopped(burstCache)
     burstCache.getOrElseUpdate((spark, dir), {
       import org.apache.spark.sql.functions.{abs, col, datediff}
       val o = orders(spark, dir)
@@ -113,6 +125,7 @@ object Tables {
           (abs(datediff(col("y.__d"), col("x.__d"))) + 1).cast("long").as("w"))
         .localCheckpoint(true)
     })
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")

@@ -883,6 +883,29 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("score"), col("rank"))
     }),
 
+    "sim_ivf_delete" -> ((s, dir) => {
+      // embedding-store retirement: index built on the FULL corpus,
+      // then every vec_id % 10 == 7 vector deleted in place (frozen
+      // quantizer, only touched cell partitions rewritten, emptied
+      // cells dropped — Similarity.deleteFromIvfIndex); queries (all
+      // % 1000 == 0, disjoint from the deletes) must see exactly a
+      // fresh index of the survivors under the same centroids — the
+      // oracle replays that rebuild (full-corpus centroid sample,
+      // survivor-only cell relation)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 1000 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString + "/idx"
+      val flat = Similarity.buildIvfIndex(emb, path, "vec_id", "embedding",
+        dim = 64, nCentroids = 16,
+        sampleKey = Some(id => md5(concat(lit("ivf:"), id.cast("string")))))
+      Similarity.deleteFromIvfIndex(s, path,
+        emb.filter(col("vec_id") % 10 === 7).select(col("vec_id")), "vec_id")
+      Similarity.queryIvfIndex(s, path, flat, queries, "vec_id", "embedding",
+        "qid", "qvec", k = 5, dim = 64, nProbe = 4)
+        .select(col("qid"), col("vec_id"), col("score"), col("rank"))
+    }),
+
     // ---- §2.9 text analysis -------------------------------------------
     "text_tokencount" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1735,6 +1758,21 @@ object SparkEntry {
       Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         terms = searchTerms, k = 10)),
 
+    "text_search_ranked" -> ((s, dir) =>
+      // proximity-RANKED retrieval: per-doc BM25 total × slop boost
+      // (1 + 1/minimal-covering-window). GATE-SAFE by the text_bm25
+      // argument extended to the composition: per-term scores are
+      // bit-identical up to the single ln() ulp; the per-doc total is
+      // a fixed-order PIVOT (((s0+s1)+s2), not an order-dependent
+      // float sum); the boost is integer-derived (one exact division).
+      // Measured on this corpus: min adjacent-score gap among the
+      // top-20 rank competitors 7.6e-5 (sf0.1; larger at smaller SFs)
+      // and min distance of any top-10 score to a round-6 boundary
+      // 5.6e-9 — both ≥6 orders above the O(3-ulp) ≈ 5e-15
+      // cross-engine noise.
+      Search.rankedTopK(t(s, dir, "documents"), "doc_id", "text",
+        terms = searchTerms, k = 10)),
+
     "text_keyphrase" -> ((s, dir) =>
       // per-doc TF-IDF keyphrases: integer fixed-point idf (N·1024 div
       // df), >50%-df stopword cut, top-5 per doc with (score DESC,
@@ -2362,7 +2400,7 @@ object SparkEntry {
     * corpus cell = nearest-by-cosine (ties to the lower centroid
     * index, the nearestCentroids contract), queries probe their 4
     * nearest cells. */
-  private def ivfCoarseCtesFrom(centWhere: String): String =
+  private def ivfCoarseCtesFrom(centWhere: String, corpusWhere: String = ""): String =
     s"""cent AS (SELECT cv, cidx FROM (
               SELECT embedding AS cv,
                      row_number() OVER (ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR))) - 1 AS cidx
@@ -2370,7 +2408,7 @@ object SparkEntry {
        asgn AS (SELECT v.vec_id, c.cidx,
                   row_number() OVER (PARTITION BY v.vec_id
                     ORDER BY ${cosSql("v.embedding", "c.cv")} DESC, c.cidx ASC) AS rnk
-                FROM embeddings v CROSS JOIN cent c),
+                FROM (SELECT * FROM embeddings $corpusWhere) v CROSS JOIN cent c),
        ccell AS (SELECT vec_id, cidx AS cell FROM asgn WHERE rnk = 1),
        q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 1000 = 0),
        qasgn AS (SELECT q.qid, c.cidx,
@@ -2399,6 +2437,13 @@ object SparkEntry {
     * index's relation. */
   private lazy val ivfAppendSql: String =
     ivfTopkSqlFrom(ivfCoarseCtesFrom("WHERE vec_id % 4 < 3"))
+
+  /** sim_ivf_delete: centroids from the FULL corpus (delete keeps the
+    * quantizer frozen), cell relation over the survivors only — a
+    * fresh build of the surviving set IS the deleted index's relation
+    * (the append argument, mirrored). */
+  private lazy val ivfDeleteSql: String =
+    ivfTopkSqlFrom(ivfCoarseCtesFrom("", "WHERE vec_id % 10 <> 7"))
 
   /** Unrolled-round DuckDB twin of Pipeline.bpeTrain (and the training
     * half of bpe_encode). The greedy left-to-right merge FOLD equals a
@@ -3103,7 +3148,7 @@ object SparkEntry {
                     SELECT doc_id + 5000000, text || ' re-encoded tail'
                     FROM documents WHERE doc_id % 5 = 0),
           fr AS (SELECT media_id,
-                   md5(substr(txt, CAST(f * 64 + 1 AS INT), 64)) AS fp
+                   substr(md5(substr(txt, CAST(f * 64 + 1 AS INT), 64)), 1, 15) AS fp
                  FROM (SELECT media_id, txt,
                          unnest(range(0, CAST(ceil(length(txt) / 64.0) AS INT))) AS f
                        FROM m WHERE length(txt) > 0)),
@@ -3369,6 +3414,7 @@ object SparkEntry {
     // which files the scan reads), so it shares the oracle verbatim
     "sim_ivf_index" -> ivfTopkSql,
     "sim_ivf_append" -> ivfAppendSql,
+    "sim_ivf_delete" -> ivfDeleteSql,
     "sim_ivfpq_topk" -> ivfPqSql,
 
     // the recall shape with the IVF+PQ chain as the ann side
@@ -3449,7 +3495,7 @@ object SparkEntry {
                   CAST(len(regexp_extract_all(txt, '[0-9]')) AS BIGINT) AS n_digit
                 FROM d)
           SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk, n_digit,
-                 CASE WHEN $g = 0 THEN 'none'
+                 CASE WHEN $g IS NULL OR $g = 0 THEN 'none'
                       WHEN n_latin = $g THEN 'latin'
                       WHEN n_cyrillic = $g THEN 'cyrillic'
                       WHEN n_greek = $g THEN 'greek'
@@ -3524,9 +3570,13 @@ object SparkEntry {
           FROM r CROSS JOIN o""",
 
     // corpusMixTemperature twin: same pow-seeded ±1-corrected integer
-    // sqrt, quota and rank arithmetic all-integer
+    // sqrt, quota and rank arithmetic all-integer. NULL-symmetric with
+    // the operator (the corpus_mix recipe): NULL strata are excluded
+    // from the weight denominator and come back keep=false via the
+    // LEFT JOIN + coalesce — not dropped, not quota-inflating
     "corpus_mix_temperature" ->
-      """WITH cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+      """WITH cnt AS (SELECT source, count(*) AS c FROM documents
+                      WHERE source IS NOT NULL GROUP BY 1),
           w0 AS (SELECT source, c, CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS s0 FROM cnt),
           wv AS (SELECT source, c,
                    s0 + CASE WHEN (s0 + 1) * (s0 + 1) <= c THEN 1 ELSE 0 END
@@ -3538,8 +3588,8 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY source
                     ORDER BY md5('temp:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
                 FROM documents)
-          SELECT r.doc_id, r.source, (r.rn <= q.q) AS keep
-          FROM r JOIN q USING (source)""",
+          SELECT r.doc_id, r.source, coalesce(r.rn <= q.q, FALSE) AS keep
+          FROM r LEFT JOIN q USING (source)""",
 
     "dedup_spans" ->
       s"""WITH ${shingleSetsSqlK(5)},
@@ -4276,6 +4326,52 @@ object SparkEntry {
           SELECT term, doc_id, round(score, 6) AS score, CAST(rnk AS INT) AS rank
           FROM rk WHERE rnk <= 10""",
 
+    // rankedTopK twin: the text_bm25 scored CTE pivoted per doc in
+    // LISTED term order (((s0+s1)+s2) — the same IEEE expression tree
+    // as the Spark fold, never an order-dependent SUM), boosted by the
+    // text_search_proximity minimal window via LEFT JOIN (no window →
+    // factor 1), ranked globally (score DESC, doc_id ASC)
+    "text_search_ranked" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+          dl AS (SELECT doc_id, CAST(len(string_split($normSql, ' ')) AS BIGINT) AS doc_len FROM documents),
+          tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+                 WHERE term IN ($searchTermsSqlIn) GROUP BY 1, 2),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          corpus AS (SELECT count(*) AS n,
+                            avg(CAST(len(string_split($normSql, ' ')) AS DOUBLE)) AS avgdl
+                     FROM documents),
+          scored AS (SELECT tf.term, tf.doc_id,
+                       ln((c.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+                         * (tf.tf * (1.2::DOUBLE + 1))
+                         / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl.doc_len / c.avgdl)) AS score
+                     FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c),
+          piv AS (SELECT doc_id,
+                    coalesce(max(CASE WHEN term = 'spark' THEN score END), 0.0::DOUBLE)
+                  + coalesce(max(CASE WHEN term = 'join' THEN score END), 0.0::DOUBLE)
+                  + coalesce(max(CASE WHEN term = 'window' THEN score END), 0.0::DOUBLE) AS bm25
+                  FROM scored GROUP BY doc_id),
+          occ AS (SELECT doc_id, u.pos, u.term
+                  FROM (SELECT doc_id, string_split($normSql, ' ') AS ts FROM documents),
+                       unnest([struct_pack(pos := i - 1, term := ts[i])
+                               FOR i IN range(1, len(ts) + 1)]) t(u)
+                  WHERE u.term IN ($searchTermsSqlIn)),
+          r AS (SELECT doc_id, pos,
+                  max(CASE WHEN term = 'spark' THEN pos END) OVER w AS l0,
+                  max(CASE WHEN term = 'join' THEN pos END) OVER w AS l1,
+                  max(CASE WHEN term = 'window' THEN pos END) OVER w AS l2
+                FROM occ
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)),
+          prox AS (SELECT doc_id, CAST(min(pos - least(l0, l1, l2) + 1) AS BIGINT) AS wl
+                   FROM r WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL
+                   GROUP BY doc_id),
+          fin AS (SELECT piv.doc_id,
+                    piv.bm25 * (1.0::DOUBLE + coalesce(1.0::DOUBLE / prox.wl, 0.0::DOUBLE)) AS score
+                  FROM piv LEFT JOIN prox USING (doc_id)),
+          rk AS (SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM fin)
+          SELECT doc_id, round(score, 6) AS score, CAST(rnk AS INT) AS rank
+          FROM rk WHERE rnk <= 10""",
+
     "text_keyphrase" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
           tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
@@ -4783,17 +4879,28 @@ object SparkEntry {
 
   /** Pristine corpus state for corpus_incremental_delta — built once
     * per (session, sfDir), never incremented directly (callers copy
-    * it; the increment APPENDS to its state dir). */
+    * it; the increment APPENDS to its state dir). Entries for stopped
+    * sessions are evicted on access (their temp dirs deleted — the
+    * JVM-global map must not pin dead sessions' state, the
+    * Tables.sweepStopped discipline) and every master dir is
+    * registered for recursive delete at JVM exit. */
   private val corpusStateCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def pristineCorpusState(s: SparkSession, dir: String,
-                                  docs: DataFrame): String =
+                                  docs: DataFrame): String = {
+    corpusStateCache.filterInPlace { case ((sess, _), path) =>
+      val live = !sess.sparkContext.isStopped
+      if (!live) org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      live
+    }
     corpusStateCache.getOrElseUpdate((s, dir), {
       val master = java.nio.file.Files.createTempDirectory("graft_corpus_master").toString
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(new java.io.File(master))
       Pipeline.writeCorpusState(docs, "doc_id", "text", master, nShards = 8,
         tokenHash = Dedup.md5TokenHash, hashedShard = false)
       master
     })
+  }
 
   /** SQL twin of [[piiContact]]'s derived column. */
   private val piiContactSql: String =

@@ -72,21 +72,28 @@ object Search {
     * transcendental so this is the benched production scorer — the
     * integer-exact [[searchTopK]] relation is the oracle-gated twin.
     * Output: (term, idCol, score, rank). */
-  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               terms: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** Per-(term, doc) UNROUNDED BM25 scores — the shared scoring core
+    * of [[bm25TopK]] (per-term ranking) and [[rankedTopK]] (per-doc
+    * ranking). Output: (term, idCol, score). */
+  private def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                         terms: Seq[String], k1: Double, b: Double): DataFrame = {
     val tf = termFrequencies(docs, idCol, textCol, terms)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val corpus = docs.agg(count(lit(1)).as("__n"),
       avg(T.tokenCount(col(textCol)).cast("double")).as("__avgdl"))
-    val scored = tf
-      .join(broadcast(dfreq), "term")
+    tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(corpus))
       .select(col("term"), col(idCol),
         (log((col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
           (col("tf") * (lit(k1) + 1)) /
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("doc_len") / col("__avgdl"))))
           .as("score"))
+  }
+
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scored = bm25Scores(docs, idCol, textCol, terms, k1, b)
     scored.groupBy(col("term"))
       .agg(TopKAggregate.topK(col("score"), col(idCol).cast("long"), k).as("__top"))
       .select(col("term"), posexplode(col("__top")).as(Seq("__r", "__e")))
@@ -181,6 +188,53 @@ object Search {
       .groupBy(col(idCol))
       .agg(min(col("__wl")).cast("long").as("window_len"))
       .filter(col("window_len").isNotNull)
+  }
+
+  /** Proximity-RANKED retrieval — the composition of [[bm25TopK]] and
+    * [[proximityWindow]] that a ranked match_phrase serves (the
+    * "slop boost" every production scorer ships): per-DOC relevance =
+    * (Σ per-term BM25) × (1 + 1/window_len), so a doc where the terms
+    * sit in one tight window outranks an equal-BM25 doc where they are
+    * scattered, and docs lacking some term keep their plain BM25
+    * (boost factor 1 — the window exists only when every term occurs).
+    *
+    * Engine-reproducibility (the text_bm25 discipline, extended to the
+    * composition): the per-term scores are the bit-identical-up-to-ln
+    * doubles bm25TopK gates; the per-doc total is NOT an aggregate
+    * float sum but a PIVOT over the fixed term list added in listed
+    * order — ((s0 + s1) + s2) is the same IEEE expression tree on both
+    * engines (max() over doubles is order-free, unlike sum). The boost
+    * is integer-derived (1/window_len, one exact division) and the
+    * product is one IEEE multiply. Cumulative cross-engine noise stays
+    * O(|terms|) ulp — see the gate entry's measured gap/boundary note.
+    *
+    * Scale shape: everything downstream of the contains-prefiltered
+    * term postings (tiny); the pivot is a partial-agg'd groupBy on the
+    * doc id; the proximity join is doc-keyed on two already-small
+    * relations; final ranking is the bounded-heap [[TopKAggregate]]
+    * over ONE group — k rows per map task into a single-point merge,
+    * never a full sort. Output: (idCol, score, rank), rank ≤ k. */
+  def rankedTopK(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms == terms.distinct, "terms must be distinct")
+    val perTerm = bm25Scores(docs, idCol, textCol, terms, k1, b)
+    val slots = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(max(when(col("term") === t, col("score"))), lit(0.0)).as(s"__s$i")
+    }
+    val pivoted = perTerm.groupBy(col(idCol)).agg(slots.head, slots.tail: _*)
+    val total = terms.indices.map(i => col(s"__s$i")).reduce(_ + _) // left fold: ((s0+s1)+s2)
+    val prox = proximityWindow(docs, idCol, textCol, terms)
+    val scored = pivoted.select(col(idCol), total.as("__bm25"))
+      .join(prox, Seq(idCol), "left")
+      .select(col(idCol),
+        (col("__bm25") *
+          (lit(1.0) + coalesce(lit(1.0) / col("window_len"), lit(0.0)))).as("score"))
+    scored
+      .agg(TopKAggregate.topK(col("score"), col(idCol).cast("long"), k).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col("__e.id").as(idCol), round(col("__e.score"), 6).as("score"),
+        (col("__r") + 1).cast("int").as("rank"))
   }
 
   /** Per-document TF-IDF keyphrase extraction: each doc's top-k terms

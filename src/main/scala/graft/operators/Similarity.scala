@@ -196,6 +196,58 @@ object Similarity {
       .partitionBy("__cell").parquet(path)
   }
 
+  /** Delete vectors from a persisted IVF index without a rebuild —
+    * the retire third of embedding-store maintenance ([[buildIvfIndex]]
+    * / [[appendIvfIndex]] / ivfIndexStream cover build/append/stream):
+    * when dedup retraction or a takedown drops documents, their
+    * vectors must leave the index while the quantizer stays frozen.
+    *
+    * Scale shape: touched cells are discovered from an (id, cell)-only
+    * projection (two columns off the columnar scan, vectors never
+    * read) semi-joined with the broadcast delete set — the touched
+    * list is ≤ nCentroids values, a by-construction-tiny collect (the
+    * queryIvfIndex probed-cells contract). Survivors of ONLY those
+    * cells are anti-joined and rewritten through a staging dir, then
+    * each touched cell partition is swapped in with delete+rename —
+    * the dynamic-partition-overwrite shape made explicit, because a
+    * cell EMPTIED by the delete writes no staging partition and
+    * dynamic overwrite would silently keep its old files; here absence
+    * = drop. Untouched cells are never read and never written: cost is
+    * O(touched cells), not O(index).
+    *
+    * Idempotent at-least-once (the appendIvfIndex contract): re-running
+    * the same delete finds no surviving target ids in pass 2 (no
+    * touched cells, no-op), and a crash between swaps is repaired by
+    * the re-run. delete ∘ append == rebuild of the surviving set under
+    * the same centroids — spec-pinned, and gated (sim_ivf_delete)
+    * against the sim_ivf_topk oracle over the filtered corpus.
+    * Returns the number of touched cells. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         deleteIds: DataFrame, idCol: String): Int = {
+    val idx = spark.read.parquet(path)
+    val dels = broadcast(deleteIds.select(col(idCol)).distinct())
+    val touched = idx.select(col(idCol), col("__cell"))
+      .join(dels, Seq(idCol), "left_semi")
+      .select(col("__cell")).distinct().collect().map(_.getInt(0))
+    if (touched.nonEmpty) {
+      val survivors = idx.filter(col("__cell").isin(touched.map(Int.box): _*))
+        .join(dels, Seq(idCol), "left_anti")
+      val staging = path + "__delstage"
+      survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("__cell").parquet(staging)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      touched.foreach { c =>
+        val dst = new org.apache.hadoop.fs.Path(s"$path/__cell=$c")
+        val src = new org.apache.hadoop.fs.Path(s"$staging/__cell=$c")
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (fs.exists(src)) fs.rename(src, dst) // no staging dir = cell emptied
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
+    touched.length
+  }
+
   /** Query a persisted IVF index (see [[buildIvfIndex]]). The probed
     * cell set (≤ nQueries × nProbe values — tiny by the small-query-
     * batch contract, one driver collect like the centroids) is applied

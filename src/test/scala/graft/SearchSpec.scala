@@ -126,4 +126,38 @@ class SearchSpec extends SparkSpec {
     // single term: every containing doc has window 1
     assert(run(pd, Seq("join")) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
+
+  test("rankedTopK: BM25 pivot × slop boost, no-window docs keep plain BM25") {
+    val ts = Seq("spark", "join", "window")
+    val pd = Seq(
+      (1L, "spark join window pad pad pad pad pad pad"),      // window 3 -> boost 4/3
+      (2L, "spark pad pad join pad pad pad pad window"),      // window 9 -> boost 10/9
+      (3L, "spark join spark join spark join pad pad pad"),   // no 'window' -> boost 1
+      (4L, "scan merge sort pad pad pad pad pad pad")).toDF("doc_id", "text")
+    val out = Search.rankedTopK(pd, "doc_id", "text", ts, k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("score"), r.getAs[Int]("rank"))).toMap
+    // doc 4 holds no query term -> absent; the others all surface
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // expected = (Σ per-term BM25) × (1 + 1/window): recompose from the
+    // gated halves (per-term scores are round-6 there, so tolerance 3e-6)
+    val perTerm = Search.bm25TopK(pd, "doc_id", "text", ts, k = 10)
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Double]("score")).toMap
+    val win = Search.proximityWindow(pd, "doc_id", "text", ts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1L, 2L, 3L).foreach { d =>
+      val bm25 = ts.map(t => perTerm.getOrElse((t, d), 0.0)).sum
+      val expect = bm25 * (1.0 + win.get(d).map(1.0 / _).getOrElse(0.0))
+      assert(math.abs(out(d)._1 - expect) < 3e-6, s"doc $d: ${out(d)._1} vs $expect")
+    }
+    // identical per-doc BM25 totals (same tf/dl per term) -> the tight
+    // window outranks the scattered one
+    assert(out(1L)._2 < out(2L)._2 && out(1L)._1 > out(2L)._1)
+    // partition invariance
+    val re = Search.rankedTopK(pd.repartition(7), "doc_id", "text", ts, k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("score"), r.getAs[Int]("rank"))).toMap
+    assert(re == out)
+  }
 }

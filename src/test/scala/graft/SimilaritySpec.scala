@@ -196,6 +196,52 @@ class SimilaritySpec extends SparkSpec {
     assert(q(appendedPath) == q(rebuiltPath))
   }
 
+  test("deleteFromIvfIndex: delete ∘ append == rebuild of the surviving set; emptied cells dropped; idempotent") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_d").toString + "/idx"
+    val centroids = Similarity.buildIvfIndex(emb, path, "vec_id", "embedding",
+      dim = 64, nCentroids = 16)
+    val dels = emb.filter(col("vec_id") % 10 === 7).select(col("vec_id"))
+    val delta = emb.filter(col("vec_id") % 10 === 3)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+    val touched = Similarity.deleteFromIvfIndex(spark, path, dels, "vec_id")
+    assert(touched > 0)
+    Similarity.appendIvfIndex(delta, path, centroids, "embedding", dim = 64)
+
+    // delete ∘ append == fresh build of (survivors ∪ delta) under the
+    // same frozen centroids: identical (vec_id, cell) relation
+    val survivors = emb.filter(col("vec_id") % 10 =!= 7).unionByName(delta)
+    val rebuiltPath = java.nio.file.Files.createTempDirectory("graft_ivf_e").toString + "/idx"
+    val cell1 = graft.functions.VectorExpressions
+      .nearestCentroids(col("embedding"), centroids, 64, centroids.length / 64, 1)
+    survivors.withColumn("__cell", element_at(cell1, 1))
+      .write.partitionBy("__cell").parquet(rebuiltPath)
+    def rel(p: String) = spark.read.parquet(p)
+      .select("vec_id", "__cell").collect().map(_.toSeq).toSet
+    assert(rel(path) == rel(rebuiltPath))
+
+    // ...and queries cannot tell the maintained index from the rebuild
+    val queries = emb.filter(col("vec_id") % 1000 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def q(p: String) = Similarity.queryIvfIndex(spark, p, centroids, queries,
+      "vec_id", "embedding", "qid", "qvec", k = 5, dim = 64, nProbe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(q(path) == q(rebuiltPath))
+
+    // same delete again: nothing left to touch (idempotent no-op)
+    assert(Similarity.deleteFromIvfIndex(spark, path, dels, "vec_id") == 0)
+
+    // emptying a whole cell drops its partition dir outright — dynamic
+    // overwrite alone would have silently kept the old files
+    val idx = spark.read.parquet(path)
+    val someCell = idx.groupBy("__cell").count().orderBy(col("count").asc, col("__cell").asc)
+      .first().getInt(0)
+    val cellIds = idx.filter(col("__cell") === someCell).select(col("vec_id"))
+    assert(Similarity.deleteFromIvfIndex(spark, path, cellIds, "vec_id") == 1)
+    assert(!new java.io.File(path.stripSuffix("/idx") + s"/idx/__cell=$someCell").exists())
+    assert(spark.read.parquet(path).filter(col("__cell") === someCell).count() == 0)
+  }
+
   test("lshTopK returns the exact match in its candidates") {
     val dim = 16
     val corpus = (1 to 200).map { i =>
