@@ -163,6 +163,21 @@ object Bench {
     }
     val gate = adjudicate(gate0)
     val prod = adjudicate(prod0)
+    // report-only drift net UNDER the suspect floor (VERDICT_r11 #3:
+    // corpus_overlap crept 0.19 -> 0.68 s idle across rounds — 3.5×,
+    // but below the 1 s floor, so never re-timed and invisible in the
+    // artifact): any final median ≥ 3× its reference, no floor, lands
+    // in sub_floor_drift for the judge. Never re-timed, never alters
+    // the reported number — floor-level timings are scheduling noise
+    // per-run, but a RATIO that persists across rounds is real drift
+    // and the artifact should carry it.
+    val subFloorDrift = (gate ++ prod).flatMap { case (name, m) =>
+      ref.get(name) match {
+        case Some(r) if r > 0 && m >= 3.0 * r && !failed.contains(name) =>
+          Some(name -> (m, r))
+        case _ => None
+      }
+    }
     val loadEnd = loadAvg()
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -178,12 +193,15 @@ object Bench {
     val detailJson = passDetail.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val driftJson = subFloorDrift.map { case (k, (m, r)) =>
+      "\"" + k + "\":{\"med\":" + fmt(m) + ",\"ref\":" + fmt(r) + "}"
+    }.mkString("{", ",", "}")
     // The full per-query map outgrew the driver's bounded stdout tail
     // at 128 gate queries (BENCH_r06.json captured a cut line →
     // parsed:null). So: the complete per-query JSON goes to a FILE,
     // and the LAST stdout line is a compact totals-only record that
     // always fits the captured tail.
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries":${toJson(gate)},"prod":${toJson(prod)},"prod_total":${fmt(prodTotal)},"failed":$failedJson,"load_avg":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}},"suspects":$suspectsJson,"pass_detail":$detailJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries":${toJson(gate)},"prod":${toJson(prod)},"prod_total":${fmt(prodTotal)},"failed":$failedJson,"load_avg":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}},"suspects":$suspectsJson,"sub_floor_drift":$driftJson,"pass_detail":$detailJson,"sf":"$sfDir"}"""
     val benchFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json"))
     java.nio.file.Files.write(benchFile,

@@ -127,6 +127,31 @@ object Tables {
     })
   }
 
+  /** Session-scoped SEALED cache of the supplier co-occurrence pair
+    * graph: one row per unordered supplier pair (a < b) with the
+    * number of orders they co-supplied (n). graph_triangles was the
+    * last graph gate rebuilding its own lineitem self-join per run
+    * (the [[purchaseBase]] rationale and lifecycle); caching the
+    * UNTHRESHOLDED counts makes any cut (the gate's ≥8
+    * "preferred-supplier" threshold, or another analysis's) a filter
+    * on the sealed base. Per-order fanout is bounded by
+    * lineitems-per-order (~7 → ≤21 pairs), so the pair relation stays
+    * linear in the order count at every corpus scale. */
+  private val coSupplierCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  def coSupplierPairs(spark: SparkSession, dir: String): DataFrame = {
+    sweepStopped(coSupplierCache)
+    coSupplierCache.getOrElseUpdate((spark, dir), {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val li = lineitem(spark, dir).select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+    })
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

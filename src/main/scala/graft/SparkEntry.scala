@@ -1523,6 +1523,40 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text")).as("fp"), col("shard"), col("pos"))
     }),
 
+    "corpus_stream" -> ((s, dir) => {
+      // the nightly as a STRUCTURED STREAMING job end-to-end: the same
+      // simulated crawl as corpus_incremental, split into two genuine
+      // micro-batches (edits+clones, then novel docs) delivered
+      // through a file source; after both triggers the crash-safe
+      // export must hash-match the full-rebuild oracle — the
+      // spec-pinned replay==rebuild contract, now driver-gated. The
+      // batch writes/processAllAvailable calls are gate HARNESS (a
+      // production job tails a real crawl directory); the operator
+      // under test is StreamOps.corpusStream.
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val stateDir = java.nio.file.Files.createTempDirectory("graft_corpus_stream").toString
+      Pipeline.writeCorpusState(docs, "doc_id", "text", stateDir, nShards = 8,
+        tokenHash = Dedup.md5TokenHash, hashedShard = false)
+      val crawlDir = s"$stateDir/crawl"
+      val batch = crawlBatch(docs)
+      batch.filter(col("doc_id") < 3000000L).write.mode("append").parquet(crawlDir)
+      val crawl = s.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .parquet(crawlDir)
+      val q = graft.streaming.StreamOps.corpusStream(crawl, stateDir, "doc_id", "text",
+        checkpoint = s"$stateDir/ckpt", nShards = 8,
+        tokenHash = Dedup.md5TokenHash, hashedShard = false).start()
+      try {
+        q.processAllAvailable()
+        batch.filter(col("doc_id") >= 3000000L).write.mode("append").parquet(crawlDir)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$stateDir/export")
+        .select(col("doc_id"), md5(col("text")).as("fp"), col("shard"), col("pos"))
+    }),
+
     "graph_pagerank_weighted" -> ((s, dir) => {
       // weighted pagerank: edge weight = shared-order count, share =
       // (rank·w) div Σw — still pure integer arithmetic; base from
@@ -1538,12 +1572,12 @@ object SparkEntry {
       // sharing ≥8 orders — unthresholded co-occurrence is near-
       // complete at scale and triangle count on a complete graph is
       // meaningless); degree-ordered orientation keeps the wedge join
-      // O(m^1.5) — no hub blowup
-      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      val pairs = li.as("x").join(li.as("y"),
-          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
-        .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
-        .agg(count(lit(1)).as("__n")).filter(col("__n") >= 8)
+      // O(m^1.5) — no hub blowup. Pairs from the shared SEALED
+      // co-occurrence base (Tables.coSupplierPairs — the purchaseBase
+      // treatment, r12): the lineitem self-join is paid once per
+      // session, the ≥8 cut is a filter on the sealed relation
+      val pairs = Tables.coSupplierPairs(s, dir)
+        .filter(col("n") >= 8).select(col("a"), col("b"))
       operators.Graph.triangleCount(pairs, "a", "b")
     }),
 
@@ -4042,6 +4076,9 @@ object SparkEntry {
     // batch — only WHEN the state was built differs), so the delta
     // entry shares the full-rebuild replay oracle
     "corpus_incremental_delta" -> corpusIncrementalSql,
+    // the streaming nightly replays to the same corpus as the one-shot
+    // increment (replay == rebuild), so it shares the rebuild oracle
+    "corpus_stream" -> corpusIncrementalSql,
 
     "graph_pagerank_weighted" ->
       """WITH b AS MATERIALIZED (SELECT o_custkey AS c, l_suppkey + 1000000000 AS p, count(*) AS w

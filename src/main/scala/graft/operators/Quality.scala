@@ -247,6 +247,67 @@ object Quality {
         .as("range_widened"))
   }
 
+  /** Content-composition profile of a document set — the batch half
+    * of the script/PII monitor (the incident it exists for: a crawl
+    * source flipping to mojibake, or starting to leak card-bearing
+    * pages — both show up as composition shifts long before any
+    * per-doc gate fires). One row per metric: the per-script
+    * dominant-doc counts ([[graft.functions.TextFunctions.scriptCounts]]
+    * incl. the all-empty 'none' bucket) and PII incidence (docs with
+    * ≥1 email / phone / IP / Luhn-VALID card —
+    * [[graft.functions.PiiFunctions]]; the checksum, not a regex
+    * guess).
+    *
+    * Scale shape: the per-doc structs are codegen'd map-side
+    * expressions; everything aggregates in ONE partial-agg'd pass to
+    * a 1-row conditional-count aggregate, stacked to metric rows
+    * driver-trivially (the [[profile]] recipe). Counts are exact
+    * integers; rate is one integer-derived division, round 6.
+    * Output: (metric, n_docs, n_hit, rate). */
+  def contentProfile(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val scripts = graft.functions.TextFunctions.scriptRanges.map(_._1) :+ "none"
+    val base = docs.select(
+      graft.functions.TextFunctions.scriptCounts(t).getField("main_script").as("__script"),
+      graft.functions.PiiFunctions.piiStruct(t).as("__pii"),
+      (graft.functions.PiiFunctions.cardStruct(t).getField("n_valid") > 0).as("__card"))
+    val hits: Seq[(String, Column)] =
+      scripts.map(s => s"script:$s" -> (col("__script") === s)) ++ Seq(
+        "pii:email" -> (col("__pii.n_emails") > 0),
+        "pii:phone" -> (col("__pii.n_phones") > 0),
+        "pii:ip" -> (col("__pii.n_ips") > 0),
+        "pii:card_valid" -> col("__card"))
+    val aggs = count(lit(1)).as("__n") +: hits.zipWithIndex.map { case ((_, p), i) =>
+      sum(when(p, 1L).otherwise(0L)).as(s"__h_$i") }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val stacked = hits.zipWithIndex.map { case ((m, _), i) =>
+      struct(lit(m).as("metric"), col("__n").as("n_docs"),
+        col(s"__h_$i").as("n_hit"),
+        round(col(s"__h_$i").cast("double") / col("__n"), 6).as("rate"))
+    }
+    one.select(explode(array(stacked: _*)).as("__p")).select(col("__p.*"))
+  }
+
+  /** The compare half of the content monitor, over two ALREADY-COMPUTED
+    * [[contentProfile]] relations (the [[driftFromProfiles]] contract:
+    * a fixed baseline profile is computed once, ever, and compared
+    * against many batches — both sides are metric-count rows, the join
+    * is driver-trivial). rate_shift subtracts the round-6 rates —
+    * deterministic on every engine. */
+  def contentDriftFromProfiles(baselineProfile: DataFrame,
+                               batchProfile: DataFrame): DataFrame = {
+    val b = baselineProfile.select(col("metric"),
+      col("n_docs").as("n_docs_base"), col("n_hit").as("n_hit_base"),
+      col("rate").as("rate_base"))
+    val a = batchProfile.select(col("metric"),
+      col("n_docs").as("n_docs_batch"), col("n_hit").as("n_hit_batch"),
+      col("rate").as("rate_batch"))
+    b.join(a, "metric").select(
+      col("metric"), col("n_docs_base"), col("n_hit_base"), col("rate_base"),
+      col("n_docs_batch"), col("n_hit_batch"), col("rate_batch"),
+      round(col("rate_batch") - col("rate_base"), 6).as("rate_shift"))
+  }
+
   /** Schema-drift report between two relations (yesterday's load vs
     * today's): one row per column that was added, removed, or changed
     * type/nullability — the ingest-gate companion to

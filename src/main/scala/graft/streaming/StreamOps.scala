@@ -343,6 +343,40 @@ object StreamOps {
       }
   }
 
+  /** Streaming script/PII-composition monitor — the content sibling of
+    * [[profileDriftStream]] (that one watches numeric columns; this
+    * one watches what a TEXT crawl is made of): every micro-batch of
+    * documents is profiled with
+    * [[graft.operators.Quality.contentProfile]] (ONE partial-agg scan
+    * of the batch — per-script dominance + email/phone/IP/Luhn-card
+    * incidence) and compared against a FIXED baseline profile computed
+    * once by the caller, one drift row per (batch, metric) appended
+    * with the batch id. The incident this catches is exactly what a
+    * nightly needs flagged before the corpus ships: a source flipping
+    * to mojibake (script shares move) or starting to leak card-bearing
+    * pages (pii:card_valid rate moves). State-free beyond checkpoint
+    * bookkeeping — the baseline is a sealed ~10-row relation; on
+    * replay the rows equal the batch
+    * [[graft.operators.Quality.contentDriftFromProfiles]] per batch
+    * (spec-pinned, the profileDriftStream contract). */
+  def contentDriftStream(updates: DataFrame, baselineProfile: DataFrame,
+                         textCol: String, outPath: String, checkpoint: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sealedBaseline = baselineProfile.localCheckpoint(true) // metric rows, computed once
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Quality
+            .contentDriftFromProfiles(sealedBaseline,
+              graft.operators.Quality.contentProfile(batch.toDF(), textCol))
+            .withColumn("batch_id", lit(id))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outPath)
+        }
+        ()
+      }
+  }
+
   /** One typed SCD2 change-stream event. */
   final case class Scd2Event(key: Long, state: Option[String],
                              tsMicros: Long, tie: Long)

@@ -241,4 +241,34 @@ class QualitySpec extends SparkSpec {
     assert(a.size == 60) // 50 originals, 10 of them overwritten, 10 inserted
     assert(a.contains((45L, "U45")) && a.contains((10L, "v10")))
   }
+
+  test("contentProfile: script dominance + PII incidence, one row per metric") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello plain english text"),
+      (2L, "привет мир привет"),                 // cyrillic-dominant
+      (3L, "contact a@b.com now"),               // latin + email
+      (4L, "pay 4111111111111111 today"),        // 16 digits > 8 letters -> digit; Luhn-valid
+      (5L, "... !!!")                            // no script at all -> none
+    ).toDF("id", "text")
+    val p = graft.operators.Quality.contentProfile(docs, "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(p("script:latin") == (5L, 2L, 0.4))
+    assert(p("script:cyrillic") == (5L, 1L, 0.2))
+    assert(p("script:digit") == (5L, 1L, 0.2))
+    assert(p("script:none") == (5L, 1L, 0.2))
+    assert(p("pii:email") == (5L, 1L, 0.2))
+    assert(p("pii:phone")._2 == 0L && p("pii:ip")._2 == 0L)
+    assert(p("pii:card_valid") == (5L, 1L, 0.2))
+    // drift compare: a card-leaking batch moves exactly that rate
+    val batch = Seq((10L, "pay 4111111111111111 today"),
+      (11L, "pay 4012888888881881 now")).toDF("id", "text")
+    val d = graft.operators.Quality.contentDriftFromProfiles(
+      graft.operators.Quality.contentProfile(docs, "text"),
+      graft.operators.Quality.contentProfile(batch, "text"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rate_shift")).toMap
+    assert(d("pii:card_valid") == 0.8) // 0.2 -> 1.0
+    assert(d("pii:email") == -0.2)
+  }
 }

@@ -126,4 +126,36 @@ class SparkPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("TopKAggregate == row_number window under randomized dense ties, any partitioning") {
+    // the bounded-heap primitive half the ranking surface leans on
+    // (search/ANN/top-paths): its (score DESC, id ASC) tie contract
+    // must match the window formulation EXACTLY — scores drawn from a
+    // tiny domain so ties dominate, ids unique per group (the operator
+    // contract), insertion order randomized by the repartition
+    for (seed <- Seq(7, 19, 31)) {
+      val rnd = new Random(seed)
+      val rows = (0 until 60).flatMap { g =>
+        val n = rnd.nextInt(25)
+        (0 until n).map { i =>
+          (g.toLong, (rnd.nextInt(5) - 2).toDouble, g * 1000L + i)
+        }
+      }
+      for (k <- Seq(1, 3, 8); parts <- Seq(1, 13)) {
+        val df = rows.toDF("g", "score", "id").repartition(parts)
+        val heap = df.groupBy(col("g"))
+          .agg(graft.functions.TopKAggregate.topK(col("score"), col("id"), k).as("top"))
+          .select(col("g"), posexplode(col("top")).as(Seq("r", "e")))
+          .select(col("g"), col("e.id"), col("e.score"), (col("r") + 1).cast("long").as("rank"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("score").desc, col("id").asc)
+        val win = df.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .collect().map(r => (r.getAs[Long]("g"), r.getAs[Long]("id"),
+            r.getAs[Double]("score"), r.getAs[Int]("rank").toLong)).toSet
+        assert(heap == win, s"seed=$seed k=$k parts=$parts")
+      }
+    }
+  }
 }

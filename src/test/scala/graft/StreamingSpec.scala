@@ -316,6 +316,58 @@ class StreamingSpec extends SparkSpec {
     assert(d2.getAs[Boolean]("range_widened"))
   }
 
+  test("contentDriftStream emits per-batch script/PII drift equal to the batch operator on replay") {
+    import spark.implicits._
+    import graft.operators.Quality
+    val base = java.nio.file.Files.createTempDirectory("graft_cdrift").toString
+    val in = s"$base/in"
+    val baseline = (1L to 20L).map(i => (i, s"plain english document number $i about spark"))
+      .toDF("id", "text")
+    val b1 = Seq((30L, "another normal english doc"), (31L, "more english text here"))
+    // the incident batch: a source flipped to mojibake AND leaks cards
+    val b2 = Seq((40L, "привет мир привет мир"), (41L, "щит это тест"),
+      (42L, "pay 4111111111111111 now"))
+    def writeFile(rows: Seq[(Long, String)], mtime: Long): Unit = {
+      rows.toDF("id", "text").coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          if (f.lastModified() > mtime) f.setLastModified(mtime) }
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    writeFile(b1, t0)
+    writeFile(b2, t0 + 2000)
+    val schema = spark.read.parquet(in).schema
+    val stream = StreamOps.parquetStream(spark, in, schema, maxFilesPerTrigger = 1)
+    val q = StreamOps.contentDriftStream(stream,
+      Quality.contentProfile(baseline, "text"), "text",
+      s"$base/out", s"$base/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.select("batch_id").distinct().count() == 2)
+    // replay == batch: each batch's rows equal the one-shot compare
+    Seq(b1, b2).zipWithIndex.foreach { case (rows, i) =>
+      val expected = Quality.contentDriftFromProfiles(
+        Quality.contentProfile(baseline, "text"),
+        Quality.contentProfile(rows.toDF("id", "text"), "text"))
+        .collect().map(_.getValuesMap[Any](
+          out.columns.filter(_ != "batch_id").toIndexedSeq)).toSet
+      val got = out.filter(col("batch_id") === i).collect()
+        .map(_.getValuesMap[Any](out.columns.filter(_ != "batch_id").toIndexedSeq)).toSet
+      assert(got == expected, s"batch $i content drift mismatch")
+    }
+    // the incident batch must actually register on both axes
+    val drift = out.filter(col("batch_id") === 1).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("rate_shift")).toMap
+    assert(drift("script:cyrillic") > 0.5)
+    assert(drift("pii:card_valid") > 0.3)
+    assert(drift("script:latin") < -0.5)
+    // the benign batch must not
+    val calm = out.filter(col("batch_id") === 0).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("rate_shift")).toMap
+    assert(calm("script:cyrillic") == 0.0 && calm("pii:card_valid") == 0.0)
+  }
+
   test("toParquetSink writes a checkpointed stream to parquet") {
     val events = Tables.events(spark, sfDir)
     val base = java.nio.file.Files.createTempDirectory("graft_psink").toString
