@@ -84,6 +84,9 @@ object PlanAudit {
         // brute-force ground-truth side broadcasts the query batch
         "text_collocations", "text_bm25", "sim_recall_eval", "sim_ivf_recall",
         "sim_ivfpq_recall",
+        // text_search_ranked composes the bm25 scorer, so it carries
+        // the same 1-row (N, avgdl) corpus-stats scalar broadcast
+        "text_search_ranked",
         "graph_pagerank", "graph_ppr", "sample_importance",
         // 1-row corpus-count scalar crossJoin(broadcast(...)) for the
         // integer idf — the q15/sample_importance pattern

@@ -1807,6 +1807,18 @@ object SparkEntry {
       Search.rankedTopK(t(s, dir, "documents"), "doc_id", "text",
         terms = searchTerms, k = 10)),
 
+    "text_search_indexed" -> ((s, dir) => {
+      // persisted-postings path: tokenize once into term-hash-bucket
+      // partitions + exact integer corpus stats, query through the
+      // static bucket filter — must equal bm25TopK bit-for-bit (N and
+      // avgdl derive from the integer stats exactly as the scorer's
+      // count/avg; the index changes WHICH FILES are read, proven via
+      // numFiles in SearchSpec), so it shares the text_bm25 oracle
+      val path = java.nio.file.Files.createTempDirectory("graft_postings").toString + "/idx"
+      Search.buildPostingsIndex(t(s, dir, "documents"), path, "doc_id", "text")
+      Search.queryPostingsIndex(s, path, "doc_id", searchTerms, k = 10)
+    }),
+
     "text_keyphrase" -> ((s, dir) =>
       // per-doc TF-IDF keyphrases: integer fixed-point idf (N·1024 div
       // df), >50%-df stopword cut, top-5 per doc with (score DESC,
@@ -1988,6 +2000,26 @@ object SparkEntry {
       val cut = col("l_shipdate") < lit("1998-01-01").cast("timestamp")
       Quality.profileDrift(li.filter(cut), li.filter(!cut),
         Seq("l_quantity", "l_extendedprice"), exactDistinct = true)
+    }),
+
+    "quality_content_drift" -> ((s, dir) => {
+      // the script/PII monitor's batch halves gated end-to-end:
+      // baseline = the raw corpus, "tonight's batch" = the same docs
+      // with a deterministically planted incident (1-in-5 flip to
+      // Cyrillic, a further 1-in-7 leak an email + Luhn-valid card);
+      // the drift rows must register exactly the planted composition
+      // shifts. All counts integer, rates round-6 integer-derived
+      // divisions, rate_shift a difference of round-6 doubles — fully
+      // engine-deterministic.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = docs.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, repeat(lit("привет мир "), 10))
+          .when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact x@y.io pay 4111111111111111 now")))
+          .otherwise(col("text")).as("text"))
+      Quality.contentDriftFromProfiles(
+        Quality.contentProfile(docs, "text"),
+        Quality.contentProfile(batch, "text"))
     }),
 
     "quality_schema_diff" -> ((s, dir) => {
@@ -4343,25 +4375,12 @@ object SparkEntry {
     // intermediate double matches bit-for-bit up to the single ln()
     // (±1 ulp cross-engine, absorbed by round 6 — see the gate entry's
     // safety note)
-    "text_bm25" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
-          dl AS (SELECT doc_id, CAST(len(string_split($normSql, ' ')) AS BIGINT) AS doc_len FROM documents),
-          tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
-                 WHERE term IN ($searchTermsSqlIn) GROUP BY 1, 2),
-          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-          corpus AS (SELECT count(*) AS n,
-                            avg(CAST(len(string_split($normSql, ' ')) AS DOUBLE)) AS avgdl
-                     FROM documents),
-          scored AS (SELECT tf.term, tf.doc_id,
-                       ln((c.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE) + 1.0::DOUBLE)
-                         * (tf.tf * (1.2::DOUBLE + 1))
-                         / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl.doc_len / c.avgdl)) AS score
-                     FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c),
-          rk AS (SELECT term, doc_id, score,
-                   row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id ASC) AS rnk
-                 FROM scored)
-          SELECT term, doc_id, round(score, 6) AS score, CAST(rnk AS INT) AS rank
-          FROM rk WHERE rnk <= 10""",
+    "text_bm25" -> bm25Sql,
+
+    // the persisted-postings path is pruning-only — same relation,
+    // different files read (the sim_ivf_index argument) — so it shares
+    // the from-scratch BM25 oracle
+    "text_search_indexed" -> bm25Sql,
 
     // rankedTopK twin: the text_bm25 scored CTE pivoted per doc in
     // LISTED term order (((s0+s1)+s2) — the same IEEE expression tree
@@ -4663,6 +4682,26 @@ object SparkEntry {
                  g.cnt
           FROM g, s""",
 
+    // content monitor twin: two contentProfile CTE chains (baseline on
+    // raw text, batch on the planted-incident CASE) joined on metric;
+    // rate_shift = difference of the two round-6 doubles, re-rounded —
+    // identical inputs, identical IEEE ops on both engines
+    "quality_content_drift" -> {
+      val batchTxt =
+        """CASE WHEN doc_id % 5 = 0 THEN repeat('привет мир ', 10)
+                WHEN doc_id % 7 = 0 THEN text || ' contact x@y.io pay 4111111111111111 now'
+                ELSE text END"""
+      s"""WITH ${contentProfileSqlCtes("cb", "text")},
+          ${contentProfileSqlCtes("ca", batchTxt)}
+          SELECT metric,
+                 cb_p.n_docs AS n_docs_base, cb_p.n_hit AS n_hit_base,
+                 cb_p.rate AS rate_base,
+                 ca_p.n_docs AS n_docs_batch, ca_p.n_hit AS n_hit_batch,
+                 ca_p.rate AS rate_batch,
+                 round(ca_p.rate - cb_p.rate, 6) AS rate_shift
+          FROM cb_p JOIN ca_p USING (metric)"""
+    },
+
     "quality_drift" -> {
       def side(name: String, pred: String, c: String) =
         s"""$name AS (SELECT count($c) AS n, count(DISTINCT $c) AS dist,
@@ -4937,6 +4976,80 @@ object SparkEntry {
         tokenHash = Dedup.md5TokenHash, hashedShard = false)
       master
     })
+  }
+
+  /** BM25 twin of Search.bm25TopK — shared by text_bm25 and
+    * text_search_indexed (the persisted-postings path). */
+  private lazy val bm25Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+        dl AS (SELECT doc_id, CAST(len(string_split($normSql, ' ')) AS BIGINT) AS doc_len FROM documents),
+        tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+               WHERE term IN ($searchTermsSqlIn) GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        corpus AS (SELECT count(*) AS n,
+                          avg(CAST(len(string_split($normSql, ' ')) AS DOUBLE)) AS avgdl
+                   FROM documents),
+        scored AS (SELECT tf.term, tf.doc_id,
+                     ln((c.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+                       * (tf.tf * (1.2::DOUBLE + 1))
+                       / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl.doc_len / c.avgdl)) AS score
+                   FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c),
+        rk AS (SELECT term, doc_id, score,
+                 row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id ASC) AS rnk
+               FROM scored)
+        SELECT term, doc_id, round(score, 6) AS score, CAST(rnk AS INT) AS rank
+        FROM rk WHERE rnk <= 10"""
+
+  /** CTE chain replaying [[Quality.contentProfile]] over `textSql`
+    * (prefix-namespaced so two profiles compose in one oracle): script
+    * dominance via the text_script CASE (same Java∩RE2 classes, same
+    * NULL/'none' guard), PII via the text_pii regexes, card validity
+    * via the text_pii_luhn digit-fold, stacked to 11 metric rows with
+    * integer counts and round-6 rates. */
+  private def contentProfileSqlCtes(p: String, textSql: String): String = {
+    val scriptCols = T.scriptRanges.map { case (n, cls) =>
+      s"CAST(len(regexp_extract_all(txt, '$cls')) AS BIGINT) AS n_$n" }.mkString(",\n        ")
+    val g = T.scriptRanges.map(r => s"n_${r._1}").mkString("greatest(", ", ", ")")
+    val scriptCase = T.scriptRanges.map { case (n, _) =>
+      s"WHEN n_$n = $g THEN '$n'" }.init.mkString("\n             ")
+    val luhnValidLen =
+      s"""len([x FOR x IN cards IF
+             list_sum([CASE WHEN (len(x) - i + 1) % 2 = 0
+                            THEN CASE WHEN CAST(x[i] AS INT) * 2 > 9
+                                      THEN CAST(x[i] AS INT) * 2 - 9
+                                      ELSE CAST(x[i] AS INT) * 2 END
+                            ELSE CAST(x[i] AS INT) END
+                       FOR i IN range(1, len(x) + 1)]) % 10 = 0])"""
+    val hitCols = (T.scriptRanges.map(_._1) :+ "none").map { s =>
+      s"CAST(sum(CASE WHEN script = '$s' THEN 1 ELSE 0 END) AS BIGINT) AS h_$s" } ++ Seq(
+      "CAST(sum(CASE WHEN n_em > 0 THEN 1 ELSE 0 END) AS BIGINT) AS h_em",
+      "CAST(sum(CASE WHEN n_ph > 0 THEN 1 ELSE 0 END) AS BIGINT) AS h_ph",
+      "CAST(sum(CASE WHEN n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS h_ip",
+      "CAST(sum(CASE WHEN n_valid > 0 THEN 1 ELSE 0 END) AS BIGINT) AS h_card")
+    val metrics = (T.scriptRanges.map(_._1) :+ "none").map(s => s"script:$s" -> s"h_$s") ++
+      Seq("pii:email" -> "h_em", "pii:phone" -> "h_ph", "pii:ip" -> "h_ip",
+        "pii:card_valid" -> "h_card")
+    val rows = metrics.map { case (m, h) =>
+      s"SELECT '$m' AS metric, n AS n_docs, $h AS n_hit, round(CAST($h AS DOUBLE) / n, 6) AS rate FROM ${p}_a"
+    }.mkString("\n        UNION ALL ")
+    s"""${p}_d AS (SELECT doc_id, $textSql AS txt FROM documents),
+       ${p}_m AS (SELECT doc_id,
+        $scriptCols,
+        CAST(len(regexp_extract_all(txt, '${P.emailPattern}')) AS BIGINT) AS n_em,
+        CAST(len(regexp_extract_all(txt, '${P.phonePattern}')) AS BIGINT) AS n_ph,
+        CAST(len(regexp_extract_all(txt, '${P.ipPattern}')) AS BIGINT) AS n_ip,
+        regexp_extract_all(txt, '${P.cardPattern}') AS cards
+       FROM ${p}_d),
+       ${p}_v AS (SELECT doc_id, n_em, n_ph, n_ip, $luhnValidLen AS n_valid,
+        CASE WHEN $g IS NULL OR $g = 0 THEN 'none'
+             $scriptCase
+             ELSE '${T.scriptRanges.last._1}' END AS script
+       FROM ${p}_m),
+       ${p}_a AS (SELECT count(*) AS n,
+        ${hitCols.mkString(",\n        ")}
+       FROM ${p}_v),
+       ${p}_p AS (
+        $rows)"""
   }
 
   /** SQL twin of [[piiContact]]'s derived column. */

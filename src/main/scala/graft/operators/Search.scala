@@ -190,6 +190,113 @@ object Search {
       .filter(col("window_len").isNotNull)
   }
 
+  /** Persist the inverted index — the text-side analogue of the
+    * persisted IVF store ([[graft.operators.Similarity.buildIvfIndex]]
+    * family): at 100 TB the corpus is tokenized ONCE and every later
+    * query reads only its terms' file slice instead of re-scanning
+    * text. Postings (term, id, tf, doc_len) are partitioned by a
+    * term-HASH bucket (the Lucene shard-by-term-hash shape — term
+    * cardinality is unbounded, so the partition key is
+    * pmod(xxhash64(term), nBuckets); a query's bucket set is ≤ |terms|
+    * values applied as a STATIC partition filter, the queryIvfIndex
+    * discipline). Alongside, `stats` holds the EXACT INTEGER corpus
+    * aggregates (n_docs, total_tokens, n_buckets): BM25's N and avgdl
+    * derive from them bit-identically to the from-scratch scorer
+    * (avgdl = total_tokens/n_docs — the same exact-integer-sum /
+    * count division [[bm25TopK]]'s avg() performs), so the index path
+    * changes WHICH FILES are read, never the relation. */
+  def buildPostingsIndex(docs: DataFrame, path: String, idCol: String,
+                         textCol: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    postings(docs, idCol, textCol, nBuckets)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__bucket").parquet(s"$path/postings")
+    docs.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(T.tokenCount(col(textCol)).cast("long")), lit(0L)).as("total_tokens"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/stats")
+  }
+
+  private def postings(docs: DataFrame, idCol: String, textCol: String,
+                       nBuckets: Int): DataFrame =
+    docs
+      .select(col(idCol), T.tokenCount(col(textCol)).cast("long").as("doc_len"),
+        explode(T.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col(idCol), col("doc_len"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("__bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+
+  /** Append a crawl batch to a persisted postings index — the
+    * [[graft.operators.Similarity.appendIvfIndex]] shape for text:
+    * delta postings land `Append` in their bucket partitions (old
+    * postings never re-read, O(batch)) and the integer stats row is
+    * advanced by the delta's exact counts. Contract: delta ids are
+    * previously unseen (the append-only crawl contract shared by the
+    * incremental dedup stores); re-crawls go through a rebuild.
+    * Recovery from a crash between the two writes: recompute stats
+    * from the postings' distinct (id, doc_len) — the stats row is
+    * derived data. */
+  def appendPostingsIndex(delta: DataFrame, path: String, idCol: String,
+                          textCol: String): Unit = {
+    val spark = delta.sparkSession
+    val st = spark.read.parquet(s"$path/stats").collect()(0)
+    val nBuckets = st.getAs[Int]("n_buckets")
+    postings(delta, idCol, textCol, nBuckets)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("__bucket").parquet(s"$path/postings")
+    val d = delta.agg(count(lit(1)).cast("long").as("n"),
+      coalesce(sum(T.tokenCount(col(textCol)).cast("long")), lit(0L)).as("t")).collect()(0)
+    // old stats already collected driver-side, so the overwrite's plan
+    // reads nothing it replaces
+    spark.createDataFrame(Seq((st.getAs[Long]("n_docs") + d.getLong(0),
+        st.getAs[Long]("total_tokens") + d.getLong(1), nBuckets)))
+      .toDF("n_docs", "total_tokens", "n_buckets")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/stats")
+  }
+
+  /** BM25 retrieval against a persisted postings index (see
+    * [[buildPostingsIndex]]) — output bit-identical to [[bm25TopK]]
+    * over the same corpus (gate-shared oracle, the sim_ivf_index
+    * argument). The query-term bucket set is evaluated through the
+    * same xxhash64 expression the build used (a 1-row Spark job — no
+    * driver-side hash reimplementation to drift) and applied as a
+    * static partition filter: only ≤ |terms| of the nBuckets
+    * partitions are listed and read; df comes from the pruned
+    * postings themselves (a term's df needs only that term's rows).
+    * Output: (term, idCol, score, rank). */
+  def queryPostingsIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         idCol: String, terms: Seq[String], k: Int,
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "at least one query term")
+    require(terms.forall(t => t == t.toLowerCase), "query terms must be lowercase")
+    val st = spark.read.parquet(s"$path/stats").collect()(0)
+    val nDocs = st.getAs[Long]("n_docs")
+    val totalTokens = st.getAs[Long]("total_tokens")
+    val nBuckets = st.getAs[Int]("n_buckets")
+    val buckets = spark.createDataFrame(terms.map(Tuple1(_))).toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(nBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0))
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("__bucket").isin(buckets.map(Int.box): _*))
+      .filter(col("term").isin(terms: _*))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // exact-integer stats -> the same doubles the from-scratch scorer
+    // sees: N as a long literal, avgdl = exact-sum / count
+    val avgdl = totalTokens.toDouble / nDocs.toDouble
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .select(col("term"), col(idCol),
+        (log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * (lit(k1) + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("doc_len") / lit(avgdl))))
+          .as("score"))
+    scored.groupBy(col("term"))
+      .agg(TopKAggregate.topK(col("score"), col(idCol).cast("long"), k).as("__top"))
+      .select(col("term"), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col("term"), col("__e.id").as(idCol),
+        round(col("__e.score"), 6).as("score"), (col("__r") + 1).cast("int").as("rank"))
+  }
+
   /** Proximity-RANKED retrieval — the composition of [[bm25TopK]] and
     * [[proximityWindow]] that a ranked match_phrase serves (the
     * "slop boost" every production scorer ships): per-DOC relevance =

@@ -127,6 +127,60 @@ class SearchSpec extends SparkSpec {
     assert(run(pd, Seq("join")) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("postings index: query == bm25TopK, bucket pruning, append == rebuild") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val corpus = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val terms = Seq("spark", "join", "window")
+    val path = java.nio.file.Files.createTempDirectory("graft_post").toString + "/pidx"
+    Search.buildPostingsIndex(corpus, path, "doc_id", "text", nBuckets = 16)
+
+    // the index path is pruning-only: bit-identical to the scorer
+    val fromIndex = Search.queryPostingsIndex(spark, path, "doc_id", terms, k = 10)
+      .collect().map(_.toSeq).toSet
+    val scratch = Search.bm25TopK(corpus, "doc_id", "text", terms, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(fromIndex == scratch)
+
+    // static bucket filter: a 1-term query lists fewer postings files
+    // than the full index holds (the persisted-IVF numFiles proof)
+    def postingsFiles(df: DataFrame): Long = {
+      df.collect()
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.flatMap {
+        case s: FileSourceScanExec => Seq(s)
+        case q: QueryStageExec => scans(q.plan)
+        case _ => Nil
+      }
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val ps = scans(finalPlan).filter(_.metadata.get("Location").exists(_.contains("pidx")))
+      assert(ps.nonEmpty, "expected the postings file scan in the plan")
+      ps.map(_.metrics("numFiles").value).sum
+    }
+    val allFiles = postingsFiles(spark.read.parquet(s"$path/postings"))
+    val pruned = postingsFiles(Search.queryPostingsIndex(spark, path, "doc_id",
+      Seq("spark"), k = 10))
+    assert(pruned < allFiles, s"expected pruned ($pruned) < full ($allFiles)")
+
+    // append O(batch): index built on half, other half appended ==
+    // fresh build of the whole corpus (stats advance exactly)
+    val oldHalf = corpus.filter(col("doc_id") % 2 === 0)
+    val delta = corpus.filter(col("doc_id") % 2 === 1)
+    val grown = java.nio.file.Files.createTempDirectory("graft_post2").toString + "/pidx"
+    Search.buildPostingsIndex(oldHalf, grown, "doc_id", "text", nBuckets = 16)
+    Search.appendPostingsIndex(delta, grown, "doc_id", "text")
+    val fromGrown = Search.queryPostingsIndex(spark, grown, "doc_id", terms, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(fromGrown == scratch)
+    val st = spark.read.parquet(s"$grown/stats").collect()(0)
+    val stFull = spark.read.parquet(s"$path/stats").collect()(0)
+    assert(st.getAs[Long]("n_docs") == stFull.getAs[Long]("n_docs"))
+    assert(st.getAs[Long]("total_tokens") == stFull.getAs[Long]("total_tokens"))
+  }
+
   test("rankedTopK: BM25 pivot × slop boost, no-window docs keep plain BM25") {
     val ts = Seq("spark", "join", "window")
     val pd = Seq(
