@@ -1819,6 +1819,22 @@ object SparkEntry {
       Search.queryPostingsIndex(s, path, "doc_id", searchTerms, k = 10)
     }),
 
+    "text_search_delete" -> ((s, dir) => {
+      // search-index retirement: full-corpus index, every vec %10==7
+      // doc TOMBSTONED (O(batch) — a doc's terms touch ~every bucket,
+      // so in-place rewrite would be O(index); Lucene's delete-then-
+      // merge instead), then queried. The tombstone-corrected
+      // N/avgdl/df are exact integer arithmetic, so results must
+      // equal a fresh build of the survivors — the oracle replays
+      // exactly that (bm25 over the filtered corpus).
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft_postings_del").toString + "/idx"
+      Search.buildPostingsIndex(docs, path, "doc_id", "text")
+      Search.deleteFromPostingsIndex(s, path,
+        docs.filter(col("doc_id") % 10 === 7).select(col("doc_id")), "doc_id")
+      Search.queryPostingsIndex(s, path, "doc_id", searchTerms, k = 10)
+    }),
+
     "text_keyphrase" -> ((s, dir) =>
       // per-doc TF-IDF keyphrases: integer fixed-point idf (N·1024 div
       // df), >50%-df stopword cut, top-5 per doc with (score DESC,
@@ -4382,6 +4398,11 @@ object SparkEntry {
     // the from-scratch BM25 oracle
     "text_search_indexed" -> bm25Sql,
 
+    // tombstoned index == fresh build of the survivors (exact integer
+    // N/avgdl/df corrections — the sim_ivf_delete argument for text)
+    "text_search_delete" ->
+      bm25SqlFrom("(SELECT * FROM documents WHERE doc_id % 10 <> 7)"),
+
     // rankedTopK twin: the text_bm25 scored CTE pivoted per doc in
     // LISTED term order (((s0+s1)+s2) — the same IEEE expression tree
     // as the Spark fold, never an order-dependent SUM), boosted by the
@@ -4979,16 +5000,18 @@ object SparkEntry {
   }
 
   /** BM25 twin of Search.bm25TopK — shared by text_bm25 and
-    * text_search_indexed (the persisted-postings path). */
-  private lazy val bm25Sql: String =
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
-        dl AS (SELECT doc_id, CAST(len(string_split($normSql, ' ')) AS BIGINT) AS doc_len FROM documents),
+    * text_search_indexed (the persisted-postings path); the `docsRel`
+    * parameter restricts the corpus for text_search_delete (a
+    * tombstoned index must equal a fresh build of the survivors). */
+  private def bm25SqlFrom(docsRel: String): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM $docsRel),
+        dl AS (SELECT doc_id, CAST(len(string_split($normSql, ' ')) AS BIGINT) AS doc_len FROM $docsRel),
         tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
                WHERE term IN ($searchTermsSqlIn) GROUP BY 1, 2),
         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         corpus AS (SELECT count(*) AS n,
                           avg(CAST(len(string_split($normSql, ' ')) AS DOUBLE)) AS avgdl
-                   FROM documents),
+                   FROM $docsRel),
         scored AS (SELECT tf.term, tf.doc_id,
                      ln((c.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE) + 1.0::DOUBLE)
                        * (tf.tf * (1.2::DOUBLE + 1))
@@ -4999,6 +5022,8 @@ object SparkEntry {
                FROM scored)
         SELECT term, doc_id, round(score, 6) AS score, CAST(rnk AS INT) AS rank
         FROM rk WHERE rnk <= 10"""
+
+  private lazy val bm25Sql: String = bm25SqlFrom("documents")
 
   /** CTE chain replaying [[Quality.contentProfile]] over `textSql`
     * (prefix-namespaced so two profiles compose in one oracle): script

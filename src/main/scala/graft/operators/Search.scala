@@ -254,6 +254,81 @@ object Search {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/stats")
   }
 
+  /** TOMBSTONE-delete documents from a persisted postings index — the
+    * retire path for text retrieval (takedowns, dedup retraction). An
+    * inverted index cannot delete in place cheaply: a doc's terms hash
+    * into ~every bucket, so a touched-partition rewrite (the
+    * [[graft.operators.Similarity.deleteFromIvfIndex]] recipe) would
+    * be O(index). The honest design is Lucene's delete-then-merge:
+    * record (id, doc_len) tombstones O(delete batch) now, filter at
+    * query time, and fold them in physically at the next
+    * [[compactPostingsIndex]].
+    *
+    * The tombstone rows carry doc_len so the query can correct N and
+    * avgdl EXACTLY (integer subtraction from the stats row) — after a
+    * delete, results are bit-identical to a fresh build of the
+    * survivors (spec-pinned, gated as text_search_delete). Victims
+    * are discovered from an (id, doc_len, bucket-free) two-column
+    * columnar projection semi-joined with the broadcast delete set;
+    * already-tombstoned and never-indexed ids are skipped, so
+    * re-running a delete is a no-op (at-least-once safe). Returns the
+    * number of newly tombstoned docs. */
+  def deleteFromPostingsIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                              deleteIds: DataFrame, idCol: String): Long = {
+    val post = spark.read.parquet(s"$path/postings")
+    val dels = broadcast(deleteIds.select(col(idCol)).distinct())
+    val existing = tombstones(spark, path)
+    val victims0 = post.select(col(idCol), col("doc_len"))
+      .join(dels, Seq(idCol), "left_semi").distinct()
+    val victims = existing.fold(victims0)(ex =>
+        victims0.join(broadcast(ex.select(col(idCol))), Seq(idCol), "left_anti"))
+      .localCheckpoint(true) // seal before writing into the dir it may have read
+    val n = victims.count()
+    if (n > 0)
+      victims.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$path/deleted")
+    n
+  }
+
+  private def tombstones(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/deleted")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Fold tombstones into the postings physically — the merge half of
+    * the delete design: postings rewritten minus the tombstoned docs,
+    * the stats row advanced by the exact tombstone integers, the
+    * tombstone set cleared; queries afterwards read a clean index
+    * (postings shrink, spec proves results unchanged). STOP-THE-WORLD
+    * maintenance like an IVF re-cluster: run without concurrent
+    * queries; crash recovery = re-run if `deleted/` still exists
+    * (every step before the final tombstone clear is idempotent
+    * staging). */
+  def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    tombstones(spark, path).foreach { dead =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val d = dead.agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("doc_len")), lit(0L)).as("t")).collect()(0)
+      val st = spark.read.parquet(s"$path/stats").collect()(0)
+      val survivors = spark.read.parquet(s"$path/postings")
+        .join(broadcast(dead.select(dead.columns.head)), Seq(dead.columns.head), "left_anti")
+      survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("__bucket").parquet(s"$path/postings__staging")
+      spark.createDataFrame(Seq((st.getAs[Long]("n_docs") - d.getLong(0),
+          st.getAs[Long]("total_tokens") - d.getLong(1), st.getAs[Int]("n_buckets"))))
+        .toDF("n_docs", "total_tokens", "n_buckets")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/stats__staging")
+      def swap(name: String): Unit = {
+        val live = new org.apache.hadoop.fs.Path(s"$path/$name")
+        fs.delete(live, true)
+        fs.rename(new org.apache.hadoop.fs.Path(s"$path/${name}__staging"), live)
+      }
+      swap("postings")
+      swap("stats")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/deleted"), true)
+    }
+
   /** BM25 retrieval against a persisted postings index (see
     * [[buildPostingsIndex]]) — output bit-identical to [[bm25TopK]]
     * over the same corpus (gate-shared oracle, the sim_ivf_index
@@ -270,15 +345,27 @@ object Search {
     require(terms.nonEmpty, "at least one query term")
     require(terms.forall(t => t == t.toLowerCase), "query terms must be lowercase")
     val st = spark.read.parquet(s"$path/stats").collect()(0)
-    val nDocs = st.getAs[Long]("n_docs")
-    val totalTokens = st.getAs[Long]("total_tokens")
     val nBuckets = st.getAs[Int]("n_buckets")
+    // tombstone correction (see deleteFromPostingsIndex): drop dead
+    // postings after pruning and subtract the dead docs' EXACT integer
+    // (count, token) totals from the stats — the corrected N/avgdl/df
+    // equal a fresh build of the survivors bit-for-bit
+    val dead = tombstones(spark, path)
+    val (nDel, tokDel) = dead.fold((0L, 0L)) { t =>
+      val r = t.agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("doc_len")), lit(0L)).as("t")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val nDocs = st.getAs[Long]("n_docs") - nDel
+    val totalTokens = st.getAs[Long]("total_tokens") - tokDel
     val buckets = spark.createDataFrame(terms.map(Tuple1(_))).toDF("t")
       .select(pmod(xxhash64(col("t")), lit(nBuckets.toLong)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0))
-    val tf = spark.read.parquet(s"$path/postings")
+    val tf0 = spark.read.parquet(s"$path/postings")
       .filter(col("__bucket").isin(buckets.map(Int.box): _*))
       .filter(col("term").isin(terms: _*))
+    val tf = dead.fold(tf0)(t =>
+      tf0.join(broadcast(t.select(col(idCol))), Seq(idCol), "left_anti"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // exact-integer stats -> the same doubles the from-scratch scorer
     // sees: N as a long literal, avgdl = exact-sum / count

@@ -287,6 +287,32 @@ object StreamOps {
         ()
       }
 
+  /** Streaming search-index maintenance — the postings twin of
+    * [[ivfIndexStream]], completing text retrieval's streaming parity:
+    * each micro-batch of crawled docs is tokenized and appended into
+    * its term-hash bucket partitions with
+    * [[graft.operators.Search.appendPostingsIndex]] (O(batch) per
+    * trigger, old postings never re-read, the exact integer stats row
+    * advanced), and [[graft.operators.Search.queryPostingsIndex]]
+    * serves queries against the growing store unchanged. On clean
+    * replay the index equals a one-shot build of everything streamed
+    * (spec-pinned — postings are a pure function of the doc, stats an
+    * exact integer sum). Batch ids must be previously unseen (the
+    * appendPostingsIndex contract); crash-retry of a committed batch
+    * re-appends (at-least-once, the ivfIndexStream contract) —
+    * recovery is a rebuild. */
+  def postingsIndexStream(docs: DataFrame, indexPath: String, idCol: String,
+                          textCol: String, checkpoint: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Search.appendPostingsIndex(batch.toDF(), indexPath,
+            idCol, textCol)
+        ()
+      }
+
   /** Streaming embedding-drift monitor — [[profileDriftStream]]'s
     * vector-space sibling: every micro-batch of embeddings is scored
     * against a FIXED baseline snapshot with

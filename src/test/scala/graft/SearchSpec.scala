@@ -179,6 +179,34 @@ class SearchSpec extends SparkSpec {
     val stFull = spark.read.parquet(s"$path/stats").collect()(0)
     assert(st.getAs[Long]("n_docs") == stFull.getAs[Long]("n_docs"))
     assert(st.getAs[Long]("total_tokens") == stFull.getAs[Long]("total_tokens"))
+
+    // tombstone delete: query == fresh build of the survivors (exact
+    // integer N/avgdl/df corrections), idempotent re-delete, and
+    // compact folds the tombstones in physically without changing
+    // results
+    val dels = corpus.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+    val n1 = Search.deleteFromPostingsIndex(spark, path, dels, "doc_id")
+    assert(n1 > 0)
+    assert(Search.deleteFromPostingsIndex(spark, path, dels, "doc_id") == 0)
+    val survivorsIdx = java.nio.file.Files.createTempDirectory("graft_post3").toString + "/pidx"
+    Search.buildPostingsIndex(corpus.filter(col("doc_id") % 3 =!= 0), survivorsIdx,
+      "doc_id", "text", nBuckets = 16)
+    def q(p: String) = Search.queryPostingsIndex(spark, p, "doc_id", terms, k = 10)
+      .collect().map(_.toSeq).toSet
+    val tombstoned = q(path)
+    assert(tombstoned == q(survivorsIdx))
+    val before = spark.read.parquet(s"$path/postings").count()
+    Search.compactPostingsIndex(spark, path)
+    assert(q(path) == tombstoned) // compact changes bytes, not results
+    assert(spark.read.parquet(s"$path/postings").count() < before)
+    assert(!new java.io.File(s"$path/deleted").exists())
+    val stC = spark.read.parquet(s"$path/stats").collect()(0)
+    val stS = spark.read.parquet(s"$survivorsIdx/stats").collect()(0)
+    assert(stC.getAs[Long]("n_docs") == stS.getAs[Long]("n_docs"))
+    assert(stC.getAs[Long]("total_tokens") == stS.getAs[Long]("total_tokens"))
+    // compact on a clean index is a no-op
+    Search.compactPostingsIndex(spark, path)
+    assert(q(path) == tombstoned)
   }
 
   test("rankedTopK: BM25 pivot × slop boost, no-window docs keep plain BM25") {

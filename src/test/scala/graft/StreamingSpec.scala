@@ -316,6 +316,52 @@ class StreamingSpec extends SparkSpec {
     assert(d2.getAs[Boolean]("range_widened"))
   }
 
+  test("postingsIndexStream: replayed crawl batches equal a one-shot postings build") {
+    import graft.operators.Search
+    val base = java.nio.file.Files.createTempDirectory("graft_poststream").toString
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val old = docs.filter(col("doc_id") % 4 < 2)
+    val d1 = docs.filter(col("doc_id") % 4 === 2)
+    val d2 = docs.filter(col("doc_id") % 4 === 3)
+    val in = s"$base/in"
+    def writeFile(df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      df.coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          if (f.lastModified() > mtime) f.setLastModified(mtime) }
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    writeFile(d1, t0)
+    writeFile(d2, t0 + 2000)
+
+    val idxPath = s"$base/idx"
+    Search.buildPostingsIndex(old, idxPath, "doc_id", "text", nBuckets = 16)
+    val schema = spark.read.parquet(in).schema
+    val stream = StreamOps.parquetStream(spark, in, schema, maxFilesPerTrigger = 1)
+    val q = StreamOps.postingsIndexStream(stream, idxPath, "doc_id", "text",
+      checkpoint = s"$base/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+
+    // streamed store == one-shot build of everything: same postings
+    // relation, same exact stats, same query answers
+    val oneShot = s"$base/oneshot"
+    Search.buildPostingsIndex(docs, oneShot, "doc_id", "text", nBuckets = 16)
+    def rel(p: String) = spark.read.parquet(s"$p/postings")
+      .select("term", "doc_id", "tf", "doc_len", "__bucket")
+      .collect().map(_.toSeq).toSet
+    assert(rel(idxPath) == rel(oneShot))
+    val a = spark.read.parquet(s"$idxPath/stats").collect()(0)
+    val b = spark.read.parquet(s"$oneShot/stats").collect()(0)
+    assert(a.getAs[Long]("n_docs") == b.getAs[Long]("n_docs") &&
+      a.getAs[Long]("total_tokens") == b.getAs[Long]("total_tokens"))
+    val terms = Seq("spark", "join", "window")
+    assert(Search.queryPostingsIndex(spark, idxPath, "doc_id", terms, k = 10)
+        .collect().map(_.toSeq).toSet ==
+      Search.queryPostingsIndex(spark, oneShot, "doc_id", terms, k = 10)
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("contentDriftStream emits per-batch script/PII drift equal to the batch operator on replay") {
     import spark.implicits._
     import graft.operators.Quality
