@@ -225,6 +225,14 @@ object Search {
       .groupBy(col("term"), col(idCol), col("doc_len"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("__bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+      // cluster by bucket before the partitioned write so each bucket
+      // dir holds one file instead of a sliver from every shuffle
+      // partition (nBuckets × shufflePartitions tiny files otherwise —
+      // a file-count, not wall-clock, concern at bench scale). At
+      // 100 TB add a salt column to the repartition for intra-bucket
+      // write parallelism (reads are unaffected — pruning is on the
+      // dir value)
+      .repartition(nBuckets, col("__bucket"))
 
   /** Append a crawl batch to a persisted postings index — the
     * [[graft.operators.Similarity.appendIvfIndex]] shape for text:
