@@ -1781,6 +1781,19 @@ object SparkEntry {
       Search.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
         phrase = Seq("hash", "join"))),
 
+    "text_search_phrase_indexed" -> ((s, dir) =>
+      // the same phrase query served from the session-master
+      // POSITIONAL index: stored occurrences, bucket-pruned — corpus
+      // text never read at query time; same relation, shared oracle
+      Search.phraseSearchIndexed(s, masterPostingsIndex(s, dir), "doc_id",
+        phrase = Seq("hash", "join"))),
+
+    "text_search_proximity_indexed" -> ((s, dir) =>
+      // minimal covering window from stored positions (shared oracle
+      // with the tokenize-at-query-time twin)
+      Search.proximityWindowIndexed(s, masterPostingsIndex(s, dir), "doc_id",
+        terms = searchTerms)),
+
     "text_bm25" -> ((s, dir) =>
       // full BM25 over the same relation. GATE-SAFE despite the
       // per-row ln(): every input to the one transcendental is the
@@ -4367,35 +4380,18 @@ object SparkEntry {
     // proximityWindow twin: per-term conditional running max over the
     // doc-ordered occurrence stream; a window ending at pos starts at
     // least(latest-seen per term), valid once every term has appeared
-    "text_search_proximity" ->
-      s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS ts FROM documents),
-          occ AS (SELECT doc_id, u.pos, u.term
-                  FROM tok, unnest([struct_pack(pos := i - 1, term := ts[i])
-                                    FOR i IN range(1, len(ts) + 1)]) t(u)
-                  WHERE u.term IN ($searchTermsSqlIn)),
-          r AS (SELECT doc_id, pos,
-                  max(CASE WHEN term = 'spark' THEN pos END) OVER w AS l0,
-                  max(CASE WHEN term = 'join' THEN pos END) OVER w AS l1,
-                  max(CASE WHEN term = 'window' THEN pos END) OVER w AS l2
-                FROM occ
-                WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING))
-          SELECT doc_id, CAST(min(pos - least(l0, l1, l2) + 1) AS BIGINT) AS window_len
-          FROM r WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL
-          GROUP BY doc_id""",
+    "text_search_proximity" -> proximitySql,
+
+    // the positional-index path reads stored occurrences instead of
+    // re-tokenizing — same relation, so it shares the oracle (the
+    // text_search_indexed argument, positional half)
+    "text_search_proximity_indexed" -> proximitySql,
 
     // phraseSearch twin: positions from the list comprehension (the
     // text_bigram_lm recipe), slots as VALUES, and a phrase match =
     // a (doc, diagonal) group holding both distinct slots
-    "text_search_phrase" ->
-      s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS ts FROM documents),
-          occ AS (SELECT doc_id, u.pos, u.term
-                  FROM tok, unnest([struct_pack(pos := i - 1, term := ts[i])
-                                    FOR i IN range(1, len(ts) + 1)]) t(u)),
-          sl AS (SELECT * FROM (VALUES ('hash', 0), ('join', 1)) s(term, slot)),
-          m AS (SELECT occ.doc_id, occ.pos - sl.slot AS p, sl.slot
-                FROM occ JOIN sl USING (term) WHERE occ.pos >= sl.slot)
-          SELECT doc_id, CAST(p AS BIGINT) AS pos
-          FROM m GROUP BY doc_id, p HAVING count(DISTINCT slot) = 2""",
+    "text_search_phrase" -> phraseSql,
+    "text_search_phrase_indexed" -> phraseSql,
 
     // BM25 twin of Search.bm25TopK: literals cast to DOUBLE and the
     // expression tree shaped exactly as the Spark Column tree so every
@@ -5035,6 +5031,37 @@ object SparkEntry {
         FROM rk WHERE rnk <= 10"""
 
   private lazy val bm25Sql: String = bm25SqlFrom("documents")
+
+  /** proximityWindow twin — shared by text_search_proximity and its
+    * positional-index path. */
+  private lazy val proximitySql: String =
+    s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS ts FROM documents),
+        occ AS (SELECT doc_id, u.pos, u.term
+                FROM tok, unnest([struct_pack(pos := i - 1, term := ts[i])
+                                  FOR i IN range(1, len(ts) + 1)]) t(u)
+                WHERE u.term IN ($searchTermsSqlIn)),
+        r AS (SELECT doc_id, pos,
+                max(CASE WHEN term = 'spark' THEN pos END) OVER w AS l0,
+                max(CASE WHEN term = 'join' THEN pos END) OVER w AS l1,
+                max(CASE WHEN term = 'window' THEN pos END) OVER w AS l2
+              FROM occ
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING))
+        SELECT doc_id, CAST(min(pos - least(l0, l1, l2) + 1) AS BIGINT) AS window_len
+        FROM r WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL
+        GROUP BY doc_id"""
+
+  /** phraseSearch twin — shared by text_search_phrase and its
+    * positional-index path. */
+  private lazy val phraseSql: String =
+    s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS ts FROM documents),
+        occ AS (SELECT doc_id, u.pos, u.term
+                FROM tok, unnest([struct_pack(pos := i - 1, term := ts[i])
+                                  FOR i IN range(1, len(ts) + 1)]) t(u)),
+        sl AS (SELECT * FROM (VALUES ('hash', 0), ('join', 1)) s(term, slot)),
+        m AS (SELECT occ.doc_id, occ.pos - sl.slot AS p, sl.slot
+              FROM occ JOIN sl USING (term) WHERE occ.pos >= sl.slot)
+        SELECT doc_id, CAST(p AS BIGINT) AS pos
+        FROM m GROUP BY doc_id, p HAVING count(DISTINCT slot) = 2"""
 
   /** CTE chain replaying [[Quality.contentProfile]] over `textSql`
     * (prefix-namespaced so two profiles compose in one oracle): script

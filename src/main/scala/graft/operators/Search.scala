@@ -127,13 +127,23 @@ object Search {
     require(phrase.nonEmpty, "phrase must be non-empty")
     require(phrase.forall(t => t.nonEmpty && t == t.toLowerCase),
       "phrase terms must be lowercase")
-    val slotDf = docs.sparkSession.createDataFrame(phrase.zipWithIndex)
-      .toDF("term", "__slot")
     val mayMatch = phrase.distinct.map(t => lower(col(textCol)).contains(t)).reduce(_ && _)
-    docs.filter(mayMatch)
+    val occ = docs.filter(mayMatch)
       .select(col(idCol), posexplode(T.tokens(col(textCol))).as(Seq("__pos", "term")))
       .filter(col("term").isin(phrase.distinct: _*))
-      .join(broadcast(slotDf), "term")
+    phraseFromOccurrences(occ, idCol, phrase)
+  }
+
+  /** The diagonal-trick core over an occurrence relation
+    * (idCol, __pos, term) holding the phrase terms' occurrences —
+    * shared by [[phraseSearch]] (occurrences tokenized from text) and
+    * [[phraseSearchIndexed]] (occurrences read from the positional
+    * store). */
+  private def phraseFromOccurrences(occ: DataFrame, idCol: String,
+                                    phrase: Seq[String]): DataFrame = {
+    val slotDf = occ.sparkSession.createDataFrame(phrase.zipWithIndex)
+      .toDF("term", "__slot")
+    occ.join(broadcast(slotDf), "term")
       .filter(col("__pos") >= col("__slot"))
       .groupBy(col(idCol), (col("__pos") - col("__slot")).cast("long").as("pos"))
       .agg(count_distinct(col("__slot")).as("__hits"))
@@ -169,6 +179,14 @@ object Search {
     val occ = docs.filter(mayMatch)
       .select(col(idCol), posexplode(T.tokens(col(textCol))).as(Seq("__pos", "__term")))
       .filter(col("__term").isin(terms: _*))
+    windowFromOccurrences(occ, idCol, terms)
+  }
+
+  /** The minimal-covering-window core over an occurrence relation
+    * (idCol, __pos, __term) — shared by [[proximityWindow]] and
+    * [[proximityWindowIndexed]]. */
+  private def windowFromOccurrences(occ: DataFrame, idCol: String,
+                                    terms: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -211,11 +229,26 @@ object Search {
     postings(docs, idCol, textCol, nBuckets)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__bucket").parquet(s"$path/postings")
+    positions(docs, idCol, textCol, nBuckets)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__bucket").parquet(s"$path/positions")
     docs.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(T.tokenCount(col(textCol)).cast("long")), lit(0L)).as("total_tokens"))
       .withColumn("n_buckets", lit(nBuckets))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/stats")
   }
+
+  /** The POSITIONAL half of the index — one row per token occurrence
+    * (term, id, __pos), bucketed like the postings: what lets
+    * [[phraseSearchIndexed]] / [[proximityWindowIndexed]] answer
+    * positional queries without ever re-tokenizing text (a Lucene
+    * index stores positions for exactly this reason). */
+  private def positions(docs: DataFrame, idCol: String, textCol: String,
+                        nBuckets: Int): DataFrame =
+    docs
+      .select(col(idCol), posexplode(T.tokens(col(textCol))).as(Seq("__pos", "term")))
+      .withColumn("__bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+      .repartition(nBuckets, col("__bucket"))
 
   private def postings(docs: DataFrame, idCol: String, textCol: String,
                        nBuckets: Int): DataFrame =
@@ -252,6 +285,9 @@ object Search {
     postings(delta, idCol, textCol, nBuckets)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("__bucket").parquet(s"$path/postings")
+    positions(delta, idCol, textCol, nBuckets)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("__bucket").parquet(s"$path/positions")
     val d = delta.agg(count(lit(1)).cast("long").as("n"),
       coalesce(sum(T.tokenCount(col(textCol)).cast("long")), lit(0L)).as("t")).collect()(0)
     // old stats already collected driver-side, so the overwrite's plan
@@ -319,10 +355,15 @@ object Search {
       val d = dead.agg(count(lit(1)).cast("long").as("n"),
         coalesce(sum(col("doc_len")), lit(0L)).as("t")).collect()(0)
       val st = spark.read.parquet(s"$path/stats").collect()(0)
-      val survivors = spark.read.parquet(s"$path/postings")
-        .join(broadcast(dead.select(dead.columns.head)), Seq(dead.columns.head), "left_anti")
-      survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      val deadIds = broadcast(dead.select(dead.columns.head))
+      spark.read.parquet(s"$path/postings")
+        .join(deadIds, Seq(dead.columns.head), "left_anti")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("__bucket").parquet(s"$path/postings__staging")
+      spark.read.parquet(s"$path/positions")
+        .join(deadIds, Seq(dead.columns.head), "left_anti")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("__bucket").parquet(s"$path/positions__staging")
       spark.createDataFrame(Seq((st.getAs[Long]("n_docs") - d.getLong(0),
           st.getAs[Long]("total_tokens") - d.getLong(1), st.getAs[Int]("n_buckets"))))
         .toDF("n_docs", "total_tokens", "n_buckets")
@@ -333,6 +374,7 @@ object Search {
         fs.rename(new org.apache.hadoop.fs.Path(s"$path/${name}__staging"), live)
       }
       swap("postings")
+      swap("positions")
       swap("stats")
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/deleted"), true)
     }
@@ -390,6 +432,54 @@ object Search {
       .select(col("term"), posexplode(col("__top")).as(Seq("__r", "__e")))
       .select(col("term"), col("__e.id").as(idCol),
         round(col("__e.score"), 6).as("score"), (col("__r") + 1).cast("int").as("rank"))
+  }
+
+  /** Query-term occurrences from the positional store: bucket-pruned
+    * (the queryPostingsIndex discipline — ≤ |terms| partitions
+    * listed), exact-term filtered, tombstoned docs dropped. The
+    * occurrence relation every positional query consumes, WITHOUT
+    * touching corpus text. */
+  private def indexedOccurrences(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, idCol: String,
+                                 terms: Seq[String]): DataFrame = {
+    val st = spark.read.parquet(s"$path/stats").collect()(0)
+    val nBuckets = st.getAs[Int]("n_buckets")
+    val buckets = spark.createDataFrame(terms.map(Tuple1(_))).toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(nBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0))
+    val occ0 = spark.read.parquet(s"$path/positions")
+      .filter(col("__bucket").isin(buckets.map(Int.box): _*))
+      .filter(col("term").isin(terms: _*))
+      .select(col(idCol), col("__pos"), col("term"))
+    tombstones(spark, path).fold(occ0)(t =>
+      occ0.join(broadcast(t.select(col(idCol))), Seq(idCol), "left_anti"))
+  }
+
+  /** [[phraseSearch]] served from the persisted positional index —
+    * same output relation (shares the text_search_phrase oracle), but
+    * at 100 TB the query reads only the phrase terms' position slice
+    * instead of re-tokenizing the corpus; tombstoned docs excluded
+    * exactly like the BM25 path. */
+  def phraseSearchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                          idCol: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    require(phrase.forall(t => t.nonEmpty && t == t.toLowerCase),
+      "phrase terms must be lowercase")
+    phraseFromOccurrences(
+      indexedOccurrences(spark, path, idCol, phrase.distinct), idCol, phrase)
+  }
+
+  /** [[proximityWindow]] served from the persisted positional index —
+    * same output relation (shares the text_search_proximity oracle),
+    * corpus text never read. */
+  def proximityWindowIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                             idCol: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms == terms.distinct, "terms must be distinct")
+    require(terms.forall(t => t.nonEmpty && t == t.toLowerCase),
+      "terms must be lowercase")
+    windowFromOccurrences(
+      indexedOccurrences(spark, path, idCol, terms).withColumnRenamed("term", "__term"),
+      idCol, terms)
   }
 
   /** Proximity-RANKED retrieval — the composition of [[bm25TopK]] and

@@ -180,6 +180,21 @@ class SearchSpec extends SparkSpec {
     assert(st.getAs[Long]("n_docs") == stFull.getAs[Long]("n_docs"))
     assert(st.getAs[Long]("total_tokens") == stFull.getAs[Long]("total_tokens"))
 
+    // positional paths: phrase and proximity served from the stored
+    // occurrences equal the tokenize-at-query-time operators, on the
+    // full index and on the appended one
+    val phrase = Seq("hash", "join")
+    def phr(p: String) = Search.phraseSearchIndexed(spark, p, "doc_id", phrase)
+      .collect().map(_.toSeq).toSet
+    val phraseScratch = Search.phraseSearch(corpus, "doc_id", "text", phrase)
+      .collect().map(_.toSeq).toSet
+    assert(phr(path) == phraseScratch && phr(grown) == phraseScratch)
+    def prox(p: String) = Search.proximityWindowIndexed(spark, p, "doc_id", terms)
+      .collect().map(_.toSeq).toSet
+    val proxScratch = Search.proximityWindow(corpus, "doc_id", "text", terms)
+      .collect().map(_.toSeq).toSet
+    assert(prox(path) == proxScratch && prox(grown) == proxScratch)
+
     // tombstone delete: query == fresh build of the survivors (exact
     // integer N/avgdl/df corrections), idempotent re-delete, and
     // compact folds the tombstones in physically without changing
@@ -195,10 +210,15 @@ class SearchSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     val tombstoned = q(path)
     assert(tombstoned == q(survivorsIdx))
+    // positional queries respect tombstones too
+    assert(phr(path) == phr(survivorsIdx) && prox(path) == prox(survivorsIdx))
     val before = spark.read.parquet(s"$path/postings").count()
+    val beforePos = spark.read.parquet(s"$path/positions").count()
     Search.compactPostingsIndex(spark, path)
     assert(q(path) == tombstoned) // compact changes bytes, not results
+    assert(phr(path) == phr(survivorsIdx) && prox(path) == prox(survivorsIdx))
     assert(spark.read.parquet(s"$path/postings").count() < before)
+    assert(spark.read.parquet(s"$path/positions").count() < beforePos)
     assert(!new java.io.File(s"$path/deleted").exists())
     val stC = spark.read.parquet(s"$path/stats").collect()(0)
     val stS = spark.read.parquet(s"$survivorsIdx/stats").collect()(0)
