@@ -844,18 +844,17 @@ object SparkEntry {
     }),
 
     "sim_ivf_index" -> ((s, dir) => {
-      // persisted-IVF path: build the cell-partitioned index on disk,
-      // query it through the static partition filter — must equal
+      // persisted-IVF path: query the session-master cell-partitioned
+      // index through the static partition filter — must equal
       // sim_ivf_topk row-for-row (same centroids, same probes; the
       // index only changes WHICH FILES the scan touches, proven via
-      // numFiles in SimilaritySpec), so it shares that oracle
+      // numFiles in SimilaritySpec), so it shares that oracle. The
+      // master is built once per session (the store-gate rule): this
+      // gate times the pruned-query path, the spec pins the build.
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 1000 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString + "/idx"
-      val flat = Similarity.buildIvfIndex(emb, path, "vec_id", "embedding",
-        dim = 64, nCentroids = 16,
-        sampleKey = Some(id => md5(concat(lit("ivf:"), id.cast("string")))))
+      val (path, flat) = masterIvfIndex(s, dir)
       Similarity.queryIvfIndex(s, path, flat, queries, "vec_id", "embedding",
         "qid", "qvec", k = 5, dim = 64, nProbe = 4)
         .select(col("qid"), col("vec_id"), col("score"), col("rank"))
@@ -891,14 +890,17 @@ object SparkEntry {
       // % 1000 == 0, disjoint from the deletes) must see exactly a
       // fresh index of the survivors under the same centroids — the
       // oracle replays that rebuild (full-corpus centroid sample,
-      // survivor-only cell relation)
+      // survivor-only cell relation). Master index COPIED to a fresh
+      // dir per run (the delete mutates the store — the
+      // corpus_incremental_delta discipline), so the gate times
+      // delete + query, not the build the spec already pins.
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 1000 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val (master, flat) = masterIvfIndex(s, dir)
       val path = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString + "/idx"
-      val flat = Similarity.buildIvfIndex(emb, path, "vec_id", "embedding",
-        dim = 64, nCentroids = 16,
-        sampleKey = Some(id => md5(concat(lit("ivf:"), id.cast("string")))))
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(master), new java.io.File(path))
       Similarity.deleteFromIvfIndex(s, path,
         emb.filter(col("vec_id") % 10 === 7).select(col("vec_id")), "vec_id")
       Similarity.queryIvfIndex(s, path, flat, queries, "vec_id", "embedding",
@@ -5113,6 +5115,32 @@ object SparkEntry {
        FROM ${p}_v),
        ${p}_p AS (
         $rows)"""
+  }
+
+  /** Session-master IVF index (path + frozen centroids) for the
+    * sim_ivf_index / sim_ivf_delete gates — the store-gate rule: the
+    * build is spec-pinned, the gates time the query / delete path.
+    * Built on the full corpus with the md5 sample key so it matches
+    * both gates' oracles; same lifecycle and eviction as
+    * [[pristineCorpusState]]. */
+  private val ivfIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, Array[Double])]
+  private def masterIvfIndex(s: SparkSession, dir: String): (String, Array[Double]) = {
+    ivfIndexCache.filterInPlace { case ((sess, _), (path, _)) =>
+      val live = !sess.sparkContext.isStopped
+      if (!live) org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(path).getParentFile)
+      live
+    }
+    ivfIndexCache.getOrElseUpdate((s, dir), {
+      val master = java.nio.file.Files.createTempDirectory("graft_ivf_master").toString + "/idx"
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(
+        new java.io.File(master).getParentFile)
+      val flat = Similarity.buildIvfIndex(t(s, dir, "embeddings"), master,
+        "vec_id", "embedding", dim = 64, nCentroids = 16,
+        sampleKey = Some(id => md5(concat(lit("ivf:"), id.cast("string")))))
+      (master, flat)
+    })
   }
 
   /** Session-master postings index for the text_search_indexed /

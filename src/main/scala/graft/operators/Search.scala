@@ -222,80 +222,103 @@ object Search {
     * derive from them bit-identically to the from-scratch scorer
     * (avgdl = total_tokens/n_docs — the same exact-integer-sum /
     * count division [[bm25TopK]]'s avg() performs), so the index path
-    * changes WHICH FILES are read, never the relation. */
+    * changes WHICH FILES are read, never the relation.
+    *
+    * Stats are a PURE FUNCTION of the postings (n_docs = indexed
+    * docs, total_tokens = Σ doc_len over distinct docs) — that is
+    * what makes every maintenance operation crash-recoverable by
+    * recomputation instead of error-prone ledger arithmetic. The one
+    * contract this sets: NULL-text docs are not indexed and do not
+    * count toward N (an index cannot see them; empty-text docs DO
+    * index — their single empty token keeps them counted, matching
+    * the scorer). The whole corpus is tokenized exactly once: the
+    * cached occurrence projection feeds positions, postings (a
+    * groupBy of it) and stats (an aggregate of its per-doc counts). */
   def buildPostingsIndex(docs: DataFrame, path: String, idCol: String,
                          textCol: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
-    postings(docs, idCol, textCol, nBuckets)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("__bucket").parquet(s"$path/postings")
-    positions(docs, idCol, textCol, nBuckets)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("__bucket").parquet(s"$path/positions")
-    docs.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(T.tokenCount(col(textCol)).cast("long")), lit(0L)).as("total_tokens"))
-      .withColumn("n_buckets", lit(nBuckets))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/stats")
+    val occ = occurrences(docs, idCol, textCol, nBuckets).cache()
+    try {
+      occ.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("__bucket").parquet(s"$path/positions")
+      postingsFromOccurrences(occ, idCol, nBuckets)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("__bucket").parquet(s"$path/postings")
+      statsFromDocLens(docLens(occ, idCol), nBuckets)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/stats")
+    } finally { occ.unpersist(); () }
   }
 
-  /** The POSITIONAL half of the index — one row per token occurrence
-    * (term, id, __pos), bucketed like the postings: what lets
+  /** One row per token occurrence (idCol, __pos, term, __bucket) —
+    * the single tokenize pass everything else derives from. The
+    * positional half of the index stores it verbatim: what lets
     * [[phraseSearchIndexed]] / [[proximityWindowIndexed]] answer
-    * positional queries without ever re-tokenizing text (a Lucene
-    * index stores positions for exactly this reason). */
-  private def positions(docs: DataFrame, idCol: String, textCol: String,
-                        nBuckets: Int): DataFrame =
+    * positional queries without re-tokenizing text (a Lucene index
+    * stores positions for exactly this reason). Clustered by bucket
+    * before the partitioned write so each bucket dir holds one file
+    * instead of a sliver from every shuffle partition; at 100 TB add
+    * a salt column to the repartition for intra-bucket write
+    * parallelism (reads are unaffected — pruning is on the dir
+    * value). */
+  private def occurrences(docs: DataFrame, idCol: String, textCol: String,
+                          nBuckets: Int): DataFrame =
     docs
       .select(col(idCol), posexplode(T.tokens(col(textCol))).as(Seq("__pos", "term")))
       .withColumn("__bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
       .repartition(nBuckets, col("__bucket"))
 
-  private def postings(docs: DataFrame, idCol: String, textCol: String,
-                       nBuckets: Int): DataFrame =
-    docs
-      .select(col(idCol), T.tokenCount(col(textCol)).cast("long").as("doc_len"),
-        explode(T.tokens(col(textCol))).as("term"))
-      .groupBy(col("term"), col(idCol), col("doc_len"))
+  /** (term, id, doc_len, tf, __bucket) derived from the occurrence
+    * projection: tf = occurrences per (term, doc), doc_len = the
+    * doc's occurrence count (== tokenCount — explode of the same
+    * token array). */
+  private def postingsFromOccurrences(occ: DataFrame, idCol: String,
+                                      nBuckets: Int): DataFrame =
+    occ.groupBy(col("term"), col(idCol), col("__bucket"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("__bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
-      // cluster by bucket before the partitioned write so each bucket
-      // dir holds one file instead of a sliver from every shuffle
-      // partition (nBuckets × shufflePartitions tiny files otherwise —
-      // a file-count, not wall-clock, concern at bench scale). At
-      // 100 TB add a salt column to the repartition for intra-bucket
-      // write parallelism (reads are unaffected — pruning is on the
-      // dir value)
+      .join(docLens(occ, idCol), idCol)
+      .select(col("term"), col(idCol), col("doc_len"), col("tf"), col("__bucket"))
       .repartition(nBuckets, col("__bucket"))
+
+  private def docLens(occ: DataFrame, idCol: String): DataFrame =
+    occ.groupBy(col(idCol)).agg(count(lit(1)).cast("long").as("doc_len"))
+
+  private def statsFromDocLens(dl: DataFrame, nBuckets: Int): DataFrame =
+    dl.agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(col("doc_len")), lit(0L)).as("total_tokens"))
+      .withColumn("n_buckets", lit(nBuckets))
 
   /** Append a crawl batch to a persisted postings index — the
     * [[graft.operators.Similarity.appendIvfIndex]] shape for text:
-    * delta postings land `Append` in their bucket partitions (old
-    * postings never re-read, O(batch)) and the integer stats row is
-    * advanced by the delta's exact counts. Contract: delta ids are
-    * previously unseen (the append-only crawl contract shared by the
-    * incremental dedup stores); re-crawls go through a rebuild.
-    * Recovery from a crash between the two writes: recompute stats
-    * from the postings' distinct (id, doc_len) — the stats row is
-    * derived data. */
+    * delta postings/positions land `Append` in their bucket
+    * partitions (old rows never re-read, O(batch)) and the integer
+    * stats row is advanced by the delta's exact counts. Contract:
+    * delta ids are previously unseen (the append-only crawl contract
+    * shared by the incremental dedup stores); re-crawls go through a
+    * rebuild. Recovery from a crash between the writes: recompute
+    * stats from the postings' distinct (id, doc_len) — stats are a
+    * pure function of the postings (see [[buildPostingsIndex]]). */
   def appendPostingsIndex(delta: DataFrame, path: String, idCol: String,
                           textCol: String): Unit = {
     val spark = delta.sparkSession
     val st = spark.read.parquet(s"$path/stats").collect()(0)
     val nBuckets = st.getAs[Int]("n_buckets")
-    postings(delta, idCol, textCol, nBuckets)
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("__bucket").parquet(s"$path/postings")
-    positions(delta, idCol, textCol, nBuckets)
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("__bucket").parquet(s"$path/positions")
-    val d = delta.agg(count(lit(1)).cast("long").as("n"),
-      coalesce(sum(T.tokenCount(col(textCol)).cast("long")), lit(0L)).as("t")).collect()(0)
-    // old stats already collected driver-side, so the overwrite's plan
-    // reads nothing it replaces
-    spark.createDataFrame(Seq((st.getAs[Long]("n_docs") + d.getLong(0),
-        st.getAs[Long]("total_tokens") + d.getLong(1), nBuckets)))
-      .toDF("n_docs", "total_tokens", "n_buckets")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/stats")
+    val occ = occurrences(delta, idCol, textCol, nBuckets).cache()
+    try {
+      occ.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("__bucket").parquet(s"$path/positions")
+      postingsFromOccurrences(occ, idCol, nBuckets)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("__bucket").parquet(s"$path/postings")
+      val d = docLens(occ, idCol)
+        .agg(count(lit(1)).cast("long").as("n"),
+          coalesce(sum(col("doc_len")), lit(0L)).as("t")).collect()(0)
+      // old stats already collected driver-side, so the overwrite's
+      // plan reads nothing it replaces
+      spark.createDataFrame(Seq((st.getAs[Long]("n_docs") + d.getLong(0),
+          st.getAs[Long]("total_tokens") + d.getLong(1), nBuckets)))
+        .toDF("n_docs", "total_tokens", "n_buckets")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/stats")
+    } finally { occ.unpersist(); () }
   }
 
   /** TOMBSTONE-delete documents from a persisted postings index — the
@@ -333,51 +356,99 @@ object Search {
     n
   }
 
+  /** The filesystem OWNING `path` — never the default FS: an index on
+    * s3a:// or hdfs:// with a file:// default would otherwise probe
+    * tombstones and run swaps against the wrong filesystem (the
+    * Compact.scala / FilePattern.scala pattern). */
+  private def fsOf(spark: org.apache.spark.sql.SparkSession,
+                   path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def tombstones(spark: org.apache.spark.sql.SparkSession,
                          path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/deleted")
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    if (fsOf(spark, path).exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
+  /** Preserve-then-replace directory swap: the live dir is renamed
+    * aside (never deleted first — a crash can then always be repaired
+    * from `<name>__old`), staging renamed in, the old copy dropped
+    * last. Rename failures throw instead of silently leaving a
+    * half-swapped store. */
+  private def swapDir(fs: org.apache.hadoop.fs.FileSystem, base: String,
+                      name: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$base/$name")
+    val old = new org.apache.hadoop.fs.Path(s"$base/${name}__old")
+    val staging = new org.apache.hadoop.fs.Path(s"$base/${name}__staging")
+    if (fs.exists(old)) fs.delete(old, true) // leftover of a COMPLETED prior swap
+    if (fs.exists(live) && !fs.rename(live, old))
+      throw new java.io.IOException(s"swap: rename $live -> $old failed")
+    if (!fs.rename(staging, live)) {
+      if (fs.exists(old)) fs.rename(old, live) // best-effort restore
+      throw new java.io.IOException(s"swap: rename $staging -> $live failed")
+    }
+    if (fs.exists(old)) { fs.delete(old, true); () }
+  }
+
+  /** Roll half-finished swaps back to a readable state: a live dir
+    * missing with its `__old` present means a crash hit between the
+    * two renames — restore the old copy (the rewrite is recomputed
+    * from data, so rolling back never loses the compaction, only
+    * defers it); an `__old` next to a live dir is a completed swap's
+    * leftover — drop it. */
+  private def repairSwaps(fs: org.apache.hadoop.fs.FileSystem, base: String,
+                          names: Seq[String]): Unit =
+    names.foreach { name =>
+      val live = new org.apache.hadoop.fs.Path(s"$base/$name")
+      val old = new org.apache.hadoop.fs.Path(s"$base/${name}__old")
+      if (fs.exists(old)) {
+        if (!fs.exists(live)) { fs.rename(old, live); () }
+        else { fs.delete(old, true); () }
+      }
+    }
+
   /** Fold tombstones into the postings physically — the merge half of
-    * the delete design: postings rewritten minus the tombstoned docs,
-    * the stats row advanced by the exact tombstone integers, the
-    * tombstone set cleared; queries afterwards read a clean index
-    * (postings shrink, spec proves results unchanged). STOP-THE-WORLD
-    * maintenance like an IVF re-cluster: run without concurrent
-    * queries; crash recovery = re-run if `deleted/` still exists
-    * (every step before the final tombstone clear is idempotent
-    * staging). */
-  def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    * the delete design: postings/positions rewritten minus the
+    * tombstoned docs, stats RECOMPUTED from the surviving postings
+    * (stats are a pure function of the postings — see
+    * [[buildPostingsIndex]] — so no ledger arithmetic can drift or
+    * double-apply), the tombstone set cleared last; queries afterwards
+    * read a clean index (postings shrink, spec proves results
+    * unchanged). STOP-THE-WORLD maintenance like an IVF re-cluster:
+    * run without concurrent queries. Crash recovery = re-run while
+    * `deleted/` still exists: entry first rolls back any half-swapped
+    * dir from its preserved `__old` copy, then every step recomputes
+    * from data — the anti-join of already-compacted postings is a
+    * row-identical no-op and the recomputed stats land on the same
+    * integers, so the re-run is idempotent at every crash point. */
+  def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    repairSwaps(fs, path, Seq("postings", "positions", "stats"))
     tombstones(spark, path).foreach { dead =>
-      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      val d = dead.agg(count(lit(1)).cast("long").as("n"),
-        coalesce(sum(col("doc_len")), lit(0L)).as("t")).collect()(0)
-      val st = spark.read.parquet(s"$path/stats").collect()(0)
-      val deadIds = broadcast(dead.select(dead.columns.head))
-      spark.read.parquet(s"$path/postings")
-        .join(deadIds, Seq(dead.columns.head), "left_anti")
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      val nBuckets = spark.read.parquet(s"$path/stats").collect()(0).getAs[Int]("n_buckets")
+      val idColName = dead.columns.head
+      val deadIds = broadcast(dead.select(col(idColName)))
+      val survivors = spark.read.parquet(s"$path/postings")
+        .join(deadIds, Seq(idColName), "left_anti")
+      survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("__bucket").parquet(s"$path/postings__staging")
       spark.read.parquet(s"$path/positions")
-        .join(deadIds, Seq(dead.columns.head), "left_anti")
+        .join(deadIds, Seq(idColName), "left_anti")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("__bucket").parquet(s"$path/positions__staging")
-      spark.createDataFrame(Seq((st.getAs[Long]("n_docs") - d.getLong(0),
-          st.getAs[Long]("total_tokens") - d.getLong(1), st.getAs[Int]("n_buckets"))))
-        .toDF("n_docs", "total_tokens", "n_buckets")
+      // recompute from the STAGED survivors, not old-stats arithmetic
+      statsFromDocLens(
+        spark.read.parquet(s"$path/postings__staging")
+          .select(col(idColName), col("doc_len")).distinct(), nBuckets)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/stats__staging")
-      def swap(name: String): Unit = {
-        val live = new org.apache.hadoop.fs.Path(s"$path/$name")
-        fs.delete(live, true)
-        fs.rename(new org.apache.hadoop.fs.Path(s"$path/${name}__staging"), live)
-      }
-      swap("postings")
-      swap("positions")
-      swap("stats")
+      swapDir(fs, path, "postings")
+      swapDir(fs, path, "positions")
+      swapDir(fs, path, "stats")
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/deleted"), true)
+      ()
     }
+  }
 
   /** BM25 retrieval against a persisted postings index (see
     * [[buildPostingsIndex]]) — output bit-identical to [[bm25TopK]]
@@ -408,14 +479,7 @@ object Search {
     }
     val nDocs = st.getAs[Long]("n_docs") - nDel
     val totalTokens = st.getAs[Long]("total_tokens") - tokDel
-    val buckets = spark.createDataFrame(terms.map(Tuple1(_))).toDF("t")
-      .select(pmod(xxhash64(col("t")), lit(nBuckets.toLong)).cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0))
-    val tf0 = spark.read.parquet(s"$path/postings")
-      .filter(col("__bucket").isin(buckets.map(Int.box): _*))
-      .filter(col("term").isin(terms: _*))
-    val tf = dead.fold(tf0)(t =>
-      tf0.join(broadcast(t.select(col(idCol))), Seq(idCol), "left_anti"))
+    val tf = prunedRelation(spark, path, "postings", idCol, terms, nBuckets)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // exact-integer stats -> the same doubles the from-scratch scorer
     // sees: N as a long literal, avgdl = exact-sum / count
@@ -434,25 +498,36 @@ object Search {
         round(col("__e.score"), 6).as("score"), (col("__r") + 1).cast("int").as("rank"))
   }
 
-  /** Query-term occurrences from the positional store: bucket-pruned
-    * (the queryPostingsIndex discipline — ≤ |terms| partitions
-    * listed), exact-term filtered, tombstoned docs dropped. The
+  /** The ONE pruning discipline both query paths share (a change to
+    * bucket hashing or tombstone filtering must hit BM25 and the
+    * positional queries identically — they exclude the same docs or
+    * silently drift): query-term buckets evaluated through the same
+    * stored xxhash64 expression (a 1-row Spark job — no driver-side
+    * hash reimplementation), applied as a static partition filter
+    * (≤ |terms| of the nBuckets partitions listed), exact-term
+    * filtered, tombstoned docs anti-joined out. */
+  private def prunedRelation(spark: org.apache.spark.sql.SparkSession, path: String,
+                             relation: String, idCol: String,
+                             terms: Seq[String], nBuckets: Int): DataFrame = {
+    val buckets = spark.createDataFrame(terms.map(Tuple1(_))).toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(nBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0))
+    val rel = spark.read.parquet(s"$path/$relation")
+      .filter(col("__bucket").isin(buckets.map(Int.box): _*))
+      .filter(col("term").isin(terms: _*))
+    tombstones(spark, path).fold(rel)(t =>
+      rel.join(broadcast(t.select(col(idCol))), Seq(idCol), "left_anti"))
+  }
+
+  /** Query-term occurrences from the positional store — the
     * occurrence relation every positional query consumes, WITHOUT
     * touching corpus text. */
   private def indexedOccurrences(spark: org.apache.spark.sql.SparkSession,
                                  path: String, idCol: String,
                                  terms: Seq[String]): DataFrame = {
-    val st = spark.read.parquet(s"$path/stats").collect()(0)
-    val nBuckets = st.getAs[Int]("n_buckets")
-    val buckets = spark.createDataFrame(terms.map(Tuple1(_))).toDF("t")
-      .select(pmod(xxhash64(col("t")), lit(nBuckets.toLong)).cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0))
-    val occ0 = spark.read.parquet(s"$path/positions")
-      .filter(col("__bucket").isin(buckets.map(Int.box): _*))
-      .filter(col("term").isin(terms: _*))
+    val nBuckets = spark.read.parquet(s"$path/stats").collect()(0).getAs[Int]("n_buckets")
+    prunedRelation(spark, path, "positions", idCol, terms, nBuckets)
       .select(col(idCol), col("__pos"), col("term"))
-    tombstones(spark, path).fold(occ0)(t =>
-      occ0.join(broadcast(t.select(col(idCol))), Seq(idCol), "left_anti"))
   }
 
   /** [[phraseSearch]] served from the persisted positional index —

@@ -215,15 +215,33 @@ object Similarity {
     * = drop. Untouched cells are never read and never written: cost is
     * O(touched cells), not O(index).
     *
-    * Idempotent at-least-once (the appendIvfIndex contract): re-running
-    * the same delete finds no surviving target ids in pass 2 (no
-    * touched cells, no-op), and a crash between swaps is repaired by
-    * the re-run. delete ∘ append == rebuild of the surviving set under
-    * the same centroids — spec-pinned, and gated (sim_ivf_delete)
-    * against the sim_ivf_topk oracle over the filtered corpus.
-    * Returns the number of touched cells. */
+    * Idempotent at-least-once (the appendIvfIndex contract):
+    * re-running the same delete finds no surviving target ids in pass
+    * 2 (no touched cells, no-op), and a crash at ANY point is
+    * repaired by re-running the same delete — cell dirs are renamed
+    * aside (`_old__cell=N`, underscore-prefixed so partition
+    * discovery ignores it) before being replaced, never deleted
+    * first, and entry rolls half-swapped cells back from those
+    * preserved copies (a rolled-back cell still holds its delete ids,
+    * so the re-run re-touches it). Rename failures throw instead of
+    * silently losing a cell. delete ∘ append == rebuild of the
+    * surviving set under the same centroids — spec-pinned, and gated
+    * (sim_ivf_delete) against the sim_ivf_topk oracle over the
+    * filtered corpus. Returns the number of touched cells. */
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                          deleteIds: DataFrame, idCol: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // roll back any half-swapped cell from a crashed prior run
+    val base = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(base)) fs.listStatus(base).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("_old__cell=")) {
+        val live = new org.apache.hadoop.fs.Path(base, n.stripPrefix("_old"))
+        if (!fs.exists(live)) { fs.rename(s.getPath, live); () }
+        else { fs.delete(s.getPath, true); () }
+      }
+    }
     val idx = spark.read.parquet(path)
     val dels = broadcast(deleteIds.select(col(idCol)).distinct())
     val touched = idx.select(col(idCol), col("__cell"))
@@ -235,15 +253,21 @@ object Similarity {
       val staging = path + "__delstage"
       survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("__cell").parquet(staging)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
       touched.foreach { c =>
         val dst = new org.apache.hadoop.fs.Path(s"$path/__cell=$c")
+        val old = new org.apache.hadoop.fs.Path(s"$path/_old__cell=$c")
         val src = new org.apache.hadoop.fs.Path(s"$staging/__cell=$c")
-        if (fs.exists(dst)) fs.delete(dst, true)
-        if (fs.exists(src)) fs.rename(src, dst) // no staging dir = cell emptied
+        if (fs.exists(dst) && !fs.rename(dst, old))
+          throw new java.io.IOException(s"ivf delete: rename $dst -> $old failed")
+        if (fs.exists(src) && !fs.rename(src, dst)) {
+          fs.rename(old, dst) // best-effort restore
+          throw new java.io.IOException(s"ivf delete: rename $src -> $dst failed")
+        }
+        // no staging dir = cell emptied: dropping old IS the delete
+        if (fs.exists(old)) { fs.delete(old, true); () }
       }
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      ()
     }
     touched.length
   }

@@ -118,9 +118,11 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
         val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
         val tbl = new org.apache.hadoop.fs.Path(tablePath)
+        // the table's OWN filesystem, not the default FS — a store on
+        // s3a:///hdfs:// with a file:// default would otherwise swap
+        // against the wrong scheme
+        val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val merged =
           if (!fs.exists(tbl)) {
             // first batch: just resolve in-batch duplicates latest-wins
@@ -191,8 +193,8 @@ object StreamOps {
             spark, stateDir, batch.toDF(), idCol, textCol, nShards,
             minTokens, maxTokens, minStopwordRatio, maxRepetition,
             maxHamming, tokenHash, hashedShard)
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            spark.sparkContext.hadoopConfiguration)
+          val fs = new org.apache.hadoop.fs.Path(stateDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
           val staging = new org.apache.hadoop.fs.Path(s"$stateDir/export__staging")
           export.write.mode("overwrite").parquet(staging.toString)
           atomicSwap(fs, staging,
@@ -234,8 +236,8 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            spark.sparkContext.hadoopConfiguration)
+          val fs = new org.apache.hadoop.fs.Path(stateDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
           val rowsPath = new org.apache.hadoop.fs.Path(s"$stateDir/rows")
           val slim = batch.toDF().select(col(idCol), col(stratumCol), col(tokensCol))
           // sealed once (eager localCheckpoint), consumed twice: the

@@ -229,6 +229,46 @@ class SearchSpec extends SparkSpec {
     assert(q(path) == tombstoned)
   }
 
+  test("postings index crash recovery: half-swapped dirs roll back, stale tombstones cannot double-subtract") {
+    val corpus = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val terms = Seq("spark", "join", "window")
+    val path = java.nio.file.Files.createTempDirectory("graft_crash").toString + "/cidx"
+    Search.buildPostingsIndex(corpus, path, "doc_id", "text", nBuckets = 16)
+    val dels = corpus.filter(col("doc_id") % 4 === 0).select(col("doc_id"))
+    Search.deleteFromPostingsIndex(spark, path, dels, "doc_id")
+    val survivorsIdx = java.nio.file.Files.createTempDirectory("graft_crash2").toString + "/cidx"
+    Search.buildPostingsIndex(corpus.filter(col("doc_id") % 4 =!= 0), survivorsIdx,
+      "doc_id", "text", nBuckets = 16)
+    def q(p: String) = Search.queryPostingsIndex(spark, p, "doc_id", terms, k = 10)
+      .collect().map(_.toSeq).toSet
+    val want = q(survivorsIdx)
+
+    // crash simulation 1: between the two swap renames — live dir
+    // gone, preserved __old copy present; compact's entry repair must
+    // roll it back and the compaction then complete normally
+    val f = new java.io.File(s"$path/postings")
+    assert(f.renameTo(new java.io.File(s"$path/postings__old")))
+    Search.compactPostingsIndex(spark, path)
+    assert(q(path) == want)
+    assert(!new java.io.File(s"$path/postings__old").exists())
+    assert(!new java.io.File(s"$path/postings__staging").exists())
+    assert(!new java.io.File(s"$path/deleted").exists())
+
+    // crash simulation 2: after every swap but before the tombstone
+    // clear — re-running compact with the already-applied tombstones
+    // must not double-subtract (stats recomputed from data, and the
+    // anti-join of compacted postings is a no-op)
+    corpus.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), lit(1L).as("doc_len")) // doc_len value is irrelevant to the rerun
+      .write.parquet(s"$path/deleted")
+    Search.compactPostingsIndex(spark, path)
+    assert(q(path) == want)
+    val a = spark.read.parquet(s"$path/stats").collect()(0)
+    val b = spark.read.parquet(s"$survivorsIdx/stats").collect()(0)
+    assert(a.getAs[Long]("n_docs") == b.getAs[Long]("n_docs"))
+    assert(a.getAs[Long]("total_tokens") == b.getAs[Long]("total_tokens"))
+  }
+
   test("rankedTopK: BM25 pivot × slop boost, no-window docs keep plain BM25") {
     val ts = Seq("spark", "join", "window")
     val pd = Seq(

@@ -231,6 +231,21 @@ class SimilaritySpec extends SparkSpec {
     // same delete again: nothing left to touch (idempotent no-op)
     assert(Similarity.deleteFromIvfIndex(spark, path, dels, "vec_id") == 0)
 
+    // crash recovery: a half-swapped cell (live dir renamed aside but
+    // replacement never landed) is rolled back at the next delete's
+    // entry — partition discovery ignores the _old prefix meanwhile
+    val anyCell = spark.read.parquet(path).select("__cell").distinct()
+      .orderBy(col("__cell").asc).first().getInt(0)
+    val cellDir = new java.io.File(path.stripSuffix("/idx") + s"/idx/__cell=$anyCell")
+    val asideDir = new java.io.File(path.stripSuffix("/idx") + s"/idx/_old__cell=$anyCell")
+    val rowsBefore = spark.read.parquet(path).count()
+    assert(cellDir.renameTo(asideDir))
+    // repair happens on entry even when nothing matches the delete set
+    Similarity.deleteFromIvfIndex(spark, path,
+      spark.range(0).select(col("id").as("vec_id")), "vec_id")
+    assert(cellDir.exists() && !asideDir.exists())
+    assert(spark.read.parquet(path).count() == rowsBefore)
+
     // emptying a whole cell drops its partition dir outright — dynamic
     // overwrite alone would have silently kept the old files
     val idx = spark.read.parquet(path)
