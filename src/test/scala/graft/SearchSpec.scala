@@ -269,6 +269,27 @@ class SearchSpec extends SparkSpec {
     assert(a.getAs[Long]("total_tokens") == b.getAs[Long]("total_tokens"))
   }
 
+  test("postings index contract: NULL-text docs sit outside the index corpus, empty-text docs inside") {
+    val docs = Seq(
+      (1L, "spark join spark"),
+      (2L, null.asInstanceOf[String]),   // unindexable — no tokens to store
+      (3L, "spark window pad pad"),
+      (4L, "")                            // indexes via its single empty token
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_nulldoc").toString + "/idx"
+    Search.buildPostingsIndex(docs, path, "doc_id", "text", nBuckets = 4)
+    val st = spark.read.parquet(s"$path/stats").collect()(0)
+    assert(st.getAs[Long]("n_docs") == 3L) // docs 1, 3, 4 — not the NULL doc
+    // the index answers exactly as the scorer over the NON-NULL corpus
+    // (bm25TopK over a corpus holding NULL-text rows counts them in N;
+    // an index cannot see them — the documented divergence)
+    val q = Search.queryPostingsIndex(spark, path, "doc_id", Seq("spark", "window"), k = 5)
+      .collect().map(_.toSeq).toSet
+    val want = Search.bm25TopK(docs.filter(col("text").isNotNull), "doc_id", "text",
+      Seq("spark", "window"), k = 5).collect().map(_.toSeq).toSet
+    assert(q == want)
+  }
+
   test("rankedTopK: BM25 pivot × slop boost, no-window docs keep plain BM25") {
     val ts = Seq("spark", "join", "window")
     val pd = Seq(
