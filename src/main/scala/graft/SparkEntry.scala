@@ -872,11 +872,11 @@ object SparkEntry {
       val delta = emb.filter(col("vec_id") % 4 === 3)
       val queries = emb.filter(col("vec_id") % 1000 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val path = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString + "/idx"
+      val path = scratchDir("graft_ivf_app") + "/idx"
       val flat = Similarity.buildIvfIndex(old, path, "vec_id", "embedding",
         dim = 64, nCentroids = 16,
         sampleKey = Some(id => md5(concat(lit("ivf:"), id.cast("string")))))
-      Similarity.appendIvfIndex(delta, path, flat, "embedding", dim = 64)
+      Similarity.appendIvfIndex(delta, path, flat, "embedding", dim = 64, batchId = "delta")
       Similarity.queryIvfIndex(s, path, flat, queries, "vec_id", "embedding",
         "qid", "qvec", k = 5, dim = 64, nProbe = 4)
         .select(col("qid"), col("vec_id"), col("score"), col("rank"))
@@ -898,7 +898,7 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") % 1000 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val (master, flat) = masterIvfIndex(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString + "/idx"
+      val path = scratchDir("graft_ivf_del") + "/idx"
       org.apache.commons.io.FileUtils.copyDirectory(
         new java.io.File(master), new java.io.File(path))
       Similarity.deleteFromIvfIndex(s, path,
@@ -1498,7 +1498,7 @@ object SparkEntry {
       // replays the FULL REBUILD on old ∪ batch, so the hash match IS
       // the incremental == rebuild proof.
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val stateDir = java.nio.file.Files.createTempDirectory("graft_corpus_state").toString
+      val stateDir = scratchDir("graft_corpus_state")
       Pipeline.writeCorpusState(docs, "doc_id", "text", stateDir, nShards = 8,
         tokenHash = Dedup.md5TokenHash, hashedShard = false)
       Pipeline.prepareCorpusIncremental(s, stateDir, crawlBatch(docs), "doc_id", "text",
@@ -1517,7 +1517,7 @@ object SparkEntry {
       // build the nightly never pays.
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val master = pristineCorpusState(s, dir, docs)
-      val stateDir = java.nio.file.Files.createTempDirectory("graft_corpus_delta").toString
+      val stateDir = scratchDir("graft_corpus_delta")
       org.apache.commons.io.FileUtils.copyDirectory(
         new java.io.File(master), new java.io.File(stateDir))
       Pipeline.prepareCorpusIncremental(s, stateDir, crawlBatch(docs), "doc_id", "text",
@@ -1541,7 +1541,7 @@ object SparkEntry {
       // timed the build, not the stream).
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val stateDir = java.nio.file.Files.createTempDirectory("graft_corpus_stream").toString
+      val stateDir = scratchDir("graft_corpus_stream")
       org.apache.commons.io.FileUtils.copyDirectory(
         new java.io.File(pristineCorpusState(s, dir, docs)), new java.io.File(stateDir))
       val crawlDir = s"$stateDir/crawl"
@@ -1853,11 +1853,31 @@ object SparkEntry {
       // fresh dir per run (tombstones mutate the store — the
       // corpus_incremental_delta discipline).
       val docs = t(s, dir, "documents")
-      val path = java.nio.file.Files.createTempDirectory("graft_postings_del").toString + "/idx"
+      val path = scratchDir("graft_postings_del") + "/idx"
       org.apache.commons.io.FileUtils.copyDirectory(
         new java.io.File(masterPostingsIndex(s, dir)), new java.io.File(path))
       Search.deleteFromPostingsIndex(s, path,
         docs.filter(col("doc_id") % 10 === 7).select(col("doc_id")), "doc_id")
+      Search.queryPostingsIndex(s, path, "doc_id", searchTerms, k = 10)
+    }),
+
+    "text_search_compact" -> ((s, dir) => {
+      // the merge half of delete-then-merge: same tombstone batch as
+      // text_search_delete, then compactPostingsIndex folds it in
+      // physically (postings/positions/docs rewritten minus victims,
+      // stats RECOMPUTED from the surviving sidecar, epoch bumped,
+      // tombstones cleared) and the COMPACTED store is queried —
+      // compaction changes bytes, never results, so this shares the
+      // bm25-over-survivors oracle (the sim_ivf_delete pattern:
+      // maintenance op + query under one oracle). Master COPIED to a
+      // per-run scratch dir (compact mutates the store).
+      val docs = t(s, dir, "documents")
+      val path = scratchDir("graft_postings_cmp") + "/idx"
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(masterPostingsIndex(s, dir)), new java.io.File(path))
+      Search.deleteFromPostingsIndex(s, path,
+        docs.filter(col("doc_id") % 10 === 7).select(col("doc_id")), "doc_id")
+      Search.compactPostingsIndex(s, path)
       Search.queryPostingsIndex(s, path, "doc_id", searchTerms, k = 10)
     }),
 
@@ -4412,6 +4432,12 @@ object SparkEntry {
     "text_search_delete" ->
       bm25SqlFrom("(SELECT * FROM documents WHERE doc_id % 10 <> 7)"),
 
+    // compaction folds the same tombstones in physically — bytes
+    // change, results don't, so the compacted store answers the same
+    // survivors oracle
+    "text_search_compact" ->
+      bm25SqlFrom("(SELECT * FROM documents WHERE doc_id % 10 <> 7)"),
+
     // rankedTopK twin: the text_bm25 scored CTE pivoted per doc in
     // LISTED term order (((s0+s1)+s2) — the same IEEE expression tree
     // as the Spark fold, never an order-dependent SUM), boosted by the
@@ -4990,6 +5016,16 @@ object SparkEntry {
     * JVM-global map must not pin dead sessions' state, the
     * Tables.sweepStopped discipline) and every master dir is
     * registered for recursive delete at JVM exit. */
+  /** Per-run scratch directory for gates that MUTATE a copied store —
+    * registered for JVM-exit deletion exactly like the session
+    * masters, so a multi-pass bench run cannot leak one index/state
+    * copy per pass onto disk forever. */
+  private def scratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(d.toFile)
+    d.toString
+  }
+
   private val corpusStateCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def pristineCorpusState(s: SparkSession, dir: String,

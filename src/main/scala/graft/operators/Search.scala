@@ -233,7 +233,18 @@ object Search {
     * index — their single empty token keeps them counted, matching
     * the scorer). The whole corpus is tokenized exactly once: the
     * cached occurrence projection feeds positions, postings (a
-    * groupBy of it) and stats (an aggregate of its per-doc counts). */
+    * groupBy of it), the `docs` sidecar and stats.
+    *
+    * Two more relations round out the store. `docs` is the (id,
+    * doc_len) per-document sidecar (the Lucene norms file): O(n_docs)
+    * rows that make delete's victim discovery and every stats
+    * recomputation O(docs), never O(postings). `stats` also carries
+    * an `epoch`, bumped by each [[compactPostingsIndex]]: tombstones
+    * are stamped with the epoch they were written under, and the
+    * query path applies only CURRENT-epoch tombstones — so a compact
+    * that crashed after its stats swap but before clearing `deleted/`
+    * leaves stale tombstones the query provably ignores instead of
+    * silently double-subtracting from N/avgdl. */
   def buildPostingsIndex(docs: DataFrame, path: String, idCol: String,
                          textCol: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
@@ -244,7 +255,9 @@ object Search {
       postingsFromOccurrences(occ, idCol, nBuckets)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("__bucket").parquet(s"$path/postings")
-      statsFromDocLens(docLens(occ, idCol), nBuckets)
+      docLens(occ, idCol)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/docs")
+      statsFromDocLens(docs.sparkSession.read.parquet(s"$path/docs"), nBuckets, epoch = 0L)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/stats")
     } finally { occ.unpersist(); () }
   }
@@ -282,43 +295,142 @@ object Search {
   private def docLens(occ: DataFrame, idCol: String): DataFrame =
     occ.groupBy(col(idCol)).agg(count(lit(1)).cast("long").as("doc_len"))
 
-  private def statsFromDocLens(dl: DataFrame, nBuckets: Int): DataFrame =
+  private def statsFromDocLens(dl: DataFrame, nBuckets: Int, epoch: Long): DataFrame =
     dl.agg(count(lit(1)).cast("long").as("n_docs"),
         coalesce(sum(col("doc_len")), lit(0L)).as("total_tokens"))
       .withColumn("n_buckets", lit(nBuckets))
+      .withColumn("epoch", lit(epoch))
+
+  private def statsRow(spark: org.apache.spark.sql.SparkSession,
+                       path: String): org.apache.spark.sql.Row =
+    spark.read.parquet(s"$path/stats").collect()(0)
 
   /** Append a crawl batch to a persisted postings index — the
     * [[graft.operators.Similarity.appendIvfIndex]] shape for text:
-    * delta postings/positions land `Append` in their bucket
-    * partitions (old rows never re-read, O(batch)) and the integer
-    * stats row is advanced by the delta's exact counts. Contract:
-    * delta ids are previously unseen (the append-only crawl contract
-    * shared by the incremental dedup stores); re-crawls go through a
-    * rebuild. Recovery from a crash between the writes: recompute
-    * stats from the postings' distinct (id, doc_len) — stats are a
-    * pure function of the postings (see [[buildPostingsIndex]]). */
+    * delta postings/positions/docs land in their bucket partitions
+    * (old rows never re-read, O(batch)) and the integer stats row is
+    * advanced by the delta's exact counts. Contract: delta ids are
+    * previously unseen (the append-only crawl contract shared by the
+    * incremental dedup stores); re-crawls go through a rebuild.
+    *
+    * CRASH-RETRY-SAFE via the [[StoreProtocol]] staged commit: the
+    * delta lands under `_staging/<batchId>/`, its files are renamed
+    * into the live relations with a `b<batchId>-` prefix, the stats
+    * row is swapped in last, and a `_commits/<batchId>` marker seals
+    * the batch. Re-running a COMMITTED batch is a no-op (Structured
+    * Streaming's stable batch ids make the streaming twin
+    * exactly-once on the store); re-running after a crash first
+    * undoes the half-applied move (delete the batch's prefixed files,
+    * recompute stats from the `docs` sidecar — a pure function of
+    * the data, never ledger arithmetic) and then applies the batch
+    * once. Single-writer contract: appends never run concurrently
+    * with other maintenance; a query BETWEEN a crash and the retry
+    * may see a torn batch — detection and repair happen at the next
+    * maintenance entry, which is what the retry is.
+    *
+    * Note each batch adds one file per touched bucket partition;
+    * [[compactPostingsIndex]] is also the file-count compaction. */
   def appendPostingsIndex(delta: DataFrame, path: String, idCol: String,
-                          textCol: String): Unit = {
+                          textCol: String, batchId: String): Unit = {
+    StoreProtocol.requireBatchId(batchId)
     val spark = delta.sparkSession
-    val st = spark.read.parquet(s"$path/stats").collect()(0)
+    val fs = fsOf(spark, path)
+    if (StoreProtocol.isCommitted(fs, path, batchId)) {
+      // replayed batch: exactly-once no-op (drop any leftover staging
+      // from a crash between the marker and the staging cleanup)
+      fs.delete(StoreProtocol.stagingDir(path, batchId), true)
+      return
+    }
+    repairAppends(spark, path)
+    appendPostingsSteps(delta, path, idCol, textCol, batchId).foreach(_._2())
+  }
+
+  /** The append protocol as named steps — package-visible so the
+    * crash-property spec can kill the run at EVERY step boundary and
+    * prove the retry repairs it. Order matters: all staging writes
+    * precede any live mutation; file moves precede the stats swap;
+    * the commit marker seals; staging cleanup is cosmetic. */
+  private[graft] def appendPostingsSteps(delta: DataFrame, path: String, idCol: String,
+                                         textCol: String, batchId: String)
+      : Seq[(String, () => Unit)] = {
+    val spark = delta.sparkSession
+    val fs = fsOf(spark, path)
+    val st = statsRow(spark, path)
     val nBuckets = st.getAs[Int]("n_buckets")
-    val occ = occurrences(delta, idCol, textCol, nBuckets).cache()
-    try {
-      occ.write.mode(org.apache.spark.sql.SaveMode.Append)
-        .partitionBy("__bucket").parquet(s"$path/positions")
-      postingsFromOccurrences(occ, idCol, nBuckets)
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .partitionBy("__bucket").parquet(s"$path/postings")
-      val d = docLens(occ, idCol)
-        .agg(count(lit(1)).cast("long").as("n"),
-          coalesce(sum(col("doc_len")), lit(0L)).as("t")).collect()(0)
-      // old stats already collected driver-side, so the overwrite's
-      // plan reads nothing it replaces
-      spark.createDataFrame(Seq((st.getAs[Long]("n_docs") + d.getLong(0),
-          st.getAs[Long]("total_tokens") + d.getLong(1), nBuckets)))
-        .toDF("n_docs", "total_tokens", "n_buckets")
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/stats")
-    } finally { occ.unpersist(); () }
+    val stage = StoreProtocol.stagingDir(path, batchId).toString
+    // sealed once (eager local checkpoint) on first use, shared by
+    // every staging step — the delta is tokenized exactly once
+    lazy val occ = occurrences(delta, idCol, textCol, nBuckets).localCheckpoint(true)
+    Seq(
+      "stage-positions" -> (() =>
+        occ.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("__bucket").parquet(s"$stage/positions")),
+      "stage-postings" -> (() =>
+        postingsFromOccurrences(occ, idCol, nBuckets)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("__bucket").parquet(s"$stage/postings")),
+      "stage-docs" -> (() =>
+        docLens(occ, idCol)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$stage/docs")),
+      "stage-stats" -> (() => {
+        val d = spark.read.parquet(s"$stage/docs")
+          .agg(count(lit(1)).cast("long").as("n"),
+            coalesce(sum(col("doc_len")), lit(0L)).as("t")).collect()(0)
+        spark.createDataFrame(Seq((st.getAs[Long]("n_docs") + d.getLong(0),
+            st.getAs[Long]("total_tokens") + d.getLong(1), nBuckets,
+            st.getAs[Long]("epoch"))))
+          .toDF("n_docs", "total_tokens", "n_buckets", "epoch")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$stage/stats")
+      }),
+      "move-positions" -> (() => StoreProtocol.moveStagedFiles(fs,
+        new org.apache.hadoop.fs.Path(s"$stage/positions"),
+        new org.apache.hadoop.fs.Path(s"$path/positions"), batchId)),
+      "move-postings" -> (() => StoreProtocol.moveStagedFiles(fs,
+        new org.apache.hadoop.fs.Path(s"$stage/postings"),
+        new org.apache.hadoop.fs.Path(s"$path/postings"), batchId)),
+      "move-docs" -> (() => StoreProtocol.moveStagedFiles(fs,
+        new org.apache.hadoop.fs.Path(s"$stage/docs"),
+        new org.apache.hadoop.fs.Path(s"$path/docs"), batchId)),
+    ) ++ swapSteps(fs, path, "stats", staging = s"$stage/stats") ++ Seq(
+      "mark-commit" -> (() => StoreProtocol.markCommitted(fs, path, batchId)),
+      "clean-staging" -> (() => { fs.delete(new org.apache.hadoop.fs.Path(stage), true); () }),
+    )
+  }
+
+  /** Undo every half-applied (staged but uncommitted) append: delete
+    * the batch's prefixed files from the live relations, restore the
+    * stats swap, and — when the crashed batch had progressed past
+    * staging — rewrite stats from the `docs` sidecar (O(n_docs); the
+    * pure-function contract makes this recomputation, not ledger
+    * arithmetic). Committed batches' leftover staging is dropped.
+    * Runs at every maintenance entry (append/delete/compact). */
+  private[graft] def repairAppends(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Unit = {
+    val fs = fsOf(spark, path)
+    StoreProtocol.stagedBatches(fs, path).foreach { batchId =>
+      if (StoreProtocol.isCommitted(fs, path, batchId)) {
+        fs.delete(StoreProtocol.stagingDir(path, batchId), true)
+      } else {
+        // a stats __old aside means the crashed batch reached its
+        // stats swap — the live row may already include the batch
+        val statsSwapBegun =
+          fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats__old"))
+        repairSwaps(fs, path, Seq("stats"))
+        val touched = Seq("positions", "postings", "docs").map { rel =>
+          StoreProtocol.deleteBatchFiles(fs,
+            new org.apache.hadoop.fs.Path(s"$path/$rel"), batchId)
+        }.exists(identity)
+        if (touched || statsSwapBegun) {
+          val st = statsRow(spark, path)
+          statsFromDocLens(spark.read.parquet(s"$path/docs"),
+              st.getAs[Int]("n_buckets"), st.getAs[Long]("epoch"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$path/stats__staging")
+          swapSteps(fs, path, "stats").foreach(_._2())
+        }
+        fs.delete(StoreProtocol.stagingDir(path, batchId), true)
+      }
+    }
   }
 
   /** TOMBSTONE-delete documents from a persisted postings index — the
@@ -335,20 +447,25 @@ object Search {
     * avgdl EXACTLY (integer subtraction from the stats row) — after a
     * delete, results are bit-identical to a fresh build of the
     * survivors (spec-pinned, gated as text_search_delete). Victims
-    * are discovered from an (id, doc_len, bucket-free) two-column
-    * columnar projection semi-joined with the broadcast delete set;
+    * are discovered from the `docs` SIDECAR (O(n_docs) rows — never a
+    * scan of the postings relation, which is O(index) I/O per delete
+    * batch at 100 TB) semi-joined with the broadcast delete set;
     * already-tombstoned and never-indexed ids are skipped, so
-    * re-running a delete is a no-op (at-least-once safe). Returns the
-    * number of newly tombstoned docs. */
+    * re-running a delete is a no-op (at-least-once safe). Tombstones
+    * are stamped with the current stats epoch (see
+    * [[buildPostingsIndex]]). Returns the number of newly tombstoned
+    * docs. */
   def deleteFromPostingsIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                               deleteIds: DataFrame, idCol: String): Long = {
-    val post = spark.read.parquet(s"$path/postings")
+    repairAppends(spark, path)
+    val epoch = statsRow(spark, path).getAs[Long]("epoch")
     val dels = broadcast(deleteIds.select(col(idCol)).distinct())
-    val existing = tombstones(spark, path)
-    val victims0 = post.select(col(idCol), col("doc_len"))
-      .join(dels, Seq(idCol), "left_semi").distinct()
+    val existing = currentTombstones(spark, path, epoch)
+    val victims0 = victimRelation(spark, path)
+      .join(dels, Seq(idCol), "left_semi")
     val victims = existing.fold(victims0)(ex =>
         victims0.join(broadcast(ex.select(col(idCol))), Seq(idCol), "left_anti"))
+      .withColumn("__epoch", lit(epoch))
       .localCheckpoint(true) // seal before writing into the dir it may have read
     val n = victims.count()
     if (n > 0)
@@ -356,14 +473,20 @@ object Search {
     n
   }
 
+  /** Delete's victim source: the (id, doc_len) sidecar — exposed so
+    * the spec can pin that victim discovery scans `docs/`, not the
+    * postings relation. */
+  private[graft] def victimRelation(spark: org.apache.spark.sql.SparkSession,
+                                    path: String): DataFrame =
+    spark.read.parquet(s"$path/docs")
+
   /** The filesystem OWNING `path` — never the default FS: an index on
     * s3a:// or hdfs:// with a file:// default would otherwise probe
     * tombstones and run swaps against the wrong filesystem (the
     * Compact.scala / FilePattern.scala pattern). */
   private def fsOf(spark: org.apache.spark.sql.SparkSession,
                    path: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StoreProtocol.fsOf(spark, path)
 
   private def tombstones(spark: org.apache.spark.sql.SparkSession,
                          path: String): Option[DataFrame] = {
@@ -371,24 +494,52 @@ object Search {
     if (fsOf(spark, path).exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
-  /** Preserve-then-replace directory swap: the live dir is renamed
-    * aside (never deleted first — a crash can then always be repaired
-    * from `<name>__old`), staging renamed in, the old copy dropped
-    * last. Rename failures throw instead of silently leaving a
-    * half-swapped store. */
-  private def swapDir(fs: org.apache.hadoop.fs.FileSystem, base: String,
-                      name: String): Unit = {
+  /** Tombstones the query path must apply: only those written under
+    * the CURRENT stats epoch. A compact that crashed after its stats
+    * swap (epoch bumped, survivors-only stats) but before clearing
+    * `deleted/` leaves stale-epoch tombstones — already folded into
+    * the stats, so applying them would double-subtract. The epoch
+    * filter makes that crash window read-correct instead of silently
+    * wrong. */
+  private def currentTombstones(spark: org.apache.spark.sql.SparkSession,
+                                path: String, epoch: Long): Option[DataFrame] =
+    tombstones(spark, path).map(_.filter(col("__epoch") === epoch))
+
+  /** Preserve-then-replace directory swap as named steps: the live
+    * dir is renamed aside (never deleted first — a crash can then
+    * always be repaired from `<name>__old`), staging renamed in, the
+    * old copy dropped last. Rename failures throw instead of silently
+    * leaving a half-swapped store. The aside step SELF-REPAIRS any
+    * leftover `__old` (live present → a completed prior swap's
+    * leftover, dropped; live missing → a crashed prior swap, restored
+    * first), so the invariant "swapping never destroys the only copy"
+    * is structural, not dependent on a prior [[repairSwaps]] call. */
+  private def swapSteps(fs: org.apache.hadoop.fs.FileSystem, base: String,
+                        name: String, staging: String = ""): Seq[(String, () => Unit)] = {
     val live = new org.apache.hadoop.fs.Path(s"$base/$name")
     val old = new org.apache.hadoop.fs.Path(s"$base/${name}__old")
-    val staging = new org.apache.hadoop.fs.Path(s"$base/${name}__staging")
-    if (fs.exists(old)) fs.delete(old, true) // leftover of a COMPLETED prior swap
-    if (fs.exists(live) && !fs.rename(live, old))
-      throw new java.io.IOException(s"swap: rename $live -> $old failed")
-    if (!fs.rename(staging, live)) {
-      if (fs.exists(old)) fs.rename(old, live) // best-effort restore
-      throw new java.io.IOException(s"swap: rename $staging -> $live failed")
-    }
-    if (fs.exists(old)) { fs.delete(old, true); () }
+    val stagingPath = new org.apache.hadoop.fs.Path(
+      if (staging.isEmpty) s"$base/${name}__staging" else staging)
+    Seq(
+      s"$name-aside" -> { () =>
+        if (fs.exists(old)) {
+          if (fs.exists(live)) { fs.delete(old, true); () }
+          else if (!fs.rename(old, live))
+            throw new java.io.IOException(s"swap: restore $old -> $live failed")
+        }
+        if (fs.exists(live) && !fs.rename(live, old))
+          throw new java.io.IOException(s"swap: rename $live -> $old failed")
+      },
+      s"$name-swap-in" -> { () =>
+        if (!fs.rename(stagingPath, live)) {
+          if (fs.exists(old)) fs.rename(old, live) // best-effort restore
+          throw new java.io.IOException(s"swap: rename $stagingPath -> $live failed")
+        }
+      },
+      s"$name-drop-old" -> { () =>
+        if (fs.exists(old)) { fs.delete(old, true); () }
+      },
+    )
   }
 
   /** Roll half-finished swaps back to a readable state: a live dir
@@ -409,45 +560,98 @@ object Search {
     }
 
   /** Fold tombstones into the postings physically — the merge half of
-    * the delete design: postings/positions rewritten minus the
-    * tombstoned docs, stats RECOMPUTED from the surviving postings
-    * (stats are a pure function of the postings — see
-    * [[buildPostingsIndex]] — so no ledger arithmetic can drift or
-    * double-apply), the tombstone set cleared last; queries afterwards
-    * read a clean index (postings shrink, spec proves results
-    * unchanged). STOP-THE-WORLD maintenance like an IVF re-cluster:
-    * run without concurrent queries. Crash recovery = re-run while
-    * `deleted/` still exists: entry first rolls back any half-swapped
-    * dir from its preserved `__old` copy, then every step recomputes
-    * from data — the anti-join of already-compacted postings is a
-    * row-identical no-op and the recomputed stats land on the same
-    * integers, so the re-run is idempotent at every crash point. */
+    * the delete design: postings/positions/docs rewritten minus the
+    * tombstoned docs, stats RECOMPUTED from the staged docs sidecar
+    * (a pure function of the data — see [[buildPostingsIndex]] — so
+    * no ledger arithmetic can drift or double-apply) with the EPOCH
+    * BUMPED, the tombstone set cleared last; queries afterwards read
+    * a clean index (postings shrink, spec proves results unchanged).
+    * STOP-THE-WORLD maintenance like an IVF re-cluster: run without
+    * concurrent queries. Crash recovery = re-run while `deleted/`
+    * still exists: entry first repairs half-applied appends and rolls
+    * back any half-swapped dir from its preserved `__old` copy, then
+    * every step recomputes from data — the anti-join of
+    * already-compacted postings is a row-identical no-op and the
+    * recomputed stats land on the same integers, so the re-run is
+    * idempotent at every crash point (property-pinned in SearchSpec:
+    * the run is killed at EVERY step boundary and the retry must
+    * converge; the epoch bump keeps even the pre-retry QUERY correct
+    * in the stats-swapped-but-not-cleared window). */
   def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val fs = fsOf(spark, path)
-    repairSwaps(fs, path, Seq("postings", "positions", "stats"))
-    tombstones(spark, path).foreach { dead =>
-      val nBuckets = spark.read.parquet(s"$path/stats").collect()(0).getAs[Int]("n_buckets")
-      val idColName = dead.columns.head
-      val deadIds = broadcast(dead.select(col(idColName)))
-      val survivors = spark.read.parquet(s"$path/postings")
-        .join(deadIds, Seq(idColName), "left_anti")
-      survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("__bucket").parquet(s"$path/postings__staging")
-      spark.read.parquet(s"$path/positions")
-        .join(deadIds, Seq(idColName), "left_anti")
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("__bucket").parquet(s"$path/positions__staging")
-      // recompute from the STAGED survivors, not old-stats arithmetic
-      statsFromDocLens(
-        spark.read.parquet(s"$path/postings__staging")
-          .select(col(idColName), col("doc_len")).distinct(), nBuckets)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/stats__staging")
-      swapDir(fs, path, "postings")
-      swapDir(fs, path, "positions")
-      swapDir(fs, path, "stats")
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/deleted"), true)
-      ()
-    }
+    repairAppends(spark, path)
+    repairSwaps(fs, path, Seq("postings", "positions", "docs", "stats"))
+    if (tombstones(spark, path).isDefined)
+      compactPostingsSteps(spark, path).foreach(_._2())
+  }
+
+  /** The compact protocol as named steps (the crash-property surface,
+    * like [[appendPostingsSteps]]). All four staging writes precede
+    * any swap; swaps run relation-by-relation with stats LAST (until
+    * the stats swap, the old stats + live tombstones still describe
+    * the survivors exactly); the epoch bump neutralizes the
+    * tombstones the moment the new stats land. */
+  private[graft] def compactPostingsSteps(spark: org.apache.spark.sql.SparkSession,
+                                          path: String): Seq[(String, () => Unit)] = {
+    val fs = fsOf(spark, path)
+    val st = statsRow(spark, path)
+    val nBuckets = st.getAs[Int]("n_buckets")
+    val epoch = st.getAs[Long]("epoch")
+    val dead = tombstones(spark, path).get
+    val idColName = dead.columns.head
+    val deadIds = broadcast(dead.select(col(idColName)))
+    Seq(
+      "stage-postings" -> (() =>
+        spark.read.parquet(s"$path/postings")
+          .join(deadIds, Seq(idColName), "left_anti")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("__bucket").parquet(s"$path/postings__staging")),
+      "stage-positions" -> (() =>
+        spark.read.parquet(s"$path/positions")
+          .join(deadIds, Seq(idColName), "left_anti")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("__bucket").parquet(s"$path/positions__staging")),
+      "stage-docs" -> (() =>
+        spark.read.parquet(s"$path/docs")
+          .join(deadIds, Seq(idColName), "left_anti")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$path/docs__staging")),
+      "stage-stats" -> (() =>
+        statsFromDocLens(spark.read.parquet(s"$path/docs__staging"), nBuckets, epoch + 1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$path/stats__staging")),
+    ) ++ swapSteps(fs, path, "postings") ++ swapSteps(fs, path, "positions") ++
+      swapSteps(fs, path, "docs") ++ swapSteps(fs, path, "stats") :+
+      ("clear-tombstones" -> (() => {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/deleted"), true); ()
+      }))
+  }
+
+  /** One-row health report for a postings store — the evidence that
+    * schedules [[compactPostingsIndex]] (unbounded tombstone growth
+    * degrades every query silently: each pays an O(tombstones)
+    * aggregate + anti-join). All O(n_docs) or file-listing work, never
+    * an O(postings) scan. Output: (live_docs, tombstoned_docs,
+    * tombstone_fraction, total_tokens, n_buckets, epoch, bytes,
+    * uncommitted_batches). */
+  def postingsStoreStats(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    val fs = fsOf(spark, path)
+    val st = statsRow(spark, path)
+    val epoch = st.getAs[Long]("epoch")
+    val nDel = currentTombstones(spark, path, epoch).fold(0L)(_.count())
+    val tokDel = currentTombstones(spark, path, epoch)
+      .fold(0L)(_.agg(coalesce(sum(col("doc_len")), lit(0L))).collect()(0).getLong(0))
+    val nDocs = st.getAs[Long]("n_docs")
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
+    val uncommitted = StoreProtocol.stagedBatches(fs, path)
+      .count(b => !StoreProtocol.isCommitted(fs, path, b))
+    spark.createDataFrame(Seq((nDocs - nDel, nDel,
+        if (nDocs == 0) 0.0 else math.rint(nDel.toDouble / nDocs * 1e6) / 1e6,
+        st.getAs[Long]("total_tokens") - tokDel, st.getAs[Int]("n_buckets"),
+        epoch, bytes, uncommitted.toLong)))
+      .toDF("live_docs", "tombstoned_docs", "tombstone_fraction",
+        "total_tokens", "n_buckets", "epoch", "bytes", "uncommitted_batches")
   }
 
   /** BM25 retrieval against a persisted postings index (see
@@ -465,13 +669,16 @@ object Search {
                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "at least one query term")
     require(terms.forall(t => t == t.toLowerCase), "query terms must be lowercase")
-    val st = spark.read.parquet(s"$path/stats").collect()(0)
+    val st = statsRow(spark, path)
     val nBuckets = st.getAs[Int]("n_buckets")
+    val epoch = st.getAs[Long]("epoch")
     // tombstone correction (see deleteFromPostingsIndex): drop dead
     // postings after pruning and subtract the dead docs' EXACT integer
     // (count, token) totals from the stats — the corrected N/avgdl/df
-    // equal a fresh build of the survivors bit-for-bit
-    val dead = tombstones(spark, path)
+    // equal a fresh build of the survivors bit-for-bit. Only
+    // CURRENT-epoch tombstones apply (stale ones are already folded
+    // into the stats by a compact whose clear step crashed).
+    val dead = currentTombstones(spark, path, epoch)
     val (nDel, tokDel) = dead.fold((0L, 0L)) { t =>
       val r = t.agg(count(lit(1)).cast("long").as("n"),
         coalesce(sum(col("doc_len")), lit(0L)).as("t")).collect()(0)
@@ -479,7 +686,7 @@ object Search {
     }
     val nDocs = st.getAs[Long]("n_docs") - nDel
     val totalTokens = st.getAs[Long]("total_tokens") - tokDel
-    val tf = prunedRelation(spark, path, "postings", idCol, terms, nBuckets)
+    val tf = prunedRelation(spark, path, "postings", idCol, terms, nBuckets, epoch)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // exact-integer stats -> the same doubles the from-scratch scorer
     // sees: N as a long literal, avgdl = exact-sum / count
@@ -505,17 +712,17 @@ object Search {
     * stored xxhash64 expression (a 1-row Spark job — no driver-side
     * hash reimplementation), applied as a static partition filter
     * (≤ |terms| of the nBuckets partitions listed), exact-term
-    * filtered, tombstoned docs anti-joined out. */
+    * filtered, CURRENT-epoch tombstoned docs anti-joined out. */
   private def prunedRelation(spark: org.apache.spark.sql.SparkSession, path: String,
                              relation: String, idCol: String,
-                             terms: Seq[String], nBuckets: Int): DataFrame = {
+                             terms: Seq[String], nBuckets: Int, epoch: Long): DataFrame = {
     val buckets = spark.createDataFrame(terms.map(Tuple1(_))).toDF("t")
       .select(pmod(xxhash64(col("t")), lit(nBuckets.toLong)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0))
     val rel = spark.read.parquet(s"$path/$relation")
       .filter(col("__bucket").isin(buckets.map(Int.box): _*))
       .filter(col("term").isin(terms: _*))
-    tombstones(spark, path).fold(rel)(t =>
+    currentTombstones(spark, path, epoch).fold(rel)(t =>
       rel.join(broadcast(t.select(col(idCol))), Seq(idCol), "left_anti"))
   }
 
@@ -525,8 +732,9 @@ object Search {
   private def indexedOccurrences(spark: org.apache.spark.sql.SparkSession,
                                  path: String, idCol: String,
                                  terms: Seq[String]): DataFrame = {
-    val nBuckets = spark.read.parquet(s"$path/stats").collect()(0).getAs[Int]("n_buckets")
-    prunedRelation(spark, path, "positions", idCol, terms, nBuckets)
+    val st = statsRow(spark, path)
+    prunedRelation(spark, path, "positions", idCol, terms,
+        st.getAs[Int]("n_buckets"), st.getAs[Long]("epoch"))
       .select(col(idCol), col("__pos"), col("term"))
   }
 

@@ -181,19 +181,68 @@ object Similarity {
     * the coarse quantizer is FROZEN (standard IVF maintenance — only
     * the inverted lists grow; re-clustering is a rebuild, not an
     * append), so the delta is assigned map-side against the stored
-    * centroids and written `Append` into the same cell partitions.
-    * Because assignment depends only on (vector, centroids), the
-    * appended index is bit-identical to a fresh build of old ∪ delta
-    * under the same centroids — query results cannot tell them apart
+    * centroids and lands in the same cell partitions. Because
+    * assignment depends only on (vector, centroids), the appended
+    * index is bit-identical to a fresh build of old ∪ delta under the
+    * same centroids — query results cannot tell them apart
     * (spec-pinned; gated as sim_ivf_append). Old vectors are never
-    * re-read or re-written: the append costs O(delta). */
+    * re-read or re-written: the append costs O(delta).
+    *
+    * CRASH-RETRY-SAFE via the [[StoreProtocol]] staged commit (the
+    * appendPostingsIndex shape): the delta stages under
+    * `_staging/<batchId>/`, files rename into the live cells with a
+    * `b<batchId>-` prefix, a `_commits/<batchId>` marker seals.
+    * Re-running a committed batch is a no-op (the streaming twin is
+    * exactly-once on the store); a retry after a crash first deletes
+    * the batch's half-moved prefixed files, then applies it once —
+    * a bare parquet `Append` would instead duplicate the vectors. */
   def appendIvfIndex(delta: DataFrame, path: String, centroidsFlat: Array[Double],
-                     vecCol: String, dim: Int): Unit = {
+                     vecCol: String, dim: Int, batchId: String): Unit = {
+    StoreProtocol.requireBatchId(batchId)
+    val spark = delta.sparkSession
+    val fs = StoreProtocol.fsOf(spark, path)
+    if (StoreProtocol.isCommitted(fs, path, batchId)) {
+      fs.delete(StoreProtocol.stagingDir(path, batchId), true) // replay no-op
+      return
+    }
+    repairIvfAppends(spark, path)
+    appendIvfSteps(delta, path, centroidsFlat, vecCol, dim, batchId).foreach(_._2())
+  }
+
+  /** The IVF append protocol as named steps — package-visible so the
+    * crash-property spec can kill the run at every step boundary. */
+  private[graft] def appendIvfSteps(delta: DataFrame, path: String,
+                                    centroidsFlat: Array[Double], vecCol: String,
+                                    dim: Int, batchId: String): Seq[(String, () => Unit)] = {
+    val fs = StoreProtocol.fsOf(delta.sparkSession, path)
     val c = centroidsFlat.length / dim
     val cell1 = VectorExpressions.nearestCentroids(col(vecCol), centroidsFlat, dim, c, 1)
-    delta.withColumn("__cell", element_at(cell1, 1))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("__cell").parquet(path)
+    val stage = StoreProtocol.stagingDir(path, batchId)
+    Seq(
+      "stage-delta" -> (() =>
+        delta.withColumn("__cell", element_at(cell1, 1))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("__cell").parquet(stage.toString)),
+      "move-cells" -> (() => StoreProtocol.moveStagedFiles(fs, stage,
+        new org.apache.hadoop.fs.Path(path), batchId)),
+      "mark-commit" -> (() => StoreProtocol.markCommitted(fs, path, batchId)),
+      "clean-staging" -> (() => { fs.delete(stage, true); () }),
+    )
+  }
+
+  /** Undo every half-applied (staged but uncommitted) IVF append —
+    * delete the batch's prefixed files from the live cells, drop the
+    * staging; committed batches' leftover staging is dropped. Runs at
+    * every maintenance entry (append/delete). No derived state to
+    * recompute: the index IS the data files. */
+  private[graft] def repairIvfAppends(spark: org.apache.spark.sql.SparkSession,
+                                      path: String): Unit = {
+    val fs = StoreProtocol.fsOf(spark, path)
+    StoreProtocol.stagedBatches(fs, path).foreach { batchId =>
+      if (!StoreProtocol.isCommitted(fs, path, batchId))
+        StoreProtocol.deleteBatchFiles(fs, new org.apache.hadoop.fs.Path(path), batchId)
+      fs.delete(StoreProtocol.stagingDir(path, batchId), true)
+    }
   }
 
   /** Delete vectors from a persisted IVF index without a rebuild —
@@ -218,58 +267,122 @@ object Similarity {
     * Idempotent at-least-once (the appendIvfIndex contract):
     * re-running the same delete finds no surviving target ids in pass
     * 2 (no touched cells, no-op), and a crash at ANY point is
-    * repaired by re-running the same delete — cell dirs are renamed
-    * aside (`_old__cell=N`, underscore-prefixed so partition
+    * repaired at the next delete's ENTRY (property-pinned: the spec
+    * kills the protocol at every step boundary) — cell dirs are
+    * renamed aside (`_old__cell=N`, underscore-prefixed so partition
     * discovery ignores it) before being replaced, never deleted
-    * first, and entry rolls half-swapped cells back from those
-    * preserved copies (a rolled-back cell still holds its delete ids,
-    * so the re-run re-touches it). Rename failures throw instead of
-    * silently losing a cell. delete ∘ append == rebuild of the
-    * surviving set under the same centroids — spec-pinned, and gated
-    * (sim_ivf_delete) against the sim_ivf_topk oracle over the
+    * first. Entry repair disambiguates a leftover `_old` by the
+    * staging dir the crashed run left behind (staging outlives every
+    * per-cell swap by construction): a survivor cell (staging holds
+    * its replacement) rolls BACK — the re-run re-touches it; an
+    * EMPTIED cell (no staged replacement — absence is the delete)
+    * rolls FORWARD, completing the drop, so a later UNRELATED delete
+    * can never resurrect the dead vectors. Rename failures throw
+    * instead of silently losing a cell. delete ∘ append == rebuild of
+    * the surviving set under the same centroids — spec-pinned, and
+    * gated (sim_ivf_delete) against the sim_ivf_topk oracle over the
     * filtered corpus. Returns the number of touched cells. */
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                          deleteIds: DataFrame, idCol: String): Int = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // roll back any half-swapped cell from a crashed prior run
+    val fs = StoreProtocol.fsOf(spark, path)
+    repairIvfAppends(spark, path)
+    repairIvfDelete(fs, path)
+    val (touched, steps) = deleteFromIvfSteps(spark, path, deleteIds, idCol)
+    steps.foreach(_._2())
+    touched.length
+  }
+
+  /** Roll half-finished per-cell swaps to a consistent state — see
+    * [[deleteFromIvfIndex]] for the staging-presence disambiguation.
+    * Clears any stale staging afterwards (a re-run stages afresh). */
+  private[graft] def repairIvfDelete(fs: org.apache.hadoop.fs.FileSystem,
+                                     path: String): Unit = {
     val base = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + "__delstage")
+    val stagingExists = fs.exists(staging)
     if (fs.exists(base)) fs.listStatus(base).foreach { s =>
       val n = s.getPath.getName
       if (n.startsWith("_old__cell=")) {
-        val live = new org.apache.hadoop.fs.Path(base, n.stripPrefix("_old"))
-        if (!fs.exists(live)) { fs.rename(s.getPath, live); () }
-        else { fs.delete(s.getPath, true); () }
+        val cell = n.stripPrefix("_old")
+        val live = new org.apache.hadoop.fs.Path(base, cell)
+        if (fs.exists(live)) { fs.delete(s.getPath, true); () } // completed swap leftover
+        else if (stagingExists && !fs.exists(new org.apache.hadoop.fs.Path(staging, cell))) {
+          // crashed mid-drop of an EMPTIED cell: complete the drop —
+          // restoring would resurrect the deleted vectors
+          fs.delete(s.getPath, true); ()
+        } else { fs.rename(s.getPath, live); () } // survivor cell: roll back, re-run re-touches
       }
     }
+    if (stagingExists) { fs.delete(staging, true); () }
+  }
+
+  /** The delete protocol as named steps (the crash-property surface):
+    * one staging write, then per touched cell aside → swap-in (absent
+    * for emptied cells) → drop-old, staging cleanup last — staging
+    * must outlive every swap, it is what entry repair disambiguates
+    * with. Returns (touched cells, steps). */
+  private[graft] def deleteFromIvfSteps(spark: org.apache.spark.sql.SparkSession,
+                                        path: String, deleteIds: DataFrame, idCol: String)
+      : (Array[Int], Seq[(String, () => Unit)]) = {
+    val fs = StoreProtocol.fsOf(spark, path)
     val idx = spark.read.parquet(path)
     val dels = broadcast(deleteIds.select(col(idCol)).distinct())
     val touched = idx.select(col(idCol), col("__cell"))
       .join(dels, Seq(idCol), "left_semi")
       .select(col("__cell")).distinct().collect().map(_.getInt(0))
-    if (touched.nonEmpty) {
-      val survivors = idx.filter(col("__cell").isin(touched.map(Int.box): _*))
+    if (touched.isEmpty) return (touched, Seq.empty)
+    val staging = path + "__delstage"
+    val stageStep = "stage-survivors" -> (() =>
+      idx.filter(col("__cell").isin(touched.map(Int.box): _*))
         .join(dels, Seq(idCol), "left_anti")
-      val staging = path + "__delstage"
-      survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("__cell").parquet(staging)
-      touched.foreach { c =>
-        val dst = new org.apache.hadoop.fs.Path(s"$path/__cell=$c")
-        val old = new org.apache.hadoop.fs.Path(s"$path/_old__cell=$c")
-        val src = new org.apache.hadoop.fs.Path(s"$staging/__cell=$c")
-        if (fs.exists(dst) && !fs.rename(dst, old))
-          throw new java.io.IOException(s"ivf delete: rename $dst -> $old failed")
-        if (fs.exists(src) && !fs.rename(src, dst)) {
-          fs.rename(old, dst) // best-effort restore
-          throw new java.io.IOException(s"ivf delete: rename $src -> $dst failed")
-        }
-        // no staging dir = cell emptied: dropping old IS the delete
-        if (fs.exists(old)) { fs.delete(old, true); () }
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-      ()
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("__cell").parquet(staging))
+    val cellSteps = touched.toSeq.flatMap { c =>
+      val dst = new org.apache.hadoop.fs.Path(s"$path/__cell=$c")
+      val old = new org.apache.hadoop.fs.Path(s"$path/_old__cell=$c")
+      val src = new org.apache.hadoop.fs.Path(s"$staging/__cell=$c")
+      Seq(
+        s"cell-$c-aside" -> (() => {
+          if (fs.exists(dst) && !fs.rename(dst, old))
+            throw new java.io.IOException(s"ivf delete: rename $dst -> $old failed")
+        }),
+        s"cell-$c-swap-in" -> (() => {
+          // no staging dir = cell emptied: dropping old IS the delete
+          if (fs.exists(src) && !fs.rename(src, dst)) {
+            fs.rename(old, dst) // best-effort restore
+            throw new java.io.IOException(s"ivf delete: rename $src -> $dst failed")
+          }
+        }),
+        s"cell-$c-drop-old" -> (() => { if (fs.exists(old)) { fs.delete(old, true) }; () }),
+      )
     }
-    touched.length
+    val cleanStep = "clean-staging" -> (() => {
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true); ()
+    })
+    (touched, (stageStep +: cellSteps) :+ cleanStep)
+  }
+
+  /** One-row health report for a persisted IVF index — the
+    * postingsStoreStats twin: row/file counts come from parquet
+    * metadata and directory listings, never a vector scan. Output:
+    * (n_vectors, n_cells, n_files, bytes, uncommitted_batches,
+    * pending_cell_swaps). */
+  def ivfStoreStats(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    val fs = StoreProtocol.fsOf(spark, path)
+    val base = new org.apache.hadoop.fs.Path(path)
+    val cellDirs = fs.listStatus(base).filter(_.getPath.getName.startsWith("__cell="))
+    val pendingOld = fs.listStatus(base).count(_.getPath.getName.startsWith("_old__cell="))
+    val nFiles = cellDirs.map(d => fs.listStatus(d.getPath)
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))).sum
+    val bytes = fs.getContentSummary(base).getLength
+    val uncommitted = StoreProtocol.stagedBatches(fs, path)
+      .count(b => !StoreProtocol.isCommitted(fs, path, b))
+    spark.createDataFrame(Seq((spark.read.parquet(path).count(),
+        cellDirs.length.toLong, nFiles.toLong, bytes, uncommitted.toLong,
+        pendingOld.toLong)))
+      .toDF("n_vectors", "n_cells", "n_files", "bytes",
+        "uncommitted_batches", "pending_cell_swaps")
   }
 
   /** Query a persisted IVF index (see [[buildIvfIndex]]). The probed

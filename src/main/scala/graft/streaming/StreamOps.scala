@@ -272,20 +272,22 @@ object StreamOps {
     * against the growing store unchanged. On clean replay the index
     * equals a one-shot build of everything streamed under the same
     * centroids (spec-pinned — assignment is a pure function of
-    * (vector, centroids)). Crash-retry of a batch whose files already
-    * committed re-appends them (at-least-once, the nearDupStream
-    * contract); recovery from a suspected double-append is a rebuild
-    * via buildIvfIndex. Re-clustering (new centroids) is a rebuild by
+    * (vector, centroids)). EXACTLY-ONCE on the store: Structured
+    * Streaming's stable batch ids feed the append's staged-commit
+    * protocol, so a crash-retry of a committed batch is a marker-
+    * checked no-op and a half-applied batch is repaired (its staged
+    * files removed) before the retry re-applies it — never a double
+    * append. Re-clustering (new centroids) is a rebuild by
     * definition, not a stream operation. */
   def ivfIndexStream(embeddings: DataFrame, indexPath: String,
                      centroidsFlat: Array[Double], vecCol: String, dim: Int,
                      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
     embeddings.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.Similarity.appendIvfIndex(batch.toDF(), indexPath,
-            centroidsFlat, vecCol, dim)
+            centroidsFlat, vecCol, dim, batchId = s"stream$batchId")
         ()
       }
 
@@ -299,19 +301,20 @@ object StreamOps {
     * serves queries against the growing store unchanged. On clean
     * replay the index equals a one-shot build of everything streamed
     * (spec-pinned — postings are a pure function of the doc, stats an
-    * exact integer sum). Batch ids must be previously unseen (the
-    * appendPostingsIndex contract); crash-retry of a committed batch
-    * re-appends (at-least-once, the ivfIndexStream contract) —
-    * recovery is a rebuild. */
+    * exact integer sum). Doc ids must be previously unseen (the
+    * appendPostingsIndex contract). EXACTLY-ONCE on the store (the
+    * ivfIndexStream contract): the stream's stable batch ids feed the
+    * staged-commit protocol — committed batches replay as no-ops,
+    * half-applied ones are repaired at the retry's entry. */
   def postingsIndexStream(docs: DataFrame, indexPath: String, idCol: String,
                           textCol: String, checkpoint: String)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.Search.appendPostingsIndex(batch.toDF(), indexPath,
-            idCol, textCol)
+            idCol, textCol, batchId = s"stream$batchId")
         ()
       }
 

@@ -171,7 +171,7 @@ class SearchSpec extends SparkSpec {
     val delta = corpus.filter(col("doc_id") % 2 === 1)
     val grown = java.nio.file.Files.createTempDirectory("graft_post2").toString + "/pidx"
     Search.buildPostingsIndex(oldHalf, grown, "doc_id", "text", nBuckets = 16)
-    Search.appendPostingsIndex(delta, grown, "doc_id", "text")
+    Search.appendPostingsIndex(delta, grown, "doc_id", "text", batchId = "grow1")
     val fromGrown = Search.queryPostingsIndex(spark, grown, "doc_id", terms, k = 10)
       .collect().map(_.toSeq).toSet
     assert(fromGrown == scratch)

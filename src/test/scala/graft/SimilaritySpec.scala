@@ -172,7 +172,7 @@ class SimilaritySpec extends SparkSpec {
     val centroids = Similarity.buildIvfIndex(old, appendedPath, "vec_id", "embedding",
       dim = 64, nCentroids = 16)
     val oldRows = spark.read.parquet(appendedPath).count()
-    Similarity.appendIvfIndex(delta, appendedPath, centroids, "embedding", dim = 64)
+    Similarity.appendIvfIndex(delta, appendedPath, centroids, "embedding", dim = 64, batchId = "b1")
 
     // O(delta) growth: the append added exactly the delta's rows
     val appended = spark.read.parquet(appendedPath)
@@ -206,7 +206,7 @@ class SimilaritySpec extends SparkSpec {
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
     val touched = Similarity.deleteFromIvfIndex(spark, path, dels, "vec_id")
     assert(touched > 0)
-    Similarity.appendIvfIndex(delta, path, centroids, "embedding", dim = 64)
+    Similarity.appendIvfIndex(delta, path, centroids, "embedding", dim = 64, batchId = "b1")
 
     // delete ∘ append == fresh build of (survivors ∪ delta) under the
     // same frozen centroids: identical (vec_id, cell) relation
