@@ -269,9 +269,11 @@ object Similarity {
     * 2 (no touched cells, no-op), and a crash at ANY point is
     * repaired at the next delete's ENTRY (property-pinned: the spec
     * kills the protocol at every step boundary) — cell dirs are
-    * renamed aside (`_old__cell=N`, underscore-prefixed so partition
-    * discovery ignores it) before being replaced, never deleted
-    * first. Entry repair disambiguates a leftover `_old` by the
+    * renamed aside (`_old__cell=N`) before being replaced, never
+    * deleted first. While an `_old` lingers, a root read fails LOUDLY
+    * on the conflicting partition name (never silently resurrects);
+    * [[ivfStoreStats]] stays readable and surfaces it as
+    * pending_cell_swaps. Entry repair disambiguates a leftover by the
     * staging dir the crashed run left behind (staging outlives every
     * per-cell swap by construction): a survivor cell (staging holds
     * its replacement) rolls BACK — the re-run re-touches it; an
@@ -378,7 +380,15 @@ object Similarity {
     val bytes = fs.getContentSummary(base).getLength
     val uncommitted = StoreProtocol.stagedBatches(fs, path)
       .count(b => !StoreProtocol.isCommitted(fs, path, b))
-    spark.createDataFrame(Seq((spark.read.parquet(path).count(),
+    // count from the LIVE cell dirs explicitly (basePath keeps the
+    // partition column): a root read would trip over a pending
+    // _old__cell dir's conflicting partition name — the health report
+    // must stay readable in exactly the state it exists to surface
+    val nVectors =
+      if (cellDirs.isEmpty) 0L
+      else spark.read.option("basePath", path)
+        .parquet(cellDirs.map(_.getPath.toString).toSeq: _*).count()
+    spark.createDataFrame(Seq((nVectors,
         cellDirs.length.toLong, nFiles.toLong, bytes, uncommitted.toLong,
         pendingOld.toLong)))
       .toDF("n_vectors", "n_cells", "n_files", "bytes",

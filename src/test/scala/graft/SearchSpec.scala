@@ -290,6 +290,143 @@ class SearchSpec extends SparkSpec {
     assert(q == want)
   }
 
+  // --- store crash properties: kill the protocol at EVERY step -------
+
+  private def tinyCorpus = Seq(
+    (1L, "spark join window scan"),
+    (2L, "spark spark filter"),
+    (3L, "join window join"),
+    (4L, "merge sort scan"),
+    (5L, "spark window window"),
+    (6L, "filter join spark"),
+    (7L, "sort spark join"),
+    (8L, "window merge filter"),
+  ).toDF("doc_id", "text")
+
+  private def copyStore(src: String, dst: String): Unit =
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(src), new java.io.File(dst))
+
+  private def qSet(p: String, terms: Seq[String]) =
+    Search.queryPostingsIndex(spark, p, "doc_id", terms, k = 10)
+      .collect().map(_.toSeq).toSet
+
+  private def postingsSet(p: String) =
+    spark.read.parquet(s"$p/postings")
+      .select("term", "doc_id", "doc_len", "tf").collect().map(_.toSeq).toSet
+
+  test("append crash property: the retry converges at every step boundary; committed replay is a no-op") {
+    val terms = Seq("spark", "join")
+    val base = tinyCorpus.filter(col("doc_id") % 2 === 0)
+    val delta = tinyCorpus.filter(col("doc_id") % 2 === 1)
+    val root = java.nio.file.Files.createTempDirectory("graft_appcrash").toString
+    val basePath = s"$root/base"
+    Search.buildPostingsIndex(base, basePath, "doc_id", "text", nBuckets = 4)
+    val fullPath = s"$root/full"
+    Search.buildPostingsIndex(tinyCorpus, fullPath, "doc_id", "text", nBuckets = 4)
+    val want = qSet(fullPath, terms)
+    val wantPostings = postingsSet(fullPath)
+    val wantStats = spark.read.parquet(s"$fullPath/stats")
+      .select("n_docs", "total_tokens").collect()(0)
+
+    // step count probed on a scratch copy (construction reads stats)
+    val probe = s"$root/probe"; copyStore(basePath, probe)
+    val nSteps = Search.appendPostingsSteps(delta, probe, "doc_id", "text", "b1").length
+
+    (0 to nSteps).foreach { k =>
+      val p = s"$root/k$k"; copyStore(basePath, p)
+      // crash after the first k protocol steps...
+      Search.appendPostingsSteps(delta, p, "doc_id", "text", "b1").take(k).foreach(_._2())
+      // ...then the at-least-once retry of the SAME batch
+      Search.appendPostingsIndex(delta, p, "doc_id", "text", batchId = "b1")
+      assert(qSet(p, terms) == want, s"crash at step $k: query diverged")
+      assert(postingsSet(p) == wantPostings, s"crash at step $k: postings diverged (duplicates?)")
+      val st = spark.read.parquet(s"$p/stats").collect()(0)
+      assert(st.getAs[Long]("n_docs") == wantStats.getAs[Long]("n_docs") &&
+        st.getAs[Long]("total_tokens") == wantStats.getAs[Long]("total_tokens"),
+        s"crash at step $k: stats diverged")
+      assert(spark.read.parquet(s"$p/docs").count() == st.getAs[Long]("n_docs"))
+      assert(!new java.io.File(s"$p/_staging/b1").exists(), s"crash at step $k: staging leaked")
+      assert(new java.io.File(s"$p/_commits/b1").exists(), s"crash at step $k: no commit marker")
+      // committed replay (exactly-once): nothing changes
+      Search.appendPostingsIndex(delta, p, "doc_id", "text", batchId = "b1")
+      assert(postingsSet(p) == wantPostings, s"replay after crash at step $k duplicated rows")
+    }
+  }
+
+  test("compact crash property: recovery at every step boundary, and the interim store stays READ-correct") {
+    val terms = Seq("spark", "join")
+    val root = java.nio.file.Files.createTempDirectory("graft_cmpcrash").toString
+    val basePath = s"$root/base"
+    Search.buildPostingsIndex(tinyCorpus, basePath, "doc_id", "text", nBuckets = 4)
+    Search.deleteFromPostingsIndex(spark, basePath,
+      tinyCorpus.filter(col("doc_id") % 3 === 0).select(col("doc_id")), "doc_id")
+    val survPath = s"$root/surv"
+    Search.buildPostingsIndex(tinyCorpus.filter(col("doc_id") % 3 =!= 0), survPath,
+      "doc_id", "text", nBuckets = 4)
+    val want = qSet(survPath, terms)
+    val wantStats = spark.read.parquet(s"$survPath/stats")
+      .select("n_docs", "total_tokens").collect()(0)
+
+    val probe = s"$root/probe"; copyStore(basePath, probe)
+    val nSteps = Search.compactPostingsSteps(spark, probe).length
+
+    (0 to nSteps).foreach { k =>
+      val p = s"$root/k$k"; copyStore(basePath, p)
+      Search.compactPostingsSteps(spark, p).take(k).foreach(_._2())
+      // a query that SUCCEEDS at the crash point must already be
+      // correct — in particular the stats-swapped-but-tombstones-not-
+      // cleared window, where the epoch filter keeps stale tombstones
+      // from double-subtracting N/avgdl (the silent-wrong-BM25 class)
+      val interim = try Some(qSet(p, terms)) catch { case _: Throwable => None }
+      interim.foreach(got => assert(got == want, s"interim query at step $k is WRONG"))
+      Search.compactPostingsIndex(spark, p)
+      assert(qSet(p, terms) == want, s"crash at step $k: recovery diverged")
+      val st = spark.read.parquet(s"$p/stats").collect()(0)
+      assert(st.getAs[Long]("n_docs") == wantStats.getAs[Long]("n_docs") &&
+        st.getAs[Long]("total_tokens") == wantStats.getAs[Long]("total_tokens"),
+        s"crash at step $k: stats diverged")
+      assert(!new java.io.File(s"$p/deleted").exists(), s"crash at step $k: tombstones not cleared")
+      Seq("postings", "positions", "docs", "stats").foreach { rel =>
+        assert(!new java.io.File(s"$p/${rel}__old").exists() &&
+          !new java.io.File(s"$p/${rel}__staging").exists(),
+          s"crash at step $k: $rel swap debris leaked")
+      }
+    }
+  }
+
+  test("delete victim discovery scans the docs sidecar, never the postings relation") {
+    val path = java.nio.file.Files.createTempDirectory("graft_sidecar").toString + "/idx"
+    Search.buildPostingsIndex(tinyCorpus, path, "doc_id", "text", nBuckets = 4)
+    val rel = Search.victimRelation(spark, path)
+    val scans = rel.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty &&
+      scans.forall(_.metadata.get("Location").exists(_.contains("/docs"))),
+      "victim relation must read the (id, doc_len) sidecar")
+    assert(rel.columns.toSet == Set("doc_id", "doc_len"))
+  }
+
+  test("postingsStoreStats: tombstone pressure surfaces, compaction resets it and bumps the epoch") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pstats").toString + "/idx"
+    Search.buildPostingsIndex(tinyCorpus, path, "doc_id", "text", nBuckets = 4)
+    def stats() = Search.postingsStoreStats(spark, path).collect()(0)
+    val s0 = stats()
+    assert(s0.getAs[Long]("live_docs") == 8L && s0.getAs[Long]("tombstoned_docs") == 0L)
+    assert(s0.getAs[Long]("epoch") == 0L && s0.getAs[Long]("uncommitted_batches") == 0L)
+    assert(s0.getAs[Long]("bytes") > 0L)
+    Search.deleteFromPostingsIndex(spark, path,
+      tinyCorpus.filter(col("doc_id") <= 2).select(col("doc_id")), "doc_id")
+    val s1 = stats()
+    assert(s1.getAs[Long]("live_docs") == 6L && s1.getAs[Long]("tombstoned_docs") == 2L)
+    assert(s1.getAs[Double]("tombstone_fraction") == 0.25)
+    Search.compactPostingsIndex(spark, path)
+    val s2 = stats()
+    assert(s2.getAs[Long]("live_docs") == 6L && s2.getAs[Long]("tombstoned_docs") == 0L)
+    assert(s2.getAs[Double]("tombstone_fraction") == 0.0 && s2.getAs[Long]("epoch") == 1L)
+  }
+
   test("rankedTopK: BM25 pivot × slop boost, no-window docs keep plain BM25") {
     val ts = Seq("spark", "join", "window")
     val pd = Seq(

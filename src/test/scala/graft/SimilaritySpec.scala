@@ -233,7 +233,8 @@ class SimilaritySpec extends SparkSpec {
 
     // crash recovery: a half-swapped cell (live dir renamed aside but
     // replacement never landed) is rolled back at the next delete's
-    // entry — partition discovery ignores the _old prefix meanwhile
+    // entry — a root read meanwhile fails loudly on the conflicting
+    // partition name (never silently resurrects)
     val anyCell = spark.read.parquet(path).select("__cell").distinct()
       .orderBy(col("__cell").asc).first().getInt(0)
     val cellDir = new java.io.File(path.stripSuffix("/idx") + s"/idx/__cell=$anyCell")
@@ -255,6 +256,120 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.deleteFromIvfIndex(spark, path, cellIds, "vec_id") == 1)
     assert(!new java.io.File(path.stripSuffix("/idx") + s"/idx/__cell=$someCell").exists())
     assert(spark.read.parquet(path).filter(col("__cell") === someCell).count() == 0)
+  }
+
+  // --- store crash properties: kill the protocol at EVERY step -------
+
+  /** 40 vectors in 4 tight dim-8 clusters — every maintenance step is
+    * sub-second and cell membership is deterministic. */
+  private def tinyVectors = {
+    val rnd = new scala.util.Random(11)
+    val anchors = Array.fill(4)(Array.fill(8)(rnd.nextGaussian()))
+    (0 until 40).map { i =>
+      val a = anchors(i % 4)
+      (i.toLong, a.map(v => (v + rnd.nextGaussian() * 0.02).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def copyStore(src: String, dst: String): Unit =
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(src), new java.io.File(dst))
+
+  private def cellRel(p: String) = spark.read.parquet(p)
+    .select("vec_id", "__cell").collect().map(_.toSeq).toSet
+
+  test("IVF append crash property: the retry converges at every step boundary; committed replay is a no-op") {
+    val emb = tinyVectors
+    val old = emb.filter(col("vec_id") % 4 < 3)
+    val delta = emb.filter(col("vec_id") % 4 === 3)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfappcrash").toString
+    val basePath = s"$root/base"
+    val centroids = Similarity.buildIvfIndex(old, basePath, "vec_id", "embedding",
+      dim = 8, nCentroids = 4)
+    val fullPath = s"$root/full"
+    val cell1 = graft.functions.VectorExpressions
+      .nearestCentroids(col("embedding"), centroids, 8, centroids.length / 8, 1)
+    emb.withColumn("__cell", element_at(cell1, 1))
+      .write.partitionBy("__cell").parquet(fullPath)
+    val want = cellRel(fullPath)
+
+    val nSteps = Similarity.appendIvfSteps(delta, s"$root/probe", centroids,
+      "embedding", 8, "b1").length
+    (0 to nSteps).foreach { k =>
+      val p = s"$root/k$k"; copyStore(basePath, p)
+      Similarity.appendIvfSteps(delta, p, centroids, "embedding", 8, "b1")
+        .take(k).foreach(_._2())
+      Similarity.appendIvfIndex(delta, p, centroids, "embedding", dim = 8, batchId = "b1")
+      assert(cellRel(p) == want, s"crash at step $k: index diverged")
+      assert(spark.read.parquet(p).count() == 40L, s"crash at step $k: duplicated vectors")
+      assert(!new java.io.File(s"$p/_staging/b1").exists(), s"crash at step $k: staging leaked")
+      // committed replay: exactly-once no-op
+      Similarity.appendIvfIndex(delta, p, centroids, "embedding", dim = 8, batchId = "b1")
+      assert(spark.read.parquet(p).count() == 40L, s"replay after crash at step $k duplicated")
+    }
+  }
+
+  test("IVF delete crash property: recovery at every boundary; an emptied cell rolls FORWARD, never resurrects") {
+    val emb = tinyVectors
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfdelcrash").toString
+    val basePath = s"$root/base"
+    val centroids = Similarity.buildIvfIndex(emb, basePath, "vec_id", "embedding",
+      dim = 8, nCentroids = 4)
+    // delete set: ALL of one cell (it empties) plus part of another
+    val base = spark.read.parquet(basePath)
+    val emptiedCell = base.groupBy("__cell").count()
+      .orderBy(col("count").asc, col("__cell").asc).first().getInt(0)
+    val otherCell = base.filter(col("__cell") =!= emptiedCell)
+      .select("__cell").orderBy(col("__cell").asc).first().getInt(0)
+    val dels = base.filter(col("__cell") === emptiedCell
+        || (col("__cell") === otherCell && col("vec_id") % 2 === 0))
+      .select(col("vec_id")).localCheckpoint(true)
+    val survivors = base.join(dels, Seq("vec_id"), "left_anti")
+      .select("vec_id", "__cell").collect().map(_.toSeq).toSet
+    val noneDel = spark.range(0).select(col("id").as("vec_id"))
+
+    val probe = s"$root/probe"; copyStore(basePath, probe)
+    val (touchedProbe, stepsProbe) = Similarity.deleteFromIvfSteps(spark, probe, dels, "vec_id")
+    assert(touchedProbe.length == 2)
+    val stepNames = stepsProbe.map(_._1)
+
+    (0 to stepNames.length).foreach { k =>
+      val p = s"$root/k$k"; copyStore(basePath, p)
+      Similarity.deleteFromIvfSteps(spark, p, dels, "vec_id")._2.take(k).foreach(_._2())
+      // the dangerous path: a LATER delete with an UNRELATED (here
+      // empty) set — its entry repair must complete half-finished
+      // swaps, not roll an emptied cell back to life
+      Similarity.deleteFromIvfIndex(spark, p, noneDel, "vec_id")
+      // then the at-least-once retry of the original delete converges
+      Similarity.deleteFromIvfIndex(spark, p, dels, "vec_id")
+      assert(cellRel(p) == survivors, s"crash at step $k (${stepNames.take(k).lastOption}): diverged")
+      assert(!new java.io.File(p + "__delstage").exists(), s"crash at step $k: staging leaked")
+      assert(!new java.io.File(s"$p/_old__cell=$emptiedCell").exists() &&
+        !new java.io.File(s"$p/__cell=$emptiedCell").exists(),
+        s"crash at step $k: emptied cell resurrected or left aside")
+    }
+  }
+
+  test("ivfStoreStats: vector/cell/file counts and pending-maintenance signals") {
+    val emb = tinyVectors
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfstats").toString + "/idx"
+    Similarity.buildIvfIndex(emb, path, "vec_id", "embedding", dim = 8, nCentroids = 4)
+    val s0 = Similarity.ivfStoreStats(spark, path).collect()(0)
+    assert(s0.getAs[Long]("n_vectors") == 40L)
+    assert(s0.getAs[Long]("n_cells") >= 1L && s0.getAs[Long]("n_files") >= s0.getAs[Long]("n_cells"))
+    assert(s0.getAs[Long]("bytes") > 0L)
+    assert(s0.getAs[Long]("uncommitted_batches") == 0L && s0.getAs[Long]("pending_cell_swaps") == 0L)
+    // a half-swapped cell surfaces as pending maintenance
+    val anyCell = spark.read.parquet(path).select("__cell").distinct()
+      .orderBy(col("__cell").asc).first().getInt(0)
+    new java.io.File(s"$path/__cell=$anyCell")
+      .renameTo(new java.io.File(s"$path/_old__cell=$anyCell"))
+    val s1 = Similarity.ivfStoreStats(spark, path).collect()(0)
+    assert(s1.getAs[Long]("pending_cell_swaps") == 1L)
+    Similarity.deleteFromIvfIndex(spark, path,
+      spark.range(0).select(col("id").as("vec_id")), "vec_id") // entry repair restores
+    assert(Similarity.ivfStoreStats(spark, path).collect()(0)
+      .getAs[Long]("pending_cell_swaps") == 0L)
   }
 
   test("lshTopK returns the exact match in its candidates") {
