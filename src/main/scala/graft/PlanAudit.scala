@@ -86,7 +86,17 @@ object PlanAudit {
         "sim_ivfpq_recall",
         // text_search_ranked composes the bm25 scorer, so it carries
         // the same 1-row (N, avgdl) corpus-stats scalar broadcast
+        // (covers _indexed by prefix — that path has no scalar at all)
         "text_search_ranked",
+        // hybrid: the bm25 scalar + the 1-row query-embedding
+        // broadcast feeding the exact-cosine side (the
+        // sim_bruteforce_topk pattern, single query)
+        "text_search_hybrid",
+        // broadcast benchmark slice cross-joined against the corpus —
+        // brute by contract (eval suites are small by construction;
+        // the LSH-bucketed path is the documented large-benchmark
+        // fallback) — the sim_bruteforce_topk/sim_recall_eval class
+        "contamination_embedding",
         "graph_pagerank", "graph_ppr", "sample_importance",
         // 1-row corpus-count scalar crossJoin(broadcast(...)) for the
         // integer idf — the q15/sample_importance pattern

@@ -973,6 +973,21 @@ object SparkEntry {
         "doc_id", "text", k = 3, hashGrams = false)
     }),
 
+    "contamination_embedding" -> ((s, dir) => {
+      // the SEMANTIC contamination screen (contamination_ngram's
+      // twin): corpus docs whose embedding lies within cosine ≥ 0.35
+      // of any held-out benchmark row (vec_id % 100) — catches the
+      // paraphrased/translated leakage n-grams miss. Benchmark
+      // broadcast (eval suites are small by construction), corpus
+      // streamed once; round-6 cosines, exact counts. Threshold
+      // safety: min flagged cosine 0.3502 at every SF — 1.8e-4 above
+      // the cut, ≥5 orders over cross-engine ulp noise.
+      val emb = t(s, dir, "embeddings")
+      Pipeline.contaminationEmbedding(
+        emb.filter(col("vec_id") % 100 =!= 0), emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", threshold = 0.35)
+    }),
+
     "sample_split_hash" -> ((s, dir) =>
       // deterministic md5-bucket train/val/test split (80/10/10) —
       // stable across reruns, row order, partitioning, and engines
@@ -1825,6 +1840,36 @@ object SparkEntry {
       // cross-engine noise.
       Search.rankedTopK(t(s, dir, "documents"), "doc_id", "text",
         terms = searchTerms, k = 10)),
+
+    "text_search_ranked_indexed" -> ((s, dir) =>
+      // rankedTopK served from the persisted store: per-term scores
+      // from the pruned postings (identical doubles — the
+      // text_search_indexed argument), proximity boost from the
+      // stored occurrences, fusion core SHARED with the scratch
+      // operator so the paths cannot drift — completing the
+      // index-served retrieval surface (tf/BM25/phrase/proximity/
+      // ranked all answer without touching corpus text). Shares the
+      // text_search_ranked oracle; reads the session master.
+      Search.rankedTopKIndexed(s, masterPostingsIndex(s, dir), "doc_id",
+        searchTerms, k = 10)),
+
+    "text_search_hybrid" -> ((s, dir) => {
+      // HYBRID retrieval — RRF fusion (1/(60+text_rank) +
+      // 1/(60+vec_rank)) of the gated text ranking (rankedTopK) and
+      // the gated vector ranking (exact cosine vs vec_id 0's
+      // embedding) over the docs-that-have-embeddings corpus. Scores
+      // stay UNROUNDED: ranks are exact integers, IEEE division of
+      // integers is correctly rounded (bit-identical cross-engine),
+      // and the two-term sum is a fixed expression tree — no
+      // transcendental, no order-dependent float sum; ties break to
+      // the smaller id on both engines.
+      val emb = t(s, dir, "embeddings")
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+      Search.hybridTopK(corpus, "doc_id", "text", "embedding", qv,
+        terms = searchTerms, k = 10)
+    }),
 
     "text_search_indexed" -> ((s, dir) => {
       // persisted-postings path: tokenize once into term-hash-bucket
@@ -3325,6 +3370,18 @@ object SparkEntry {
           WHERE e.doc_id % 50 <> 0
           GROUP BY e.doc_id, e.n_grams""",
 
+    // contaminationEmbedding twin: brute cosine of every corpus row
+    // against the broadcast-small benchmark slice, round-6 scores
+    // (the dedup_embedding recipe), exact integer match counts
+    "contamination_embedding" ->
+      s"""WITH bench AS (SELECT embedding AS bv FROM embeddings WHERE vec_id % 100 = 0),
+          corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 <> 0),
+          j AS (SELECT c.vec_id, round(${cosSql("c.embedding", "b.bv")}, 6) AS cs
+                FROM corp c CROSS JOIN bench b),
+          f AS (SELECT vec_id, cs FROM j WHERE NOT isnan(cs) AND cs >= 0.35)
+          SELECT vec_id, CAST(count(*) AS BIGINT) AS n_matches, max(cs) AS max_cosine
+          FROM f GROUP BY vec_id""",
+
     "sample_split_hash" ->
       """SELECT doc_id, bucket,
                 CASE WHEN bucket < 80 THEN 'train'
@@ -4443,46 +4500,39 @@ object SparkEntry {
     // as the Spark fold, never an order-dependent SUM), boosted by the
     // text_search_proximity minimal window via LEFT JOIN (no window →
     // factor 1), ranked globally (score DESC, doc_id ASC)
-    "text_search_ranked" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
-          dl AS (SELECT doc_id, CAST(len(string_split($normSql, ' ')) AS BIGINT) AS doc_len FROM documents),
-          tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
-                 WHERE term IN ($searchTermsSqlIn) GROUP BY 1, 2),
-          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-          corpus AS (SELECT count(*) AS n,
-                            avg(CAST(len(string_split($normSql, ' ')) AS DOUBLE)) AS avgdl
-                     FROM documents),
-          scored AS (SELECT tf.term, tf.doc_id,
-                       ln((c.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE) + 1.0::DOUBLE)
-                         * (tf.tf * (1.2::DOUBLE + 1))
-                         / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl.doc_len / c.avgdl)) AS score
-                     FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c),
-          piv AS (SELECT doc_id,
-                    coalesce(max(CASE WHEN term = 'spark' THEN score END), 0.0::DOUBLE)
-                  + coalesce(max(CASE WHEN term = 'join' THEN score END), 0.0::DOUBLE)
-                  + coalesce(max(CASE WHEN term = 'window' THEN score END), 0.0::DOUBLE) AS bm25
-                  FROM scored GROUP BY doc_id),
-          occ AS (SELECT doc_id, u.pos, u.term
-                  FROM (SELECT doc_id, string_split($normSql, ' ') AS ts FROM documents),
-                       unnest([struct_pack(pos := i - 1, term := ts[i])
-                               FOR i IN range(1, len(ts) + 1)]) t(u)
-                  WHERE u.term IN ($searchTermsSqlIn)),
-          r AS (SELECT doc_id, pos,
-                  max(CASE WHEN term = 'spark' THEN pos END) OVER w AS l0,
-                  max(CASE WHEN term = 'join' THEN pos END) OVER w AS l1,
-                  max(CASE WHEN term = 'window' THEN pos END) OVER w AS l2
-                FROM occ
-                WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)),
-          prox AS (SELECT doc_id, CAST(min(pos - least(l0, l1, l2) + 1) AS BIGINT) AS wl
-                   FROM r WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL
-                   GROUP BY doc_id),
-          fin AS (SELECT piv.doc_id,
-                    piv.bm25 * (1.0::DOUBLE + coalesce(1.0::DOUBLE / prox.wl, 0.0::DOUBLE)) AS score
-                  FROM piv LEFT JOIN prox USING (doc_id)),
-          rk AS (SELECT doc_id, score,
-                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM fin)
-          SELECT doc_id, round(score, 6) AS score, CAST(rnk AS INT) AS rank
-          FROM rk WHERE rnk <= 10""",
+    "text_search_ranked" -> rankedSql,
+
+    // the index-served path prunes WHICH FILES feed the identical
+    // doubles (the text_search_indexed argument, extended to the
+    // ranked composition by the shared fusion core) — same oracle
+    "text_search_ranked_indexed" -> rankedSql,
+
+    // hybridTopK twin: the rankedSql chain's `fin` scores give the
+    // text ranks, a CROSS JOIN with vec_id 0's embedding the vector
+    // ranks, both top-20 by (score DESC, id ASC); RRF = the same
+    // fixed two-term tree of exact-integer divisions the Spark side
+    // builds (UNROUNDED — IEEE division is correctly rounded, so the
+    // doubles are bit-identical), ranked (score DESC, doc_id ASC)
+    "text_search_hybrid" ->
+      s"""WITH hsrc AS (SELECT d.doc_id, d.text, e.embedding
+                        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+          ${rankedFinCtes("hsrc")},
+          trk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS trnk
+                  FROM fin),
+          ttop AS (SELECT doc_id, trnk FROM trk WHERE trnk <= 20),
+          vq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          vsc AS (SELECT h.doc_id, round(${cosSql("h.embedding", "vq.qv")}, 6) AS vs
+                  FROM hsrc h CROSS JOIN vq),
+          vrk AS (SELECT doc_id, row_number() OVER (ORDER BY vs DESC, doc_id ASC) AS vrnk
+                  FROM vsc WHERE NOT isnan(vs)),
+          vtop AS (SELECT doc_id, vrnk FROM vrk WHERE vrnk <= 20),
+          fused AS (SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+                      coalesce(1.0::DOUBLE / (60 + t.trnk), 0.0::DOUBLE)
+                    + coalesce(1.0::DOUBLE / (60 + v.vrnk), 0.0::DOUBLE) AS score
+                    FROM ttop t FULL OUTER JOIN vtop v ON t.doc_id = v.doc_id),
+          frk AS (SELECT doc_id, score,
+                    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM fused)
+          SELECT doc_id, score, CAST(rnk AS INT) AS rank FROM frk WHERE rnk <= 10""",
 
     "text_keyphrase" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
@@ -5069,6 +5119,56 @@ object SparkEntry {
         FROM rk WHERE rnk <= 10"""
 
   private lazy val bm25Sql: String = bm25SqlFrom("documents")
+
+  /** CTE chain replaying [[graft.operators.Search.rankedTopK]] over
+    * `src` (must expose doc_id, text) — exposes `fin(doc_id, score)`,
+    * the UNROUNDED per-doc BM25-pivot × slop-boost relation. Shared
+    * by text_search_ranked(_indexed) (final round-6 top-10) and
+    * text_search_hybrid (rank-only consumption, src = the
+    * docs-with-embeddings join). */
+  private def rankedFinCtes(src: String): String =
+    s"""tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM $src),
+        dl AS (SELECT doc_id, CAST(len(string_split($normSql, ' ')) AS BIGINT) AS doc_len FROM $src),
+        tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+               WHERE term IN ($searchTermsSqlIn) GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        corpus AS (SELECT count(*) AS n,
+                          avg(CAST(len(string_split($normSql, ' ')) AS DOUBLE)) AS avgdl
+                   FROM $src),
+        scored AS (SELECT tf.term, tf.doc_id,
+                     ln((c.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+                       * (tf.tf * (1.2::DOUBLE + 1))
+                       / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl.doc_len / c.avgdl)) AS score
+                   FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c),
+        piv AS (SELECT doc_id,
+                  coalesce(max(CASE WHEN term = 'spark' THEN score END), 0.0::DOUBLE)
+                + coalesce(max(CASE WHEN term = 'join' THEN score END), 0.0::DOUBLE)
+                + coalesce(max(CASE WHEN term = 'window' THEN score END), 0.0::DOUBLE) AS bm25
+                FROM scored GROUP BY doc_id),
+        occ AS (SELECT doc_id, u.pos, u.term
+                FROM (SELECT doc_id, string_split($normSql, ' ') AS ts FROM $src),
+                     unnest([struct_pack(pos := i - 1, term := ts[i])
+                             FOR i IN range(1, len(ts) + 1)]) t(u)
+                WHERE u.term IN ($searchTermsSqlIn)),
+        r AS (SELECT doc_id, pos,
+                max(CASE WHEN term = 'spark' THEN pos END) OVER w AS l0,
+                max(CASE WHEN term = 'join' THEN pos END) OVER w AS l1,
+                max(CASE WHEN term = 'window' THEN pos END) OVER w AS l2
+              FROM occ
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)),
+        prox AS (SELECT doc_id, CAST(min(pos - least(l0, l1, l2) + 1) AS BIGINT) AS wl
+                 FROM r WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL
+                 GROUP BY doc_id),
+        fin AS (SELECT piv.doc_id,
+                  piv.bm25 * (1.0::DOUBLE + coalesce(1.0::DOUBLE / prox.wl, 0.0::DOUBLE)) AS score
+                FROM piv LEFT JOIN prox USING (doc_id))"""
+
+  private lazy val rankedSql: String =
+    s"""WITH ${rankedFinCtes("documents")},
+        rk AS (SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM fin)
+        SELECT doc_id, round(score, 6) AS score, CAST(rnk AS INT) AS rank
+        FROM rk WHERE rnk <= 10"""
 
   /** proximityWindow twin — shared by text_search_proximity and its
     * positional-index path. */

@@ -74,6 +74,38 @@ object Pipeline {
         round(col("n_shared").cast("double") / col("__n_grams"), 6).as("contam_ratio"))
   }
 
+  /** Embedding-space contamination screen — the SEMANTIC twin of
+    * [[contamination]]: n-gram matching misses paraphrased or
+    * translated benchmark leakage; this flags every corpus doc whose
+    * embedding lies within cosine ≥ `threshold` of ANY benchmark row.
+    * Run both before training: n-grams catch verbatim/near-verbatim
+    * inclusion, embeddings catch the reworded kind.
+    *
+    * Scale shape (the [[contamination]] contract, vector edition):
+    * the benchmark side is an eval suite — fixed, small — so it is
+    * broadcast and the corpus streams ONCE with a map-side cosine per
+    * (doc, bench) pair; the per-doc aggregation is partial-agg'd
+    * (count + max — at most |benchmark| rows per doc reach it, and
+    * only for flagged docs). Nothing about the corpus is ever
+    * shuffled except the flagged (id, cos) scalars. For a benchmark
+    * too large to broadcast, pre-bucket both sides with the
+    * [[graft.operators.Dedup.embeddingPairs]] LSH recipe instead.
+    *
+    * Output, contaminated docs only: (idCol, n_matches, max_cosine) —
+    * max_cosine rounded 6 (the cosineRounded discipline), counts
+    * exact. */
+  def contaminationEmbedding(corpus: DataFrame, benchmark: DataFrame,
+                             idCol: String, vecCol: String,
+                             threshold: Double = 0.35): DataFrame = {
+    val bench = broadcast(benchmark.select(col(vecCol).as("__bvec")))
+    corpus.crossJoin(bench)
+      .select(col(idCol),
+        graft.functions.VectorFunctions.cosineRounded(col(vecCol), col("__bvec")).as("__cos"))
+      .filter(!isnan(col("__cos")) && col("__cos") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"), max(col("__cos")).as("max_cosine"))
+  }
+
   /** Deterministic hash-based corpus split (train/val/test). The
     * bucket is derived from md5 of the id + seed, so the assignment is
     * stable across reruns, row order, partitioning, and engines —

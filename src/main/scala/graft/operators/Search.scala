@@ -666,7 +666,24 @@ object Search {
     * Output: (term, idCol, score, rank). */
   def queryPostingsIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                          idCol: String, terms: Seq[String], k: Int,
-                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    indexedBm25Scores(spark, path, idCol, terms, k1, b)
+      .groupBy(col("term"))
+      .agg(TopKAggregate.topK(col("score"), col(idCol).cast("long"), k).as("__top"))
+      .select(col("term"), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col("term"), col("__e.id").as(idCol),
+        round(col("__e.score"), 6).as("score"), (col("__r") + 1).cast("int").as("rank"))
+
+  /** Per-(term, doc) UNROUNDED BM25 scores served from the persisted
+    * store — the index-served twin of [[bm25Scores]] and the shared
+    * core of [[queryPostingsIndex]] (per-term ranking) and
+    * [[rankedTopKIndexed]] (per-doc ranking); identical doubles to the
+    * from-scratch scorer (N/avgdl from the exact integer stats, df
+    * from the pruned postings), so every composition of it shares the
+    * tokenize-at-query-time oracle. Output: (term, idCol, score). */
+  private def indexedBm25Scores(spark: org.apache.spark.sql.SparkSession, path: String,
+                                idCol: String, terms: Seq[String],
+                                k1: Double, b: Double): DataFrame = {
     require(terms.nonEmpty, "at least one query term")
     require(terms.forall(t => t == t.toLowerCase), "query terms must be lowercase")
     val st = statsRow(spark, path)
@@ -691,18 +708,12 @@ object Search {
     // exact-integer stats -> the same doubles the from-scratch scorer
     // sees: N as a long literal, avgdl = exact-sum / count
     val avgdl = totalTokens.toDouble / nDocs.toDouble
-    val scored = tf
-      .join(broadcast(dfreq), "term")
+    tf.join(broadcast(dfreq), "term")
       .select(col("term"), col(idCol),
         (log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
           (col("tf") * (lit(k1) + 1)) /
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("doc_len") / lit(avgdl))))
           .as("score"))
-    scored.groupBy(col("term"))
-      .agg(TopKAggregate.topK(col("score"), col(idCol).cast("long"), k).as("__top"))
-      .select(col("term"), posexplode(col("__top")).as(Seq("__r", "__e")))
-      .select(col("term"), col("__e.id").as(idCol),
-        round(col("__e.score"), 6).as("score"), (col("__r") + 1).cast("int").as("rank"))
   }
 
   /** The ONE pruning discipline both query paths share (a change to
@@ -793,13 +804,40 @@ object Search {
                  terms: Seq[String], k: Int,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && terms == terms.distinct, "terms must be distinct")
-    val perTerm = bm25Scores(docs, idCol, textCol, terms, k1, b)
+    rankedFromParts(bm25Scores(docs, idCol, textCol, terms, k1, b),
+      proximityWindow(docs, idCol, textCol, terms), idCol, terms, k)
+  }
+
+  /** [[rankedTopK]] served from the persisted postings + positions
+    * store: per-term scores from [[indexedBm25Scores]] (identical
+    * doubles to the from-scratch scorer), the proximity boost from
+    * the stored occurrences — the fusion core is SHARED with
+    * [[rankedTopK]], so the two paths cannot drift (the
+    * phraseSearchIndexed discipline); shares the text_search_ranked
+    * oracle. This completes the index-served retrieval surface:
+    * tf / BM25 / phrase / proximity / ranked all answer from the
+    * store without touching corpus text. */
+  def rankedTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                        idCol: String, terms: Seq[String], k: Int,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms == terms.distinct, "terms must be distinct")
+    rankedFromParts(indexedBm25Scores(spark, path, idCol, terms, k1, b),
+      proximityWindowIndexed(spark, path, idCol, terms), idCol, terms, k)
+  }
+
+  /** The shared BM25-pivot × slop-boost fusion of [[rankedTopK]] /
+    * [[rankedTopKIndexed]]: per-term UNROUNDED scores pivoted in
+    * LISTED term order (((s0+s1)+s2) — a fixed IEEE expression tree,
+    * never an order-dependent float SUM), boosted by 1 + 1/window_len
+    * (integer-derived, one exact division; docs lacking a term keep
+    * factor 1), ranked by the single-group bounded heap. */
+  private def rankedFromParts(perTerm: DataFrame, prox: DataFrame, idCol: String,
+                              terms: Seq[String], k: Int): DataFrame = {
     val slots = terms.zipWithIndex.map { case (t, i) =>
       coalesce(max(when(col("term") === t, col("score"))), lit(0.0)).as(s"__s$i")
     }
     val pivoted = perTerm.groupBy(col(idCol)).agg(slots.head, slots.tail: _*)
     val total = terms.indices.map(i => col(s"__s$i")).reduce(_ + _) // left fold: ((s0+s1)+s2)
-    val prox = proximityWindow(docs, idCol, textCol, terms)
     val scored = pivoted.select(col(idCol), total.as("__bm25"))
       .join(prox, Seq(idCol), "left")
       .select(col(idCol),
@@ -811,6 +849,98 @@ object Search {
       .select(col("__e.id").as(idCol), round(col("__e.score"), 6).as("score"),
         (col("__r") + 1).cast("int").as("rank"))
   }
+
+  /** HYBRID retrieval — Reciprocal Rank Fusion (Cormack/Clarke/
+    * Buettcher's RRF, the fusion every production RAG/search stack
+    * runs) of the text ranking ([[rankedTopK]]: BM25 × proximity
+    * boost) and the vector ranking (exact cosine against ONE query
+    * embedding): score(doc) = 1/(rrfK + text_rank) +
+    * 1/(rrfK + vec_rank), an absent source contributing 0 — a doc
+    * ranked well by BOTH modalities outranks a doc ranked well by
+    * one, without ever comparing the incomparable raw scores.
+    *
+    * Engine-reproducible WITHOUT rounding: both constituent rank
+    * relations are integer-exact (each is its own gated operator),
+    * IEEE division of exact integers is correctly rounded — the same
+    * double on every engine, no transcendental — and the two-term sum
+    * is a fixed expression tree. Ties (symmetric single-source docs)
+    * break to the smaller id on both engines.
+    *
+    * Scale shape: the fusion inputs are two bounded-heap top-`poolK`
+    * relations (≤ poolK rows each — the corpus never reaches the
+    * fusion join); the query embedding is a 1-row broadcast scalar
+    * (the bm25 corpus-stats pattern, whitelisted by design). At
+    * index-serving scale use [[hybridTopKIndexed]].
+    * Output: (idCol, score, rank ≤ k). */
+  def hybridTopK(corpus: DataFrame, idCol: String, textCol: String, vecCol: String,
+                 queryVec: DataFrame, terms: Seq[String], k: Int,
+                 poolK: Int = 20, rrfK: Int = 60,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val txt = rankedTopK(corpus, idCol, textCol, terms, poolK, k1, b)
+      .select(col(idCol), col("rank").as("__tr"))
+    val vec = vectorTopK(corpus, idCol, vecCol, queryVec, poolK)
+      .select(col(idCol), col("rank").as("__vr"))
+    rrfFuse(txt, vec, idCol, k, rrfK)
+  }
+
+  /** [[hybridTopK]] served entirely from the persisted stores: text
+    * ranks from [[rankedTopKIndexed]] (bit-identical to the scratch
+    * ranking), vector ranks from the IVF index's probed cells
+    * ([[graft.operators.Similarity.queryIvfIndex]] — approximate at
+    * nProbe < nCentroids, exhaustive and therefore bit-identical to
+    * [[hybridTopK]] at nProbe = nCentroids, which is how the spec
+    * pins the composition). The 100 TB shape: neither corpus text nor
+    * the full vector set is touched — ≤|terms| postings buckets and
+    * ≤nProbe cells are read. */
+  def hybridTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                        postingsPath: String, ivfPath: String,
+                        centroidsFlat: Array[Double], queryVec: DataFrame,
+                        idCol: String, vecCol: String, terms: Seq[String],
+                        k: Int, dim: Int, poolK: Int = 20, nProbe: Int = 4,
+                        rrfK: Int = 60,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val txt = rankedTopKIndexed(spark, postingsPath, idCol, terms, poolK, k1, b)
+      .select(col(idCol), col("rank").as("__tr"))
+    val qv = queryVec.columns.head
+    val vec = graft.operators.Similarity.queryIvfIndex(spark, ivfPath, centroidsFlat,
+        queryVec.select(lit(0L).as("__qid"), col(qv).as("__qv")),
+        idCol, vecCol, "__qid", "__qv", k = poolK, dim = dim, nProbe = nProbe)
+      .select(col(idCol), col("rank").as("__vr"))
+    rrfFuse(txt, vec, idCol, k, rrfK)
+  }
+
+  /** Exact cosine top-k of the corpus against ONE query embedding —
+    * the single-query [[graft.operators.Similarity.bruteForceTopK]]
+    * (bounded-heap ranking on (rounded score, id), NaN-safe for zero
+    * vectors). `queryVec`: a 1-row DataFrame whose first column is
+    * the embedding. */
+  private def vectorTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                         queryVec: DataFrame, k: Int): DataFrame = {
+    val qv = queryVec.columns.head
+    corpus.crossJoin(broadcast(queryVec))
+      .select(col(idCol),
+        graft.functions.VectorFunctions.cosineRounded(col(vecCol), col(qv)).as("score"))
+      .filter(!isnan(col("score")))
+      .agg(TopKAggregate.topK(col("score"), col(idCol).cast("long"), k).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col("__e.id").as(idCol), (col("__r") + 1).cast("int").as("rank"))
+  }
+
+  /** The RRF join: full outer on the doc id (a doc may surface in one
+    * or both rankings), fixed source order (text term first, vector
+    * second — the same expression tree on every engine), UNROUNDED
+    * scores (exact-integer division needs no rounding discipline),
+    * single-group bounded-heap final rank. */
+  private def rrfFuse(txt: DataFrame, vec: DataFrame, idCol: String,
+                      k: Int, rrfK: Int): DataFrame =
+    txt.join(vec, Seq(idCol), "outer")
+      .select(col(idCol),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("__tr")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(rrfK) + col("__vr")), lit(0.0))).as("score"))
+      .agg(TopKAggregate.topK(col("score"), col(idCol).cast("long"), k).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col("__e.id").as(idCol), col("__e.score").as("score"),
+        (col("__r") + 1).cast("int").as("rank"))
 
   /** Per-document TF-IDF keyphrase extraction: each doc's top-k terms
     * by tf · idf_fp, where idf_fp = (N·scale) div df is the integer

@@ -31,6 +31,32 @@ class PipelineSpec extends SparkSpec {
     assert(!out.contains(3L))            // clean doc absent from result
   }
 
+  test("contaminationEmbedding flags cosine-near benchmark rows with exact counts and max") {
+    // benchmark: two orthogonal directions; corpus: one aligned with
+    // each, one near BOTH (diagonal clears 0.6 against both axes? no —
+    // cos(diag, axis) = 1/√2 ≈ .7071), one orthogonal, one zero (NaN)
+    val bench = Seq((100L, Seq(1f, 0f)), (101L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.9f, 0.1f)),  // near bench 100 only (cos .9939 / .1104)
+      (2L, Seq(1f, 1f)),      // near both (cos .7071 each)
+      (3L, Seq(-1f, 0.2f)),   // near neither at 0.6
+      (4L, Seq(0f, 0f)),      // zero vector: NaN cosine, must not flag
+    ).toDF("vec_id", "embedding")
+    val out = Pipeline.contaminationEmbedding(corpus, bench, "vec_id", "embedding",
+      threshold = 0.6)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_matches"), r.getAs[Double]("max_cosine"))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 1L && out(1L)._2 == 0.993884)
+    assert(out(2L)._1 == 2L && out(2L)._2 == 0.707107)
+    // determinism across partitionings
+    val re = Pipeline.contaminationEmbedding(corpus.repartition(5), bench,
+      "vec_id", "embedding", threshold = 0.6)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_matches"), r.getAs[Double]("max_cosine"))).toMap
+    assert(re == out)
+  }
+
   test("hashed and string gram variants agree") {
     val bench = docs.filter(col("doc_id") === 1)
     val corpus = docs.filter(col("doc_id") =!= 1)

@@ -290,6 +290,84 @@ class SearchSpec extends SparkSpec {
     assert(q == want)
   }
 
+  test("rankedTopKIndexed: bit-identical to rankedTopK, respects tombstones") {
+    val corpus = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val terms = Seq("spark", "join", "window")
+    val path = java.nio.file.Files.createTempDirectory("graft_ranked_idx").toString + "/idx"
+    Search.buildPostingsIndex(corpus, path, "doc_id", "text", nBuckets = 16)
+    def scratch(docs: org.apache.spark.sql.DataFrame) =
+      Search.rankedTopK(docs, "doc_id", "text", terms, k = 10)
+        .collect().map(_.toSeq).toSet
+    val fromIndex = Search.rankedTopKIndexed(spark, path, "doc_id", terms, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(fromIndex == scratch(corpus))
+    // tombstoned store answers as a fresh ranking of the survivors
+    Search.deleteFromPostingsIndex(spark, path,
+      corpus.filter(col("doc_id") % 3 === 0).select(col("doc_id")), "doc_id")
+    val afterDelete = Search.rankedTopKIndexed(spark, path, "doc_id", terms, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(afterDelete == scratch(corpus.filter(col("doc_id") % 3 =!= 0)))
+  }
+
+  test("hybridTopK: RRF fusion semantics — both-source docs win, single-source ties break by id") {
+    val docs = Seq(
+      // text: three query-term docs; vectors: e0-aligned for 1 and 4
+      (1L, "spark join window pad", Seq(1f, 0f, 0f)),    // text hit + vector hit
+      (2L, "spark spark join join window", Seq(0f, 1f, 0f)), // text hit only
+      (3L, "scan merge sort", Seq(0.9f, 0.1f, 0f)),      // vector hit only
+      (4L, "filter scan pad pad", Seq(0.8f, 0.2f, 0f)),  // vector hit only
+      (5L, "sort scan pad", Seq(0f, 0f, 1f)),            // neither top-2... vector rank 4
+    ).toDF("doc_id", "text", "vec")
+    val qv = Seq(Tuple1(Seq(1f, 0f, 0f))).toDF("qvec")
+    val terms = Seq("spark", "join", "window")
+    val out = Search.hybridTopK(docs, "doc_id", "text", "vec", qv, terms,
+      k = 5, poolK = 2, rrfK = 60)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("score"), r.getAs[Int]("rank"))).toMap
+    // text pool (ranked): docs {1, 2}; vector pool: {1, 3} (cos: 1 -> 1.0,
+    // 3 -> .9938, 4 -> .9701, 5 -> 0). Doc 1 is in both -> must rank 1.
+    val txtRank = Search.rankedTopK(docs, "doc_id", "text", terms, k = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rank")).toMap
+    assert(txtRank.keySet == Set(1L, 2L))
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L)._2 == 1)
+    // exact RRF recomposition: 1/(60+tr) + 1/(60+vr)
+    val expect1 = 1.0 / (60 + txtRank(1L)) + 1.0 / (60 + 1)
+    assert(out(1L)._1 == expect1)
+    assert(out(2L)._1 == 1.0 / (60 + txtRank(2L)))
+    assert(out(3L)._1 == 1.0 / (60 + 2))
+    // symmetric single-source tie (same rank, different source) breaks
+    // to the smaller id
+    if (txtRank(2L) == 2) assert(out(2L)._1 == out(3L)._1 && out(2L)._2 < out(3L)._2)
+    // partition invariance
+    val re = Search.hybridTopK(docs.repartition(7), "doc_id", "text", "vec", qv,
+      terms, k = 5, poolK = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Double]("score"), r.getAs[Int]("rank"))).toMap
+    assert(re == out)
+  }
+
+  test("hybridTopKIndexed: exhaustive probe (nProbe = nCentroids) is bit-identical to the scratch hybrid") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val corpus = docs.join(emb, "doc_id")
+    val terms = Seq("spark", "join", "window")
+    val qv = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val root = java.nio.file.Files.createTempDirectory("graft_hybrid").toString
+    Search.buildPostingsIndex(corpus, s"$root/post", "doc_id", "text", nBuckets = 16)
+    val centroids = graft.operators.Similarity.buildIvfIndex(corpus.select(col("doc_id"),
+        col("embedding")), s"$root/ivf", "doc_id", "embedding", dim = 64, nCentroids = 8)
+    val scratch = Search.hybridTopK(corpus, "doc_id", "text", "embedding", qv,
+      terms, k = 10).collect().map(_.toSeq).toSet
+    // probing every cell makes the IVF side exhaustive == brute force,
+    // so the whole indexed composition must equal the scratch hybrid
+    val indexed = Search.hybridTopKIndexed(spark, s"$root/post", s"$root/ivf",
+      centroids, qv, "doc_id", "embedding", terms, k = 10, dim = 64, nProbe = 8)
+      .collect().map(_.toSeq).toSet
+    assert(indexed == scratch)
+  }
+
   // --- store crash properties: kill the protocol at EVERY step -------
 
   private def tinyCorpus = Seq(
