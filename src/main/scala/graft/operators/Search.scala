@@ -634,6 +634,21 @@ object Search {
     * an O(postings) scan. Output: (live_docs, tombstoned_docs,
     * tombstone_fraction, total_tokens, n_buckets, epoch, bytes,
     * uncommitted_batches). */
+  /** Evidence-based compaction: fold tombstones in only when their
+    * fraction of the indexed corpus exceeds `maxTombstoneFraction`
+    * (every query pays an O(tombstones) correction until then — cheap
+    * for a takedown batch, corrosive after months of them). Returns
+    * true when a compact ran. The nightly shape: call after each
+    * append/delete window; the threshold turns "compact on hope" into
+    * a measured policy. */
+  def compactIfNeeded(spark: org.apache.spark.sql.SparkSession, path: String,
+                      maxTombstoneFraction: Double = 0.1): Boolean = {
+    val s = postingsStoreStats(spark, path).collect()(0)
+    val due = s.getAs[Double]("tombstone_fraction") > maxTombstoneFraction
+    if (due) compactPostingsIndex(spark, path)
+    due
+  }
+
   def postingsStoreStats(spark: org.apache.spark.sql.SparkSession,
                          path: String): DataFrame = {
     val fs = fsOf(spark, path)

@@ -499,10 +499,16 @@ class SearchSpec extends SparkSpec {
     val s1 = stats()
     assert(s1.getAs[Long]("live_docs") == 6L && s1.getAs[Long]("tombstoned_docs") == 2L)
     assert(s1.getAs[Double]("tombstone_fraction") == 0.25)
-    Search.compactPostingsIndex(spark, path)
+    // evidence-based policy: 0.25 tombstoned — above a 0.1 budget the
+    // compact runs (epoch bumps), below a 0.5 budget it does not
+    assert(!Search.compactIfNeeded(spark, path, maxTombstoneFraction = 0.5))
+    assert(stats().getAs[Long]("tombstoned_docs") == 2L)
+    assert(Search.compactIfNeeded(spark, path, maxTombstoneFraction = 0.1))
     val s2 = stats()
     assert(s2.getAs[Long]("live_docs") == 6L && s2.getAs[Long]("tombstoned_docs") == 0L)
     assert(s2.getAs[Double]("tombstone_fraction") == 0.0 && s2.getAs[Long]("epoch") == 1L)
+    // clean store: nothing due
+    assert(!Search.compactIfNeeded(spark, path, maxTombstoneFraction = 0.0))
   }
 
   test("rankedTopK: BM25 pivot × slop boost, no-window docs keep plain BM25") {
