@@ -248,6 +248,19 @@ object Search {
   def buildPostingsIndex(docs: DataFrame, path: String, idCol: String,
                          textCol: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
+    // a build DEFINES a fresh store: clear every piece of maintenance
+    // state a prior store at this path may have left — stale
+    // tombstones would anti-join live docs out of every query (their
+    // epoch resets to current), stale commit markers would silently
+    // swallow a restarted stream's first batches as "replays", and
+    // stale staging/swap debris would confuse the next repair
+    val fs = fsOf(docs.sparkSession, path)
+    Seq("deleted", "_commits", "_staging").foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
+    Seq("postings", "positions", "docs", "stats").foreach { rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/${rel}__old"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/${rel}__staging"), true)
+    }
     val occ = occurrences(docs, idCol, textCol, nBuckets).cache()
     try {
       occ.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -358,9 +371,16 @@ object Search {
     val st = statsRow(spark, path)
     val nBuckets = st.getAs[Int]("n_buckets")
     val stage = StoreProtocol.stagingDir(path, batchId).toString
-    // sealed once (eager local checkpoint) on first use, shared by
-    // every staging step — the delta is tokenized exactly once
-    lazy val occ = occurrences(delta, idCol, textCol, nBuckets).localCheckpoint(true)
+    // cached on first use, shared by every staging step — the delta
+    // is tokenized exactly once; released as soon as the last
+    // occ-consuming step finishes (an in-JVM abort before then leaks
+    // one cached batch relation until GC — the same bound as the
+    // process-death crash the protocol is built for)
+    var occRef: Option[DataFrame] = None
+    def occ: DataFrame = occRef.getOrElse {
+      val d = occurrences(delta, idCol, textCol, nBuckets).cache()
+      occRef = Some(d); d
+    }
     Seq(
       "stage-positions" -> (() =>
         occ.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -369,9 +389,12 @@ object Search {
         postingsFromOccurrences(occ, idCol, nBuckets)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .partitionBy("__bucket").parquet(s"$stage/postings")),
-      "stage-docs" -> (() =>
+      "stage-docs" -> (() => {
         docLens(occ, idCol)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$stage/docs")),
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$stage/docs")
+        occRef.foreach(_.unpersist()) // last occ consumer
+        ()
+      }),
       "stage-stats" -> (() => {
         val d = spark.read.parquet(s"$stage/docs")
           .agg(count(lit(1)).cast("long").as("n"),
@@ -623,17 +646,15 @@ object Search {
     ) ++ swapSteps(fs, path, "postings") ++ swapSteps(fs, path, "positions") ++
       swapSteps(fs, path, "docs") ++ swapSteps(fs, path, "stats") :+
       ("clear-tombstones" -> (() => {
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/deleted"), true); ()
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/deleted"), true)
+        // stop-the-world window: also bound the commit-marker set
+        // (one per streamed batch otherwise accumulates forever);
+        // only the newest batch can ever be redelivered, so it alone
+        // is kept — see StoreProtocol.pruneCommitMarkers
+        StoreProtocol.pruneCommitMarkers(fs, path)
       }))
   }
 
-  /** One-row health report for a postings store — the evidence that
-    * schedules [[compactPostingsIndex]] (unbounded tombstone growth
-    * degrades every query silently: each pays an O(tombstones)
-    * aggregate + anti-join). All O(n_docs) or file-listing work, never
-    * an O(postings) scan. Output: (live_docs, tombstoned_docs,
-    * tombstone_fraction, total_tokens, n_buckets, epoch, bytes,
-    * uncommitted_batches). */
   /** Evidence-based compaction: fold tombstones in only when their
     * fraction of the indexed corpus exceeds `maxTombstoneFraction`
     * (every query pays an O(tombstones) correction until then — cheap
@@ -649,14 +670,30 @@ object Search {
     due
   }
 
+  /** One-row health report for a postings store — the evidence that
+    * schedules [[compactPostingsIndex]] (unbounded tombstone growth
+    * degrades every query silently: each pays an O(tombstones)
+    * aggregate + anti-join). All O(n_docs) or file-listing work, never
+    * an O(postings) scan; stays READABLE mid-crash (a half-swapped
+    * stats dir falls back to its preserved `__old` copy — the
+    * ivfStoreStats discipline: the health probe must answer in
+    * exactly the states it exists to surface). Output: (live_docs,
+    * tombstoned_docs, tombstone_fraction, total_tokens, n_buckets,
+    * epoch, bytes, uncommitted_batches). */
   def postingsStoreStats(spark: org.apache.spark.sql.SparkSession,
                          path: String): DataFrame = {
     val fs = fsOf(spark, path)
-    val st = statsRow(spark, path)
+    val st =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")) &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats__old")))
+        spark.read.parquet(s"$path/stats__old").collect()(0)
+      else statsRow(spark, path)
     val epoch = st.getAs[Long]("epoch")
-    val nDel = currentTombstones(spark, path, epoch).fold(0L)(_.count())
-    val tokDel = currentTombstones(spark, path, epoch)
-      .fold(0L)(_.agg(coalesce(sum(col("doc_len")), lit(0L))).collect()(0).getLong(0))
+    val (nDel, tokDel) = currentTombstones(spark, path, epoch).fold((0L, 0L)) { t =>
+      val r = t.agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("doc_len")), lit(0L)).as("t")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
     val nDocs = st.getAs[Long]("n_docs")
     val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
     val uncommitted = StoreProtocol.stagedBatches(fs, path)

@@ -289,6 +289,10 @@ object Similarity {
     val fs = StoreProtocol.fsOf(spark, path)
     repairIvfAppends(spark, path)
     repairIvfDelete(fs, path)
+    // the store's stop-the-world window: bound the commit-marker set
+    // (the compactPostingsIndex discipline — only the newest streamed
+    // batch can ever be redelivered)
+    StoreProtocol.pruneCommitMarkers(fs, path)
     val (touched, steps) = deleteFromIvfSteps(spark, path, deleteIds, idCol)
     steps.foreach(_._2())
     touched.length

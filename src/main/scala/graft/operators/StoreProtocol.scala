@@ -44,10 +44,38 @@ private[graft] object StoreProtocol {
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** `-` terminates the file prefix (`b<batchId>-`), so a batch id
-    * containing it could alias another batch's files. */
+    * containing it could alias another batch's files; bare `.`/`..`
+    * are path components — `_staging/..` resolves to the STORE ROOT,
+    * and the replay branch's staging cleanup would recursively delete
+    * the whole store. */
   def requireBatchId(batchId: String): Unit =
-    require(batchId.matches("[A-Za-z0-9._]+"),
-      s"batch id must match [A-Za-z0-9._]+ (got '$batchId')")
+    require(batchId.matches("[A-Za-z0-9._]+") && batchId != "." && batchId != "..",
+      s"batch id must match [A-Za-z0-9._]+ and not be '.'/'..' (got '$batchId')")
+
+  /** Drop every commit marker EXCEPT the newest (by mtime; ties all
+    * kept) — called from stop-the-world maintenance so the marker set
+    * stays bounded over months of streaming (one marker per
+    * micro-batch otherwise accumulates forever and every listing /
+    * content summary pays for it). Safe because at most ONE batch can
+    * be redelivered after a restart (foreachBatch checkpoints per
+    * batch), and that is the newest; replay protection for OLDER
+    * batch ids ends at the next maintenance — the single-writer,
+    * no-writer-during-maintenance contract. */
+  def pruneCommitMarkers(fs: FileSystem, path: String): Unit = {
+    val dir = new Path(s"$path/_commits")
+    if (!fs.exists(dir)) return
+    // only real markers: a ChecksumFileSystem writes .<name>.crc
+    // sidecars whose mtimes must neither count as "newest" nor be
+    // deleted out from under their marker (fs.delete of the marker
+    // drops its crc itself)
+    val markers = fs.listStatus(dir).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+    if (markers.length > 1) {
+      val newest = markers.map(_.getModificationTime).max
+      markers.filter(_.getModificationTime < newest)
+        .foreach(m => fs.delete(m.getPath, false))
+    }
+  }
 
   def stagingDir(path: String, batchId: String): Path =
     new Path(s"$path/_staging/$batchId")

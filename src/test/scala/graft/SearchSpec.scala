@@ -473,6 +473,72 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("batch ids that alias path components are rejected before any filesystem op") {
+    val path = java.nio.file.Files.createTempDirectory("graft_badid").toString + "/idx"
+    Search.buildPostingsIndex(tinyCorpus, path, "doc_id", "text", nBuckets = 4)
+    val delta = tinyCorpus.limit(0)
+    // '..' would resolve _staging/.. to the store root — the replay
+    // branch's staging cleanup would recursively delete the store
+    Seq("..", ".", "a-b", "a/b", "").foreach { bad =>
+      intercept[IllegalArgumentException] {
+        Search.appendPostingsIndex(delta, path, "doc_id", "text", batchId = bad)
+      }
+    }
+    assert(new java.io.File(s"$path/postings").exists())
+  }
+
+  test("rebuild-in-place defines a FRESH store: stale tombstones, commit markers and debris cleared") {
+    val terms = Seq("spark", "join")
+    val path = java.nio.file.Files.createTempDirectory("graft_rebuild").toString + "/idx"
+    val half = tinyCorpus.filter(col("doc_id") % 2 === 0)
+    val delta = tinyCorpus.filter(col("doc_id") % 2 === 1)
+    Search.buildPostingsIndex(half, path, "doc_id", "text", nBuckets = 4)
+    Search.appendPostingsIndex(delta, path, "doc_id", "text", batchId = "b1")
+    Search.deleteFromPostingsIndex(spark, path,
+      tinyCorpus.filter(col("doc_id") <= 3).select(col("doc_id")), "doc_id")
+    // re-crawl recovery: rebuild on the SAME path
+    Search.buildPostingsIndex(half, path, "doc_id", "text", nBuckets = 4)
+    // stale tombstones must not anti-join live docs out of the rebuilt
+    // store (their epoch would have matched the reset epoch 0)
+    val fresh = java.nio.file.Files.createTempDirectory("graft_rebuild2").toString + "/idx"
+    Search.buildPostingsIndex(half, fresh, "doc_id", "text", nBuckets = 4)
+    assert(qSet(path, terms) == qSet(fresh, terms))
+    assert(!new java.io.File(s"$path/deleted").exists())
+    // stale commit markers must not swallow a restarted stream's first
+    // batch as a "replay" — b1 must APPLY on the rebuilt store
+    Search.appendPostingsIndex(delta, path, "doc_id", "text", batchId = "b1")
+    val full = java.nio.file.Files.createTempDirectory("graft_rebuild3").toString + "/idx"
+    Search.buildPostingsIndex(tinyCorpus, full, "doc_id", "text", nBuckets = 4)
+    assert(qSet(path, terms) == qSet(full, terms))
+  }
+
+  test("compaction bounds the commit-marker set: only the newest batch keeps replay protection") {
+    val path = java.nio.file.Files.createTempDirectory("graft_markers").toString + "/idx"
+    Search.buildPostingsIndex(tinyCorpus.filter(col("doc_id") <= 4), path,
+      "doc_id", "text", nBuckets = 4)
+    Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 5), path,
+      "doc_id", "text", batchId = "b1")
+    Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 6), path,
+      "doc_id", "text", batchId = "b2")
+    def markers() = new java.io.File(s"$path/_commits").list()
+      .filterNot(_.startsWith(".")).toSet // LocalFileSystem .crc sidecars
+    assert(markers() == Set("b1", "b2"))
+    Search.deleteFromPostingsIndex(spark, path,
+      tinyCorpus.filter(col("doc_id") === 1).select(col("doc_id")), "doc_id")
+    Search.compactPostingsIndex(spark, path)
+    // each append is seconds of Spark jobs apart — mtimes distinct
+    assert(markers() == Set("b2"))
+  }
+
+  test("postingsStoreStats stays readable mid-crash (half-swapped stats falls back to the preserved copy)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_statsup").toString + "/idx"
+    Search.buildPostingsIndex(tinyCorpus, path, "doc_id", "text", nBuckets = 4)
+    assert(new java.io.File(s"$path/stats")
+      .renameTo(new java.io.File(s"$path/stats__old")))
+    val s = Search.postingsStoreStats(spark, path).collect()(0)
+    assert(s.getAs[Long]("live_docs") == 8L) // answers from the aside copy
+  }
+
   test("delete victim discovery scans the docs sidecar, never the postings relation") {
     val path = java.nio.file.Files.createTempDirectory("graft_sidecar").toString + "/idx"
     Search.buildPostingsIndex(tinyCorpus, path, "doc_id", "text", nBuckets = 4)
