@@ -599,7 +599,10 @@ object Search {
     * idempotent at every crash point (property-pinned in SearchSpec:
     * the run is killed at EVERY step boundary and the retry must
     * converge; the epoch bump keeps even the pre-retry QUERY correct
-    * in the stats-swapped-but-not-cleared window). */
+    * in the stats-swapped-but-not-cleared window). Contract: the
+    * surviving corpus must be non-empty — a store compacted to zero
+    * docs leaves no postings files to infer a schema from (delete the
+    * store instead of retiring its last document). */
   def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val fs = fsOf(spark, path)
     repairAppends(spark, path)
