@@ -2231,6 +2231,20 @@ object SparkEntry {
     * driver's `queries` contract, so CORRECTNESS stays 100%
     * hash-checked. */
   def perfQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_search_hybrid_indexed_prod" -> ((s, dir) => {
+      // the 100 TB hybrid path: RRF fused ENTIRELY from the two
+      // persisted stores — ≤|terms| postings buckets + nProbe of 16
+      // IVF cells read; corpus text and the full vector set never
+      // touched. The scratch hybrid is the gated twin; exhaustive-
+      // probe equivalence is spec-pinned (SearchSpec); production
+      // recall is the gated sim_ivf_recall number.
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+      val (ivfPath, flat) = masterIvfIndex(s, dir)
+      Search.hybridTopKIndexed(s, masterHybridPostings(s, dir), ivfPath, flat, qv,
+        "vec_id", "embedding", searchTerms, k = 10, dim = 64, nProbe = 4)
+    }),
+
     "sketch_hll_prod" -> ((s, dir) => {
       // the sketch-table rollup at event scale: per-type user sketches
       // merged to one corpus sketch — distinct-users-anywhere answered
@@ -5296,6 +5310,30 @@ object SparkEntry {
       org.apache.commons.io.FileUtils.forceDeleteOnExit(
         new java.io.File(master).getParentFile)
       Search.buildPostingsIndex(t(s, dir, "documents"), master, "doc_id", "text")
+      master
+    })
+  }
+
+  /** Session-master postings index over the HYBRID corpus (docs that
+    * carry embeddings, keyed by vec_id — the fused retrieval id
+    * space) for the text_search_hybrid_indexed_prod bench twin; same
+    * lifecycle and eviction as [[masterPostingsIndex]]. */
+  private val hybridPostingsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def masterHybridPostings(s: SparkSession, dir: String): String = {
+    hybridPostingsCache.filterInPlace { case ((sess, _), path) =>
+      val live = !sess.sparkContext.isStopped
+      if (!live) org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      live
+    }
+    hybridPostingsCache.getOrElseUpdate((s, dir), {
+      val master = java.nio.file.Files.createTempDirectory("graft_hybrid_master").toString + "/idx"
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(
+        new java.io.File(master).getParentFile)
+      val corpus = t(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("text"))
+        .join(t(s, dir, "embeddings").select(col("vec_id")), "vec_id")
+      Search.buildPostingsIndex(corpus, master, "vec_id", "text")
       master
     })
   }
