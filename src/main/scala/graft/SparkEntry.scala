@@ -5267,76 +5267,70 @@ object SparkEntry {
         $rows)"""
   }
 
-  /** Session-master IVF index (path + frozen centroids) for the
-    * sim_ivf_index / sim_ivf_delete gates — the store-gate rule: the
-    * build is spec-pinned, the gates time the query / delete path.
-    * Built on the full corpus with the md5 sample key so it matches
-    * both gates' oracles; same lifecycle and eviction as
-    * [[pristineCorpusState]]. */
-  private val ivfIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, Array[Double])]
-  private def masterIvfIndex(s: SparkSession, dir: String): (String, Array[Double]) = {
-    ivfIndexCache.filterInPlace { case ((sess, _), (path, _)) =>
+  /** ONE lifecycle for every session-master store (the store-gate
+    * rule: builds are spec-pinned, gates time the query/maintenance
+    * path against a master built once per (session, sfDir)): stopped
+    * sessions' entries evicted on access with their temp PARENT dir
+    * deleted, every master registered for recursive delete at JVM
+    * exit. `pathOf` extracts the on-disk path from the cached value
+    * so eviction policy cannot drift between copies. */
+  private def masterStore[T](cache: scala.collection.concurrent.TrieMap[(SparkSession, String), T],
+                             pathOf: T => String, prefix: String,
+                             s: SparkSession, dir: String)(build: String => T): T = {
+    cache.filterInPlace { case ((sess, _), v) =>
       val live = !sess.sparkContext.isStopped
       if (!live) org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(path).getParentFile)
+        new java.io.File(pathOf(v)).getParentFile)
       live
     }
-    ivfIndexCache.getOrElseUpdate((s, dir), {
-      val master = java.nio.file.Files.createTempDirectory("graft_ivf_master").toString + "/idx"
+    cache.getOrElseUpdate((s, dir), {
+      val master = java.nio.file.Files.createTempDirectory(prefix).toString + "/idx"
       org.apache.commons.io.FileUtils.forceDeleteOnExit(
         new java.io.File(master).getParentFile)
+      build(master)
+    })
+  }
+
+  /** Session-master IVF index (path + frozen centroids) for the
+    * sim_ivf_index / sim_ivf_delete gates. Built on the full corpus
+    * with the md5 sample key so it matches both gates' oracles. */
+  private val ivfIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, Array[Double])]
+  private def masterIvfIndex(s: SparkSession, dir: String): (String, Array[Double]) =
+    masterStore(ivfIndexCache, (_: (String, Array[Double]))._1, "graft_ivf_master",
+        s, dir) { master =>
       val flat = Similarity.buildIvfIndex(t(s, dir, "embeddings"), master,
         "vec_id", "embedding", dim = 64, nCentroids = 16,
         sampleKey = Some(id => md5(concat(lit("ivf:"), id.cast("string")))))
       (master, flat)
-    })
-  }
+    }
 
   /** Session-master postings index for the text_search_indexed /
-    * text_search_delete gates — built once per (session, sfDir),
-    * queried read-only (delete copies it first); same lifecycle and
-    * eviction as [[pristineCorpusState]]. */
+    * text_search_delete / text_search_compact gates — queried
+    * read-only (the mutating gates copy it first). */
   private val postingsIndexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
-  private def masterPostingsIndex(s: SparkSession, dir: String): String = {
-    postingsIndexCache.filterInPlace { case ((sess, _), path) =>
-      val live = !sess.sparkContext.isStopped
-      if (!live) org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
-      live
-    }
-    postingsIndexCache.getOrElseUpdate((s, dir), {
-      val master = java.nio.file.Files.createTempDirectory("graft_postings_master").toString + "/idx"
-      org.apache.commons.io.FileUtils.forceDeleteOnExit(
-        new java.io.File(master).getParentFile)
+  private def masterPostingsIndex(s: SparkSession, dir: String): String =
+    masterStore(postingsIndexCache, identity[String], "graft_postings_master",
+        s, dir) { master =>
       Search.buildPostingsIndex(t(s, dir, "documents"), master, "doc_id", "text")
       master
-    })
-  }
+    }
 
   /** Session-master postings index over the HYBRID corpus (docs that
     * carry embeddings, keyed by vec_id — the fused retrieval id
-    * space) for the text_search_hybrid_indexed_prod bench twin; same
-    * lifecycle and eviction as [[masterPostingsIndex]]. */
+    * space) for the text_search_hybrid_indexed_prod bench twin. */
   private val hybridPostingsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
-  private def masterHybridPostings(s: SparkSession, dir: String): String = {
-    hybridPostingsCache.filterInPlace { case ((sess, _), path) =>
-      val live = !sess.sparkContext.isStopped
-      if (!live) org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
-      live
-    }
-    hybridPostingsCache.getOrElseUpdate((s, dir), {
-      val master = java.nio.file.Files.createTempDirectory("graft_hybrid_master").toString + "/idx"
-      org.apache.commons.io.FileUtils.forceDeleteOnExit(
-        new java.io.File(master).getParentFile)
+  private def masterHybridPostings(s: SparkSession, dir: String): String =
+    masterStore(hybridPostingsCache, identity[String], "graft_hybrid_master",
+        s, dir) { master =>
       val corpus = t(s, dir, "documents")
         .select(col("doc_id").as("vec_id"), col("text"))
         .join(t(s, dir, "embeddings").select(col("vec_id")), "vec_id")
       Search.buildPostingsIndex(corpus, master, "vec_id", "text")
       master
-    })
-  }
+    }
 
   /** SQL twin of [[piiContact]]'s derived column. */
   private val piiContactSql: String =

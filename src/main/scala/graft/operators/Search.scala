@@ -248,19 +248,22 @@ object Search {
   def buildPostingsIndex(docs: DataFrame, path: String, idCol: String,
                          textCol: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
-    // a build DEFINES a fresh store: clear every piece of maintenance
-    // state a prior store at this path may have left — stale
-    // tombstones would anti-join live docs out of every query (their
-    // epoch resets to current), stale commit markers would silently
-    // swallow a restarted stream's first batches as "replays", and
-    // stale staging/swap debris would confuse the next repair
     val fs = fsOf(docs.sparkSession, path)
-    Seq("deleted", "_commits", "_staging").foreach(d =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
-    Seq("postings", "positions", "docs", "stats").foreach { rel =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/${rel}__old"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/${rel}__staging"), true)
-    }
+    // a build DEFINES a fresh store, so a rebuild-in-place must
+    // neutralize every piece of maintenance state the prior store
+    // left. Two mechanisms, both safe at every crash point:
+    //  - the new stats epoch CONTINUES past the prior store's (+1
+    //    from whatever is readable), so stale tombstones can never
+    //    match the rebuilt epoch — even before the clear below runs;
+    //  - tombstones / commit markers / staging / swap debris are
+    //    cleared AFTER the new relations land, never before: a build
+    //    that fails at analysis (bad column, missing source) must
+    //    leave the old store fully intact — clearing first would have
+    //    resurrected taken-down docs and re-applied replayed batches
+    //    on a store that never got rebuilt. A crash BETWEEN the
+    //    writes and the clears is the torn-build state whose
+    //    documented recovery is re-running the build.
+    val epoch = priorEpoch(docs.sparkSession, fs, path) + 1
     val occ = occurrences(docs, idCol, textCol, nBuckets).cache()
     try {
       occ.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -270,9 +273,28 @@ object Search {
         .partitionBy("__bucket").parquet(s"$path/postings")
       docLens(occ, idCol)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/docs")
-      statsFromDocLens(docs.sparkSession.read.parquet(s"$path/docs"), nBuckets, epoch = 0L)
+      statsFromDocLens(docs.sparkSession.read.parquet(s"$path/docs"), nBuckets, epoch)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/stats")
     } finally { occ.unpersist(); () }
+    Seq("deleted", "_commits", "_staging").foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
+    Seq("postings", "positions", "docs", "stats").foreach { rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/${rel}__old"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/${rel}__staging"), true)
+    }
+  }
+
+  /** Best-effort epoch of whatever store previously lived at `path`
+    * (falling back to the preserved `stats__old` of a torn swap), or
+    * -1 when none is readable — a rebuild continues past it so no
+    * stale tombstone can ever match the new epoch. */
+  private def priorEpoch(spark: org.apache.spark.sql.SparkSession,
+                         fs: org.apache.hadoop.fs.FileSystem, path: String): Long = {
+    def epochAt(p: String): Option[Long] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(p))) None
+      else scala.util.Try(
+        spark.read.parquet(p).collect()(0).getAs[Long]("epoch")).toOption
+    epochAt(s"$path/stats").orElse(epochAt(s"$path/stats__old")).getOrElse(-1L)
   }
 
   /** One row per token occurrence (idCol, __pos, term, __bucket) —
@@ -355,6 +377,17 @@ object Search {
       return
     }
     repairAppends(spark, path)
+    // bound the marker set on the path append-only stores actually
+    // take (compact alone would never run for them); retention slack
+    // keeps every recently-redeliverable batch protected
+    StoreProtocol.pruneCommitMarkers(fs, path)
+    // surviving prefixed files after the repair = a COMMITTED batch
+    // whose marker aged out — re-using its id would silently apply it
+    // twice (see StoreProtocol.hasBatchFiles)
+    if (Seq("positions", "postings", "docs").exists(rel => StoreProtocol.hasBatchFiles(
+        fs, new org.apache.hadoop.fs.Path(s"$path/$rel"), batchId)))
+      throw new java.io.IOException(s"append: batch id '$batchId' was already applied " +
+        "under a since-pruned marker; re-using old batch ids is not supported")
     appendPostingsSteps(delta, path, idCol, textCol, batchId).foreach(_._2())
   }
 

@@ -206,6 +206,13 @@ object Similarity {
       return
     }
     repairIvfAppends(spark, path)
+    // bound the marker set on the append-only path, and fail loudly
+    // on a re-used batch id whose marker aged out (the
+    // appendPostingsIndex discipline — see StoreProtocol)
+    StoreProtocol.pruneCommitMarkers(fs, path)
+    if (StoreProtocol.hasBatchFiles(fs, new org.apache.hadoop.fs.Path(path), batchId))
+      throw new java.io.IOException(s"append: batch id '$batchId' was already applied " +
+        "under a since-pruned marker; re-using old batch ids is not supported")
     appendIvfSteps(delta, path, centroidsFlat, vecCol, dim, batchId).foreach(_._2())
   }
 

@@ -47,20 +47,31 @@ private[graft] object StoreProtocol {
     * containing it could alias another batch's files; bare `.`/`..`
     * are path components — `_staging/..` resolves to the STORE ROOT,
     * and the replay branch's staging cleanup would recursively delete
-    * the whole store. */
+    * the whole store; a LEADING `.`/`_` would make the marker
+    * invisible to (or collide with the `.crc` sidecars of) the
+    * pruning filter below. */
   def requireBatchId(batchId: String): Unit =
-    require(batchId.matches("[A-Za-z0-9._]+") && batchId != "." && batchId != "..",
-      s"batch id must match [A-Za-z0-9._]+ and not be '.'/'..' (got '$batchId')")
+    require(batchId.matches("[A-Za-z0-9][A-Za-z0-9._]*"),
+      s"batch id must match [A-Za-z0-9][A-Za-z0-9._]* (got '$batchId')")
 
-  /** Drop every commit marker EXCEPT the newest (by mtime; ties all
-    * kept) — called from stop-the-world maintenance so the marker set
-    * stays bounded over months of streaming (one marker per
-    * micro-batch otherwise accumulates forever and every listing /
-    * content summary pays for it). Safe because at most ONE batch can
-    * be redelivered after a restart (foreachBatch checkpoints per
-    * batch), and that is the newest; replay protection for OLDER
-    * batch ids ends at the next maintenance — the single-writer,
-    * no-writer-during-maintenance contract. */
+  /** Retention slack: markers within this window of the newest are
+    * kept, so filesystem mtime granularity, small clock steps, and
+    * rapid batches can never prune the genuinely-redeliverable batch's
+    * marker (whose loss would turn its redelivery into a silent
+    * double-apply — the exact failure markers exist to prevent). */
+  val markerRetentionMs: Long = 60L * 60 * 1000
+
+  /** Drop every commit marker older than the newest by more than
+    * [[markerRetentionMs]] — called from maintenance entries
+    * (append / delete / compact) so the marker set stays bounded over
+    * months of streaming (one marker per micro-batch otherwise
+    * accumulates forever and every listing / content summary pays for
+    * it). Only batches not yet folded into the stream checkpoint can
+    * be redelivered — the newest, by the per-batch-checkpoint
+    * contract — and everything within the slack of it survives.
+    * Replay protection for batch ids older than that ends here: a
+    * RE-USED old id is not swallowed, it fails loudly at the file
+    * move (see [[moveStagedFiles]]). */
   def pruneCommitMarkers(fs: FileSystem, path: String): Unit = {
     val dir = new Path(s"$path/_commits")
     if (!fs.exists(dir)) return
@@ -72,7 +83,7 @@ private[graft] object StoreProtocol {
       !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
     if (markers.length > 1) {
       val newest = markers.map(_.getModificationTime).max
-      markers.filter(_.getModificationTime < newest)
+      markers.filter(_.getModificationTime < newest - markerRetentionMs)
         .foreach(m => fs.delete(m.getPath, false))
     }
   }
@@ -111,10 +122,33 @@ private[graft] object StoreProtocol {
         moveStagedFiles(fs, s.getPath, new Path(live, n), batchId)
       else if (s.isFile && !n.startsWith("_") && !n.startsWith(".")) {
         val dst = new Path(live, s"b$batchId-$n")
-        if (fs.exists(dst)) fs.delete(dst, true) // same-run retry debris
+        // unreachable in the protocol (staged part names carry a fresh
+        // write-job UUID, and a retry's repair deletes the batch's
+        // prefixed files before the steps re-run) — defensive only
+        if (fs.exists(dst))
+          throw new java.io.IOException(s"append: $dst already exists")
         if (!fs.rename(s.getPath, dst))
           throw new java.io.IOException(s"append: rename ${s.getPath} -> $dst failed")
       }
+    }
+  }
+
+  /** True when any live file under `dir` carries `batchId`'s prefix.
+    * Used at append entry AFTER the marker check and the repair of
+    * uncommitted batches: surviving prefixed files can then only
+    * belong to a COMMITTED batch whose marker aged out of retention —
+    * a re-used batch id (e.g. a reset stream checkpoint restarting at
+    * batch 0). Staged part names carry fresh write-job UUIDs, so
+    * without this guard the re-use would silently APPLY AGAIN
+    * (duplicate rows) rather than collide. Fail loudly; recover by
+    * rebuilding the store or restarting ids past the old range. */
+  def hasBatchFiles(fs: FileSystem, dir: Path, batchId: String): Boolean = {
+    if (!fs.exists(dir)) return false
+    val prefix = s"b$batchId-"
+    fs.listStatus(dir).exists { s =>
+      val n = s.getPath.getName
+      (s.isDirectory && n.contains("=") && hasBatchFiles(fs, s.getPath, batchId)) ||
+        (s.isFile && n.startsWith(prefix))
     }
   }
 

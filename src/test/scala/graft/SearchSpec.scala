@@ -478,13 +478,33 @@ class SearchSpec extends SparkSpec {
     Search.buildPostingsIndex(tinyCorpus, path, "doc_id", "text", nBuckets = 4)
     val delta = tinyCorpus.limit(0)
     // '..' would resolve _staging/.. to the store root — the replay
-    // branch's staging cleanup would recursively delete the store
-    Seq("..", ".", "a-b", "a/b", "").foreach { bad =>
+    // branch's staging cleanup would recursively delete the store;
+    // leading '.'/'_' would hide the marker from (or collide it with
+    // the .crc sidecars of) the pruning filter
+    Seq("..", ".", "a-b", "a/b", "", "_x", ".b1.crc").foreach { bad =>
       intercept[IllegalArgumentException] {
         Search.appendPostingsIndex(delta, path, "doc_id", "text", batchId = bad)
       }
     }
     assert(new java.io.File(s"$path/postings").exists())
+  }
+
+  test("a re-used batch id whose marker aged out fails LOUDLY instead of silently double-applying") {
+    val path = java.nio.file.Files.createTempDirectory("graft_reuse").toString + "/idx"
+    Search.buildPostingsIndex(tinyCorpus.filter(col("doc_id") <= 6), path,
+      "doc_id", "text", nBuckets = 4)
+    val d1 = tinyCorpus.filter(col("doc_id") === 7)
+    Search.appendPostingsIndex(d1, path, "doc_id", "text", batchId = "b1")
+    val before = postingsSet(path)
+    // simulate the marker aging out of retention
+    assert(new java.io.File(s"$path/_commits/b1").delete())
+    new java.io.File(s"$path/_commits/.b1.crc").delete()
+    val e = intercept[java.io.IOException] {
+      Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 8), path,
+        "doc_id", "text", batchId = "b1")
+    }
+    assert(e.getMessage.contains("re-using old batch ids"))
+    assert(postingsSet(path) == before) // nothing applied, nothing lost
   }
 
   test("rebuild-in-place defines a FRESH store: stale tombstones, commit markers and debris cleared") {
@@ -496,8 +516,22 @@ class SearchSpec extends SparkSpec {
     Search.appendPostingsIndex(delta, path, "doc_id", "text", batchId = "b1")
     Search.deleteFromPostingsIndex(spark, path,
       tinyCorpus.filter(col("doc_id") <= 3).select(col("doc_id")), "doc_id")
+    val tombstoned = qSet(path, terms)
+    // a build that FAILS before writing (unresolvable column) must
+    // leave the old store fully intact: tombstones still applied,
+    // replay protection still honored — clearing first would have
+    // resurrected taken-down docs on a store that never got rebuilt
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Search.buildPostingsIndex(half, path, "doc_id", "no_such_column", nBuckets = 4)
+    }
+    assert(qSet(path, terms) == tombstoned)
+    assert(new java.io.File(s"$path/deleted").exists())
+    assert(new java.io.File(s"$path/_commits/b1").exists())
     // re-crawl recovery: rebuild on the SAME path
     Search.buildPostingsIndex(half, path, "doc_id", "text", nBuckets = 4)
+    // the rebuilt epoch CONTINUES past the prior store's, so stale
+    // tombstones could not have matched even mid-build
+    assert(spark.read.parquet(s"$path/stats").collect()(0).getAs[Long]("epoch") == 1L)
     // stale tombstones must not anti-join live docs out of the rebuilt
     // store (their epoch would have matched the reset epoch 0)
     val fresh = java.nio.file.Files.createTempDirectory("graft_rebuild2").toString + "/idx"
@@ -526,7 +560,16 @@ class SearchSpec extends SparkSpec {
     Search.deleteFromPostingsIndex(spark, path,
       tinyCorpus.filter(col("doc_id") === 1).select(col("doc_id")), "doc_id")
     Search.compactPostingsIndex(spark, path)
-    // each append is seconds of Spark jobs apart — mtimes distinct
+    // both markers sit inside the retention slack of the newest —
+    // neither may be pruned (mtime granularity / clock steps must
+    // never cost the redeliverable batch its replay protection)
+    assert(markers() == Set("b1", "b2"))
+    // age b1 past the retention slack; the next maintenance prunes it
+    assert(new java.io.File(s"$path/_commits/b1").setLastModified(
+      System.currentTimeMillis() - 2 * graft.operators.StoreProtocol.markerRetentionMs))
+    Search.deleteFromPostingsIndex(spark, path,
+      tinyCorpus.filter(col("doc_id") === 2).select(col("doc_id")), "doc_id")
+    Search.compactPostingsIndex(spark, path)
     assert(markers() == Set("b2"))
   }
 
