@@ -278,6 +278,7 @@ object Search {
     } finally { occ.unpersist(); () }
     Seq("deleted", "_commits", "_staging").foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
+    StoreProtocol.clearLedger(fs, path) // replay protection resets with _commits
     Seq("postings", "positions", "docs", "stats").foreach { rel =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/${rel}__old"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/${rel}__staging"), true)
@@ -371,21 +372,37 @@ object Search {
     val spark = delta.sparkSession
     val fs = fsOf(spark, path)
     if (StoreProtocol.isCommitted(fs, path, batchId)) {
-      // replayed batch: exactly-once no-op (drop any leftover staging
-      // from a crash between the marker and the staging cleanup)
+      // replayed batch: exactly-once no-op — but only after verifying
+      // the redelivery carries the SAME content the marker sealed (a
+      // reset checkpoint re-batches the source; its recycled id may
+      // now hold more rows, and a bare no-op would drop them)
+      StoreProtocol.requireSameReplay(fs, path, batchId,
+        StoreProtocol.contentFingerprint(delta.select(col(idCol), col(textCol))))
+      // drop any leftover staging from a crash between the marker and
+      // the staging cleanup
       fs.delete(StoreProtocol.stagingDir(path, batchId), true)
       return
     }
     repairAppends(spark, path)
+    // self-heal a compact that crashed between a relation's aside and
+    // its swap-in (stats missing, stats__old present): without this a
+    // pure-streaming store would hard-fail at statsRow on EVERY
+    // subsequent append until an operator manually re-ran compact —
+    // repairSwaps is idempotent, matching compactPostingsIndex's entry
+    repairSwaps(fs, path, Seq("postings", "positions", "docs", "stats"))
     // bound the marker set on the path append-only stores actually
     // take (compact alone would never run for them); retention slack
-    // keeps every recently-redeliverable batch protected
+    // keeps every recently-redeliverable batch protected, and the
+    // fold-before-prune inside persists every marker's id to the
+    // `_applied` ledger first
     StoreProtocol.pruneCommitMarkers(fs, path)
-    // surviving prefixed files after the repair = a COMMITTED batch
-    // whose marker aged out — re-using its id would silently apply it
-    // twice (see StoreProtocol.hasBatchFiles)
-    if (Seq("positions", "postings", "docs").exists(rel => StoreProtocol.hasBatchFiles(
-        fs, new org.apache.hadoop.fs.Path(s"$path/$rel"), batchId)))
+    // a re-used batch id whose marker aged out must fail LOUDLY, not
+    // silently apply twice: the ledger survives marker pruning AND the
+    // compact that folds away the prefixed files; the file probe stays
+    // as defense-in-depth for a store whose ledger was hand-deleted
+    if (StoreProtocol.wasApplied(fs, path, batchId) ||
+        Seq("positions", "postings", "docs").exists(rel => StoreProtocol.hasBatchFiles(
+          fs, new org.apache.hadoop.fs.Path(s"$path/$rel"), batchId)))
       throw new java.io.IOException(s"append: batch id '$batchId' was already applied " +
         "under a since-pruned marker; re-using old batch ids is not supported")
     appendPostingsSteps(delta, path, idCol, textCol, batchId).foreach(_._2())
@@ -448,7 +465,8 @@ object Search {
         new org.apache.hadoop.fs.Path(s"$stage/docs"),
         new org.apache.hadoop.fs.Path(s"$path/docs"), batchId)),
     ) ++ swapSteps(fs, path, "stats", staging = s"$stage/stats") ++ Seq(
-      "mark-commit" -> (() => StoreProtocol.markCommitted(fs, path, batchId)),
+      "mark-commit" -> (() => StoreProtocol.markCommitted(fs, path, batchId,
+        Some(StoreProtocol.contentFingerprint(delta.select(col(idCol), col(textCol)))))),
       "clean-staging" -> (() => { fs.delete(new org.apache.hadoop.fs.Path(stage), true); () }),
     )
   }
@@ -514,6 +532,9 @@ object Search {
   def deleteFromPostingsIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                               deleteIds: DataFrame, idCol: String): Long = {
     repairAppends(spark, path)
+    // same entry self-heal as append: a compact crashed mid-swap must
+    // not hard-fail the statsRow read below until a manual re-compact
+    repairSwaps(fsOf(spark, path), path, Seq("postings", "positions", "docs", "stats"))
     val epoch = statsRow(spark, path).getAs[Long]("epoch")
     val dels = broadcast(deleteIds.select(col(idCol)).distinct())
     val existing = currentTombstones(spark, path, epoch)

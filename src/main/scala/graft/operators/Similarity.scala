@@ -202,15 +202,23 @@ object Similarity {
     val spark = delta.sparkSession
     val fs = StoreProtocol.fsOf(spark, path)
     if (StoreProtocol.isCommitted(fs, path, batchId)) {
-      fs.delete(StoreProtocol.stagingDir(path, batchId), true) // replay no-op
+      // replay no-op — after verifying the redelivered content matches
+      // what the marker sealed (the appendPostingsIndex discipline)
+      StoreProtocol.requireSameReplay(fs, path, batchId,
+        StoreProtocol.contentFingerprint(delta))
+      fs.delete(StoreProtocol.stagingDir(path, batchId), true)
       return
     }
     repairIvfAppends(spark, path)
     // bound the marker set on the append-only path, and fail loudly
     // on a re-used batch id whose marker aged out (the
-    // appendPostingsIndex discipline — see StoreProtocol)
+    // appendPostingsIndex discipline — see StoreProtocol): the
+    // `_applied` ledger (folded before any pruning) keeps the guard
+    // loud even after a cell-rewriting delete folded away the
+    // batch's prefixed files; the file probe stays as defense-in-depth
     StoreProtocol.pruneCommitMarkers(fs, path)
-    if (StoreProtocol.hasBatchFiles(fs, new org.apache.hadoop.fs.Path(path), batchId))
+    if (StoreProtocol.wasApplied(fs, path, batchId) ||
+        StoreProtocol.hasBatchFiles(fs, new org.apache.hadoop.fs.Path(path), batchId))
       throw new java.io.IOException(s"append: batch id '$batchId' was already applied " +
         "under a since-pruned marker; re-using old batch ids is not supported")
     appendIvfSteps(delta, path, centroidsFlat, vecCol, dim, batchId).foreach(_._2())
@@ -232,7 +240,8 @@ object Similarity {
           .partitionBy("__cell").parquet(stage.toString)),
       "move-cells" -> (() => StoreProtocol.moveStagedFiles(fs, stage,
         new org.apache.hadoop.fs.Path(path), batchId)),
-      "mark-commit" -> (() => StoreProtocol.markCommitted(fs, path, batchId)),
+      "mark-commit" -> (() => StoreProtocol.markCommitted(fs, path, batchId,
+        Some(StoreProtocol.contentFingerprint(delta)))),
       "clean-staging" -> (() => { fs.delete(stage, true); () }),
     )
   }

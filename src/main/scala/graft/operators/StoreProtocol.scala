@@ -69,24 +69,140 @@ private[graft] object StoreProtocol {
     * it). Only batches not yet folded into the stream checkpoint can
     * be redelivered — the newest, by the per-batch-checkpoint
     * contract — and everything within the slack of it survives.
-    * Replay protection for batch ids older than that ends here: a
-    * RE-USED old id is not swallowed, it fails loudly at the file
-    * move (see [[moveStagedFiles]]). */
+    * Every marker's evidence is FOLDED into the durable `_applied`
+    * ledger before anything is pruned (see [[foldMarkersIntoLedger]]):
+    * replay protection for batch ids older than the slack therefore
+    * survives both the pruning and any later compaction that rewrites
+    * the prefixed live files — a re-used old id fails loudly at the
+    * [[wasApplied]] entry guard, never silently applies twice. */
   def pruneCommitMarkers(fs: FileSystem, path: String): Unit = {
-    val dir = new Path(s"$path/_commits")
-    if (!fs.exists(dir)) return
-    // only real markers: a ChecksumFileSystem writes .<name>.crc
-    // sidecars whose mtimes must neither count as "newest" nor be
-    // deleted out from under their marker (fs.delete of the marker
-    // drops its crc itself)
-    val markers = fs.listStatus(dir).filter(s => s.isFile &&
-      !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+    foldMarkersIntoLedger(fs, path)
+    val markers = listMarkers(fs, path)
     if (markers.length > 1) {
       val newest = markers.map(_.getModificationTime).max
       markers.filter(_.getModificationTime < newest - markerRetentionMs)
         .foreach(m => fs.delete(m.getPath, false))
     }
   }
+
+  /** Only real markers: a ChecksumFileSystem writes .<name>.crc
+    * sidecars whose mtimes must neither count as "newest" nor be
+    * deleted out from under their marker (fs.delete of the marker
+    * drops its crc itself); [[requireBatchId]] pins the first char
+    * alphanumeric, so the filter cannot hide a real batch. */
+  private def listMarkers(fs: FileSystem, path: String): Array[org.apache.hadoop.fs.FileStatus] = {
+    val dir = new Path(s"$path/_commits")
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+  }
+
+  // ---------------------------------------------------------------
+  // The `_applied` ledger: durable replay protection that outlives
+  // marker pruning AND compaction. Markers are pruned by retention
+  // slack, and maintenance rewrites (postings compact, IVF cell
+  // rewrites) fold the `b<batchId>-` prefixed files into unprefixed
+  // ones — after both, a redelivered old batch (e.g. a reset stream
+  // checkpoint restarting at id 0) used to find neither marker nor
+  // prefixed files and silently applied TWICE. The ledger is a tiny
+  // root-level file persisting what the markers proved before they
+  // were pruned: the HIGH-WATER numeric batch id (streaming ids are
+  // monotone longs — one integer covers the unbounded stream) plus
+  // the set of non-numeric ids (manual one-off appends — bounded by
+  // human usage). Written ONLY from live markers, always BEFORE any
+  // pruning, via a preserve-aside swap — so no crash point can lose
+  // evidence that markers no longer hold.
+  //
+  // Contract this pins: numeric batch ids form a monotone sequence
+  // (Structured Streaming's guarantee); an out-of-order numeric id is
+  // indistinguishable from reuse and is rejected loudly.
+  // ---------------------------------------------------------------
+
+  private def ledgerPath(path: String) = new Path(s"$path/_applied")
+  private def ledgerOldPath(path: String) = new Path(s"$path/_applied__old")
+  private def ledgerTmpPath(path: String) = new Path(s"$path/_applied__tmp")
+
+  /** A batch id parsed as the streaming sequence number it is, when it
+    * is one (all digits, fits a long); longer/mixed ids are tracked by
+    * name in the ledger's set half. */
+  private def numericId(batchId: String): Option[Long] =
+    if (batchId.nonEmpty && batchId.length <= 18 && batchId.forall(_.isDigit))
+      Some(batchId.toLong)
+    else None
+
+  /** (high-water numeric id, non-numeric applied ids) — (-1, empty)
+    * when no ledger exists. Falls back to the preserved `__old` copy
+    * of a torn swap (markers are only pruned AFTER a completed fold,
+    * so the stale copy plus the still-live markers covers every id). */
+  private[graft] def readLedger(fs: FileSystem, path: String): (Long, Set[String]) = {
+    def readAt(p: Path): Option[(Long, Set[String])] =
+      if (!fs.exists(p)) None
+      else scala.util.Try {
+        val in = fs.open(p)
+        val txt = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+          new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+        val lines = txt.split("\n").filter(_.nonEmpty)
+        (lines.head.toLong, lines.tail.toSet)
+      }.toOption
+    readAt(ledgerPath(path)).orElse(readAt(ledgerOldPath(path))).getOrElse((-1L, Set.empty[String]))
+  }
+
+  /** Persist every live marker's batch id into the ledger (idempotent;
+    * skips the write when nothing is new). Runs at the top of
+    * [[pruneCommitMarkers]] — the invariant is "no marker is ever
+    * pruned whose id the ledger does not hold". The write is a
+    * preserve-aside swap (tmp → aside live → rename in → drop old),
+    * self-repairing any torn prior swap first, so a crash at any point
+    * leaves a readable ledger whose union with the (unpruned) markers
+    * still covers every applied id. */
+  def foldMarkersIntoLedger(fs: FileSystem, path: String): Unit = {
+    val names = listMarkers(fs, path).map(_.getPath.getName)
+    // repair a torn prior swap before reading (live missing + old
+    // present -> restore; both present -> completed swap's leftover)
+    val live = ledgerPath(path); val old = ledgerOldPath(path)
+    if (fs.exists(old)) {
+      if (!fs.exists(live)) { fs.rename(old, live); () }
+      else { fs.delete(old, false); () }
+    }
+    fs.delete(ledgerTmpPath(path), false)
+    if (names.isEmpty) return
+    val (hw, ids) = readLedger(fs, path)
+    val newHw = (hw +: names.toSeq.flatMap(numericId)).max
+    val newIds = ids ++ names.filter(n => numericId(n).isEmpty)
+    if (newHw == hw && newIds == ids && fs.exists(live)) return
+    val out = fs.create(ledgerTmpPath(path), true)
+    try out.write((newHw.toString +: newIds.toSeq.sorted).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(live) && !fs.rename(live, old))
+      throw new java.io.IOException(s"ledger: rename $live -> $old failed")
+    if (!fs.rename(ledgerTmpPath(path), live))
+      throw new java.io.IOException(s"ledger: rename ${ledgerTmpPath(path)} -> $live failed")
+    fs.delete(old, false)
+    ()
+  }
+
+  /** True when the ledger proves `batchId` was committed before — the
+    * append-entry guard that stays loud AFTER marker pruning and
+    * compaction (the live-marker replay no-op runs first, so this only
+    * ever sees ids whose marker is gone). Numeric ids compare against
+    * the high-water mark (monotone-sequence contract); others against
+    * the recorded set. */
+  def wasApplied(fs: FileSystem, path: String, batchId: String): Boolean = {
+    val (hw, ids) = readLedger(fs, path)
+    numericId(batchId).exists(_ <= hw) || ids.contains(batchId)
+  }
+
+  /** Drop the ledger (with its swap debris) — a REBUILD defines a
+    * fresh store: replay protection resets with the rest of the
+    * maintenance state (`_commits`, `_staging`), deliberately, so a
+    * rebuilt store accepts a restarted stream's batch 0. */
+  def clearLedger(fs: FileSystem, path: String): Unit =
+    Seq(ledgerPath(path), ledgerOldPath(path), ledgerTmpPath(path))
+      .foreach(p => fs.delete(p, false))
 
   def stagingDir(path: String, batchId: String): Path =
     new Path(s"$path/_staging/$batchId")
@@ -97,9 +213,63 @@ private[graft] object StoreProtocol {
   def isCommitted(fs: FileSystem, path: String, batchId: String): Boolean =
     fs.exists(commitMarker(path, batchId))
 
-  def markCommitted(fs: FileSystem, path: String, batchId: String): Unit = {
+  /** Seal a batch. The marker RECORDS the batch's content fingerprint
+    * (row count + order-free hash-sum — see [[contentFingerprint]]) so
+    * a later redelivery under the same id can be verified, not just
+    * assumed: a reset checkpoint re-batches the source, and its new
+    * "batch 0" may hold MORE data than the one the marker sealed —
+    * a bare existence check would silently no-op it (data loss). */
+  def markCommitted(fs: FileSystem, path: String, batchId: String,
+                    fingerprint: Option[(Long, Long, Long)] = None): Unit = {
     fs.mkdirs(new Path(s"$path/_commits"))
-    fs.create(commitMarker(path, batchId), true).close()
+    val out = fs.create(commitMarker(path, batchId), true)
+    try fingerprint.foreach { case (n, lo, hi) =>
+      out.write(s"$n\n$lo\n$hi".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+  }
+
+  /** Order-free content fingerprint of a delta batch: (row count,
+    * Σ low-32-bits, Σ high-32-bits of per-row xxhash64 over every
+    * hashable column). Two 32-bit lanes keep each sum under 2^63 for
+    * any batch below 2^31 rows — exact under ANSI arithmetic, no
+    * wraparound needed (the corpus_manifest lane recipe). Partition-
+    * and order-independent, so the recomputation on a redelivered
+    * batch cannot depend on shuffle layout. One O(batch) map-side
+    * aggregate — paid once per append and once per replay. */
+  def contentFingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, shiftrightunsigned, sum, xxhash64}
+    val cols = df.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toSeq
+    val h = xxhash64(cols: _*)
+    val r = df.agg(count(lit(1)).cast("long"),
+        coalesce(sum(h.bitwiseAND(lit(0xFFFFFFFFL))), lit(0L)),
+        coalesce(sum(shiftrightunsigned(h, 32)), lit(0L))).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** Verify a committed replay redelivers the SAME content the marker
+    * sealed — throws loudly on a mismatch (the reset-checkpoint
+    * re-batching case) instead of letting the no-op branch drop the
+    * extra rows. Markers without a recorded fingerprint (none are
+    * written by this code; a hand-made marker) are accepted on the
+    * bare stable-batch-id contract. */
+  def requireSameReplay(fs: FileSystem, path: String, batchId: String,
+                        fingerprint: (Long, Long, Long)): Unit = {
+    val p = commitMarker(path, batchId)
+    val in = fs.open(p)
+    val txt = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = txt.split("\n").filter(_.nonEmpty)
+    if (lines.length == 3 &&
+        (lines(0).toLong, lines(1).toLong, lines(2).toLong) != fingerprint)
+      throw new java.io.IOException(s"append: batch id '$batchId' was redelivered with " +
+        s"DIFFERENT content than its commit recorded (got $fingerprint, sealed " +
+        s"(${lines(0)}, ${lines(1)}, ${lines(2)})) — the stream checkpoint was reset and " +
+        "re-batched the source; rebuild the store or restart batch ids past the old range")
   }
 
   /** Staged batches, committed or not — the repair worklist. */

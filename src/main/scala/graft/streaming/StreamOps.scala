@@ -285,9 +285,14 @@ object StreamOps {
     embeddings.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // PLAIN numeric ids: Structured Streaming's batch ids are a
+        // monotone long sequence, which is exactly what the protocol's
+        // `_applied` ledger compresses into one high-water integer —
+        // a string prefix would instead grow the ledger's by-name set
+        // by one entry per micro-batch, forever
         if (!batch.isEmpty)
           graft.operators.Similarity.appendIvfIndex(batch.toDF(), indexPath,
-            centroidsFlat, vecCol, dim, batchId = s"stream$batchId")
+            centroidsFlat, vecCol, dim, batchId = batchId.toString)
         ()
       }
 
@@ -312,9 +317,11 @@ object StreamOps {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // plain numeric ids — the ivfIndexStream rationale: the
+        // ledger's high-water mark absorbs the whole monotone sequence
         if (!batch.isEmpty)
           graft.operators.Search.appendPostingsIndex(batch.toDF(), indexPath,
-            idCol, textCol, batchId = s"stream$batchId")
+            idCol, textCol, batchId = batchId.toString)
         ()
       }
 

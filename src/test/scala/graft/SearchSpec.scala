@@ -507,6 +507,104 @@ class SearchSpec extends SparkSpec {
     assert(postingsSet(path) == before) // nothing applied, nothing lost
   }
 
+  test("replay protection survives marker pruning AND compaction: the applied ledger stays loud") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ledger").toString + "/idx"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    Search.buildPostingsIndex(tinyCorpus.filter(col("doc_id") <= 5), path,
+      "doc_id", "text", nBuckets = 4)
+    Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 6), path,
+      "doc_id", "text", batchId = "1")
+    Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 7), path,
+      "doc_id", "text", batchId = "2")
+    // age batch 1's marker past retention; compact prunes it AND folds
+    // the b1- prefixed files into unprefixed rewrites — after which the
+    // old file-probe guard has nothing left to detect the reuse with
+    assert(new java.io.File(s"$path/_commits/1").setLastModified(
+      System.currentTimeMillis() - 2 * graft.operators.StoreProtocol.markerRetentionMs))
+    Search.deleteFromPostingsIndex(spark, path,
+      tinyCorpus.filter(col("doc_id") === 1).select(col("doc_id")), "doc_id")
+    Search.compactPostingsIndex(spark, path)
+    assert(!new java.io.File(s"$path/_commits/1").exists(), "marker should be pruned")
+    assert(Seq("positions", "postings", "docs").forall(rel => !graft.operators.StoreProtocol
+        .hasBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$path/$rel"), "1")),
+      "compact should have folded away the prefixed files — the ledger is load-bearing here")
+    // checkpoint-loss redelivery of the aged-out batch id: only the
+    // ledger (folded from the marker before pruning) can refuse it
+    val before = postingsSet(path)
+    val e = intercept[java.io.IOException] {
+      Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 8), path,
+        "doc_id", "text", batchId = "1")
+    }
+    assert(e.getMessage.contains("re-using old batch ids"))
+    assert(postingsSet(path) == before)
+    // a genuinely new id (past the high-water mark) still appends
+    Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 8), path,
+      "doc_id", "text", batchId = "3")
+    assert(postingsSet(path) != before)
+    // the ledger survives a torn swap: with the live copy gone the
+    // preserved __old still answers (markers are only pruned after a
+    // COMPLETED fold, so no crash point loses evidence)
+    assert(new java.io.File(s"$path/_applied").renameTo(
+      new java.io.File(s"$path/_applied__old")))
+    assert(graft.operators.StoreProtocol.wasApplied(fs, path, "1"))
+    // a rebuild defines a fresh store: the ledger resets with _commits,
+    // so a restarted stream's batch 0/1 applies again
+    Search.buildPostingsIndex(tinyCorpus.filter(col("doc_id") <= 5), path,
+      "doc_id", "text", nBuckets = 4)
+    Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 6), path,
+      "doc_id", "text", batchId = "1")
+  }
+
+  test("numeric batch ids form a monotone sequence: an out-of-order id is rejected as reuse") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mono").toString + "/idx"
+    Search.buildPostingsIndex(tinyCorpus.filter(col("doc_id") <= 5), path,
+      "doc_id", "text", nBuckets = 4)
+    Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 6), path,
+      "doc_id", "text", batchId = "10")
+    // the next entry folds marker 10 into the ledger's high-water mark
+    Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 7), path,
+      "doc_id", "text", batchId = "20")
+    // "5" was never appended, but a numeric id below the high-water
+    // mark is indistinguishable from a reset checkpoint's reuse —
+    // Structured Streaming ids are monotone, so reject loudly
+    val e = intercept[java.io.IOException] {
+      Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 8), path,
+        "doc_id", "text", batchId = "5")
+    }
+    assert(e.getMessage.contains("re-using old batch ids"))
+    // non-numeric ids are tracked by name, not by the numeric mark:
+    // a fresh alpha id is fine even though "5" was refused
+    Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 8), path,
+      "doc_id", "text", batchId = "crawlA")
+  }
+
+  test("append entry self-heals a compact crashed between stats aside and swap-in") {
+    val terms = Seq("spark", "join")
+    val path = java.nio.file.Files.createTempDirectory("graft_heal").toString + "/idx"
+    Search.buildPostingsIndex(tinyCorpus.filter(col("doc_id") <= 6), path,
+      "doc_id", "text", nBuckets = 4)
+    // the crash window a pure-streaming store could previously never
+    // escape: stats renamed aside, replacement never landed — every
+    // subsequent append hard-failed at the statsRow read until an
+    // operator manually re-ran compact
+    assert(new java.io.File(s"$path/stats")
+      .renameTo(new java.io.File(s"$path/stats__old")))
+    Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 7), path,
+      "doc_id", "text", batchId = "b1")
+    assert(!new java.io.File(s"$path/stats__old").exists(), "swap debris repaired")
+    val fresh = java.nio.file.Files.createTempDirectory("graft_heal2").toString + "/idx"
+    Search.buildPostingsIndex(tinyCorpus.filter(col("doc_id") <= 7), fresh,
+      "doc_id", "text", nBuckets = 4)
+    assert(qSet(path, terms) == qSet(fresh, terms))
+    // the delete entry gets the same self-heal
+    assert(new java.io.File(s"$path/stats")
+      .renameTo(new java.io.File(s"$path/stats__old")))
+    Search.deleteFromPostingsIndex(spark, path,
+      tinyCorpus.filter(col("doc_id") === 1).select(col("doc_id")), "doc_id")
+    assert(!new java.io.File(s"$path/stats__old").exists())
+  }
+
   test("rebuild-in-place defines a FRESH store: stale tombstones, commit markers and debris cleared") {
     val terms = Seq("spark", "join")
     val path = java.nio.file.Files.createTempDirectory("graft_rebuild").toString + "/idx"

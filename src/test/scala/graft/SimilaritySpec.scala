@@ -350,6 +350,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF replay protection survives marker pruning and cell-rewriting deletes: the applied ledger stays loud") {
+    val emb = tinyVectors
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfledger").toString
+    val path = s"$root/idx"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val centroids = Similarity.buildIvfIndex(emb.filter(col("vec_id") < 30), path,
+      "vec_id", "embedding", dim = 8, nCentroids = 4)
+    val b1 = emb.filter(col("vec_id") >= 30 && col("vec_id") < 35)
+    val b2 = emb.filter(col("vec_id") >= 35)
+    Similarity.appendIvfIndex(b1, path, centroids, "embedding", dim = 8, batchId = "1")
+    Similarity.appendIvfIndex(b2, path, centroids, "embedding", dim = 8, batchId = "2")
+    // age batch 1's marker out of retention, then delete ids out of
+    // EVERY cell batch 1 touched — the cell rewrite folds away its
+    // b1- prefixed files, so only the ledger remembers the batch
+    assert(new java.io.File(s"$path/_commits/1").setLastModified(
+      System.currentTimeMillis() - 2 * graft.operators.StoreProtocol.markerRetentionMs))
+    val b1Cells = spark.read.parquet(path).filter(col("vec_id") >= 30 && col("vec_id") < 35)
+      .select("__cell").distinct().collect().map(_.getInt(0))
+    val dels = spark.read.parquet(path)
+      .filter(col("__cell").isin(b1Cells.map(Int.box): _*) && col("vec_id") < 30)
+      .select(col("vec_id")).localCheckpoint(true)
+    Similarity.deleteFromIvfIndex(spark, path, dels, "vec_id")
+    assert(!new java.io.File(s"$path/_commits/1").exists(), "marker should be pruned")
+    // delete b1's own vectors too so NO b1-prefixed file survives
+    Similarity.deleteFromIvfIndex(spark, path,
+      emb.filter(col("vec_id") >= 30 && col("vec_id") < 35).select(col("vec_id")), "vec_id")
+    assert(!graft.operators.StoreProtocol.hasBatchFiles(fs,
+      new org.apache.hadoop.fs.Path(path), "1"),
+      "cell rewrites should have folded away the prefixed files — the ledger is load-bearing")
+    val before = cellRel(path)
+    val e = intercept[java.io.IOException] {
+      Similarity.appendIvfIndex(b1, path, centroids, "embedding", dim = 8, batchId = "1")
+    }
+    assert(e.getMessage.contains("re-using old batch ids"))
+    assert(cellRel(path) == before) // nothing applied, nothing lost
+    // a fresh id past the high-water mark still appends
+    Similarity.appendIvfIndex(b1, path, centroids, "embedding", dim = 8, batchId = "3")
+    assert(cellRel(path) != before)
+  }
+
   test("ivfStoreStats: vector/cell/file counts and pending-maintenance signals") {
     val emb = tinyVectors
     val path = java.nio.file.Files.createTempDirectory("graft_ivfstats").toString + "/idx"

@@ -126,4 +126,152 @@ class StoreLifecycleSpec extends SparkSpec {
       checkEquivalent(tag)
     }
   }
+
+  // --- stream restarts: the lifecycle classes the single-op crash
+  // properties can't reach — a KILLED and RESTARTED streaming
+  // maintenance query, with its checkpoint intact (ids continue, the
+  // store must converge) and with its checkpoint LOST (ids recycle:
+  // the store must either no-op identically or fail LOUDLY — never
+  // silently drop or duplicate) -------------------------------------
+
+  private def writeInputFile(in: String, df: org.apache.spark.sql.DataFrame,
+                             mtime: Long): Unit = {
+    df.coalesce(1).write.mode("append").parquet(in)
+    new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        if (f.lastModified() > mtime) f.setLastModified(mtime) }
+  }
+
+  test("postings stream restarts: checkpoint-intact converges; checkpoint loss no-ops identically or fails loudly") {
+    import graft.streaming.StreamOps
+    val base = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val in = s"$base/in"
+    val t0 = System.currentTimeMillis() - 60000
+    val f1 = Seq((101L, "spark join window"), (102L, "merge sort")).toDF("doc_id", "text")
+    val f2 = Seq((103L, "spark filter"), (104L, "join join scan")).toDF("doc_id", "text")
+    val f3 = Seq((105L, "window window spark")).toDF("doc_id", "text")
+    writeInputFile(in, f1, t0)
+    writeInputFile(in, f2, t0 + 2000)
+    val idx = s"$base/idx"
+    Search.buildPostingsIndex(Seq((1L, "spark hash stream")).toDF("doc_id", "text"),
+      idx, "doc_id", "text", nBuckets = 4)
+    val schema = spark.read.parquet(in).schema
+    val ckpt = s"$base/ckpt"
+    def run(maxFiles: Int): Unit = {
+      val q = StreamOps.postingsIndexStream(
+        StreamOps.parquetStream(spark, in, schema, maxFilesPerTrigger = maxFiles),
+        idx, "doc_id", "text", checkpoint = ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def rel() = spark.read.parquet(s"$idx/postings")
+      .select("term", "doc_id", "tf").collect().map(_.toSeq).toSet
+
+    // 1) first life: two micro-batches land
+    run(maxFiles = 1)
+    // 2) kill + restart with the checkpoint INTACT: ids continue past
+    //    the high-water mark, the new file applies exactly once
+    writeInputFile(in, f3, t0 + 60000)
+    run(maxFiles = 1)
+    val oneShot = s"$base/oneshot"
+    Search.buildPostingsIndex(
+      Seq((1L, "spark hash stream")).toDF("doc_id", "text")
+        .unionByName(f1).unionByName(f2).unionByName(f3),
+      oneShot, "doc_id", "text", nBuckets = 4)
+    def q(p: String) = Search.queryPostingsIndex(spark, p, "doc_id",
+      Seq("spark", "join"), k = 10).collect().map(_.toSeq).toSet
+    assert(q(idx) == q(oneShot), "checkpoint-intact restart diverged from one-shot build")
+    val settled = rel()
+
+    // 3) checkpoint LOST, deterministic re-batching (same files, same
+    //    one-file batches): every recycled id redelivers the SAME
+    //    content — the fingerprint-checked markers no-op them all
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    run(maxFiles = 1)
+    assert(rel() == settled, "identical replay after checkpoint loss must be a pure no-op")
+
+    // 4) checkpoint LOST, COARSER re-batching: the recycled batch 0 now
+    //    carries all three files — a bare marker check would silently
+    //    drop the extra rows; the content fingerprint fails it loudly
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(maxFiles = 10)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(chain(e).exists(m => m != null && m.contains("DIFFERENT content")),
+      s"expected the loud content mismatch, got: ${chain(e).mkString(" | ")}")
+    assert(rel() == settled, "the refused replay must not have changed the store")
+
+    // 5) checkpoint LOST after the old markers aged out: the
+    //    `_applied` ledger (not the markers, not the file prefixes)
+    //    refuses the recycled id loudly. Age batches 0 and 1 past the
+    //    retention slack (2 stays recent — pruning is relative to the
+    //    newest marker) and let the next append's entry fold + prune.
+    Seq("0", "1").foreach { b =>
+      assert(new java.io.File(s"$idx/_commits/$b").setLastModified(
+        System.currentTimeMillis() - 3 * graft.operators.StoreProtocol.markerRetentionMs))
+    }
+    Search.appendPostingsIndex(
+      Seq((200L, "hash stream pad")).toDF("doc_id", "text"),
+      idx, "doc_id", "text", batchId = "900")
+    assert(!new java.io.File(s"$idx/_commits/0").exists(), "aged markers should be pruned")
+    val settled2 = rel()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(maxFiles = 1)
+    }
+    assert(chain(e2).exists(m => m != null && m.contains("re-using old batch ids")),
+      s"expected the ledger's loud refusal, got: ${chain(e2).mkString(" | ")}")
+    assert(rel() == settled2, "the refused replay must not have changed the store")
+  }
+
+  test("IVF stream restarts: checkpoint-intact converges; checkpoint loss with re-batched ids fails loudly") {
+    import graft.streaming.StreamOps
+    val rnd = new scala.util.Random(77L)
+    def vec(): Seq[Float] = Seq.fill(8)((rnd.nextGaussian() * 0.5).toFloat)
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfrestart").toString
+    val in = s"$base/in"
+    val t0 = System.currentTimeMillis() - 60000
+    val f1 = (100L to 104L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val f2 = (105L to 109L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val f3 = (110L to 112L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    writeInputFile(in, f1, t0)
+    writeInputFile(in, f2, t0 + 2000)
+    val idx = s"$base/idx"
+    val centroids = Similarity.buildIvfIndex(
+      (0L to 19L).map(i => (i, vec())).toDF("vec_id", "embedding"),
+      idx, "vec_id", "embedding", dim = 8, nCentroids = 4)
+    val schema = spark.read.parquet(in).schema
+    val ckpt = s"$base/ckpt"
+    def run(maxFiles: Int): Unit = {
+      val q = StreamOps.ivfIndexStream(
+        StreamOps.parquetStream(spark, in, schema, maxFilesPerTrigger = maxFiles),
+        idx, centroids, "embedding", dim = 8, checkpoint = ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def rel() = spark.read.parquet(idx)
+      .select("vec_id", "__cell").collect().map(_.toSeq).toSet
+
+    run(maxFiles = 1)
+    writeInputFile(in, f3, t0 + 60000)
+    run(maxFiles = 1) // checkpoint-intact restart: ids continue
+    assert(spark.read.parquet(idx).count() == 33L, "intact restart must apply f3 exactly once")
+    val settled = rel()
+
+    // checkpoint lost + identical re-batching: pure no-op
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    run(maxFiles = 1)
+    assert(rel() == settled)
+
+    // checkpoint lost + coarser re-batching: loud content mismatch
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(maxFiles = 10)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(chain(e).exists(m => m != null && m.contains("DIFFERENT content")),
+      s"expected the loud content mismatch, got: ${chain(e).mkString(" | ")}")
+    assert(rel() == settled, "the refused replay must not have changed the store")
+  }
 }
