@@ -97,13 +97,21 @@ object Pipeline {
   def contaminationEmbedding(corpus: DataFrame, benchmark: DataFrame,
                              idCol: String, vecCol: String,
                              threshold: Double = 0.35): DataFrame = {
-    val bench = broadcast(benchmark.select(col(vecCol).as("__bvec")))
-    corpus.crossJoin(bench)
-      .select(col(idCol),
-        graft.functions.VectorFunctions.cosineRounded(col(vecCol), col("__bvec")).as("__cos"))
-      .filter(!isnan(col("__cos")) && col("__cos") >= threshold)
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_matches"), max(col("__cos")).as("max_cosine"))
+    // BOTH sides projected to fixed internal names before the cross
+    // join (the dedup operators' aliasing discipline): a corpus that
+    // already carries a `__bvec`/`__cos` column, or a benchmark whose
+    // vecCol shadows a corpus column, can neither throw an
+    // ambiguous-reference nor silently bind the wrong side
+    val corp = corpus.select(col(idCol).as("__graft_id"), col(vecCol).as("__graft_v"))
+    val bench = broadcast(benchmark.select(col(vecCol).as("__graft_bv")))
+    corp.crossJoin(bench)
+      .select(col("__graft_id"),
+        graft.functions.VectorFunctions
+          .cosineRounded(col("__graft_v"), col("__graft_bv")).as("__graft_cos"))
+      .filter(!isnan(col("__graft_cos")) && col("__graft_cos") >= threshold)
+      .groupBy(col("__graft_id"))
+      .agg(count(lit(1)).as("n_matches"), max(col("__graft_cos")).as("max_cosine"))
+      .withColumnRenamed("__graft_id", idCol)
   }
 
   /** Deterministic hash-based corpus split (train/val/test). The

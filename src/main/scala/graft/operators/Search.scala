@@ -963,17 +963,22 @@ object Search {
     * Buettcher's RRF, the fusion every production RAG/search stack
     * runs) of the text ranking ([[rankedTopK]]: BM25 × proximity
     * boost) and the vector ranking (exact cosine against ONE query
-    * embedding): score(doc) = 1/(rrfK + text_rank) +
-    * 1/(rrfK + vec_rank), an absent source contributing 0 — a doc
-    * ranked well by BOTH modalities outranks a doc ranked well by
-    * one, without ever comparing the incomparable raw scores.
+    * embedding): score(doc) = textWeight/(rrfK + text_rank) +
+    * vecWeight/(rrfK + vec_rank), an absent source contributing 0 — a
+    * doc ranked well by BOTH modalities outranks a doc ranked well by
+    * one, without ever comparing the incomparable raw scores. The
+    * rank constant and per-source weights are the two RAG-tuning knobs
+    * (Cormack et al. fix k=60; production stacks sweep both) —
+    * defaults reproduce the classic unweighted fusion.
     *
     * Engine-reproducible WITHOUT rounding: both constituent rank
     * relations are integer-exact (each is its own gated operator),
-    * IEEE division of exact integers is correctly rounded — the same
-    * double on every engine, no transcendental — and the two-term sum
-    * is a fixed expression tree. Ties (symmetric single-source docs)
-    * break to the smaller id on both engines.
+    * IEEE division of a double weight by an exact positive integer is
+    * ONE correctly-rounded operation — the same double on every
+    * engine for ANY weight and any positive rrfK, no transcendental —
+    * and the two-term sum is a fixed expression tree. Ties (symmetric
+    * single-source docs at equal weights) break to the smaller id on
+    * both engines.
     *
     * Scale shape: the fusion inputs are two bounded-heap top-`poolK`
     * relations (≤ poolK rows each — the corpus never reaches the
@@ -984,12 +989,13 @@ object Search {
   def hybridTopK(corpus: DataFrame, idCol: String, textCol: String, vecCol: String,
                  queryVec: DataFrame, terms: Seq[String], k: Int,
                  poolK: Int = 20, rrfK: Int = 60,
+                 textWeight: Double = 1.0, vecWeight: Double = 1.0,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val txt = rankedTopK(corpus, idCol, textCol, terms, poolK, k1, b)
       .select(col(idCol), col("rank").as("__tr"))
     val vec = vectorTopK(corpus, idCol, vecCol, queryVec, poolK)
       .select(col(idCol), col("rank").as("__vr"))
-    rrfFuse(txt, vec, idCol, k, rrfK)
+    rrfFuse(txt, vec, idCol, k, rrfK, textWeight, vecWeight)
   }
 
   /** [[hybridTopK]] served entirely from the persisted stores: text
@@ -1007,49 +1013,78 @@ object Search {
                         idCol: String, vecCol: String, terms: Seq[String],
                         k: Int, dim: Int, poolK: Int = 20, nProbe: Int = 4,
                         rrfK: Int = 60,
+                        textWeight: Double = 1.0, vecWeight: Double = 1.0,
                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val txt = rankedTopKIndexed(spark, postingsPath, idCol, terms, poolK, k1, b)
       .select(col(idCol), col("rank").as("__tr"))
-    val qv = queryVec.columns.head
     val vec = graft.operators.Similarity.queryIvfIndex(spark, ivfPath, centroidsFlat,
-        queryVec.select(lit(0L).as("__qid"), col(qv).as("__qv")),
+        oneRowQuery(queryVec).select(lit(0L).as("__qid"), col("__graft_qv").as("__qv")),
         idCol, vecCol, "__qid", "__qv", k = poolK, dim = dim, nProbe = nProbe)
       .select(col(idCol), col("rank").as("__vr"))
-    rrfFuse(txt, vec, idCol, k, rrfK)
+    rrfFuse(txt, vec, idCol, k, rrfK, textWeight, vecWeight)
+  }
+
+  /** Validate and normalize the single-query embedding argument: a
+    * multi-row queryVec would silently cross-join every query row into
+    * ONE fused ranking (meaningless) — it is collected/broadcast
+    * anyway, so the count costs nothing at query scale. The embedding
+    * column is renamed to an internal name so a caller column that
+    * happens to share a corpus column's name can neither collide nor
+    * bind to the wrong side. */
+  private def oneRowQuery(queryVec: DataFrame): DataFrame = {
+    val q = queryVec.select(col(queryVec.columns.head).as("__graft_qv"))
+    val n = q.count()
+    require(n == 1L,
+      s"queryVec must hold exactly ONE query embedding row (got $n); " +
+        "rank per-query batches with bruteForceTopK/queryIvfIndex instead")
+    q
   }
 
   /** Exact cosine top-k of the corpus against ONE query embedding —
     * the single-query [[graft.operators.Similarity.bruteForceTopK]]
     * (bounded-heap ranking on (rounded score, id), NaN-safe for zero
     * vectors). `queryVec`: a 1-row DataFrame whose first column is
-    * the embedding. */
+    * the embedding ([[oneRowQuery]] enforces the row count and
+    * isolates the column name). The corpus side is projected to fixed
+    * internal names BEFORE the cross join, so a corpus that already
+    * carries a `__graft_qv`/`score` column — or a queryVec column
+    * named like a corpus column — can neither throw an
+    * ambiguous-reference nor silently bind the wrong side (the dedup
+    * operators' aliasing discipline). */
   private def vectorTopK(corpus: DataFrame, idCol: String, vecCol: String,
-                         queryVec: DataFrame, k: Int): DataFrame = {
-    val qv = queryVec.columns.head
-    corpus.crossJoin(broadcast(queryVec))
-      .select(col(idCol),
-        graft.functions.VectorFunctions.cosineRounded(col(vecCol), col(qv)).as("score"))
-      .filter(!isnan(col("score")))
-      .agg(TopKAggregate.topK(col("score"), col(idCol).cast("long"), k).as("__top"))
+                         queryVec: DataFrame, k: Int): DataFrame =
+    corpus.select(col(idCol).as("__graft_id"), col(vecCol).as("__graft_v"))
+      .crossJoin(broadcast(oneRowQuery(queryVec)))
+      .select(col("__graft_id"),
+        graft.functions.VectorFunctions
+          .cosineRounded(col("__graft_v"), col("__graft_qv")).as("__graft_score"))
+      .filter(!isnan(col("__graft_score")))
+      .agg(TopKAggregate.topK(col("__graft_score"), col("__graft_id").cast("long"), k)
+        .as("__top"))
       .select(posexplode(col("__top")).as(Seq("__r", "__e")))
       .select(col("__e.id").as(idCol), (col("__r") + 1).cast("int").as("rank"))
-  }
 
   /** The RRF join: full outer on the doc id (a doc may surface in one
     * or both rankings), fixed source order (text term first, vector
     * second — the same expression tree on every engine), UNROUNDED
-    * scores (exact-integer division needs no rounding discipline),
-    * single-group bounded-heap final rank. */
+    * scores (a double weight divided by an exact positive integer is
+    * one correctly-rounded operation — no rounding discipline needed
+    * for ANY weight), single-group bounded-heap final rank. */
   private def rrfFuse(txt: DataFrame, vec: DataFrame, idCol: String,
-                      k: Int, rrfK: Int): DataFrame =
+                      k: Int, rrfK: Int,
+                      textWeight: Double = 1.0, vecWeight: Double = 1.0): DataFrame = {
+    require(rrfK > 0, s"rrfK must be a positive integer (got $rrfK)")
+    require(textWeight > 0.0 && vecWeight > 0.0,
+      s"source weights must be positive (got text=$textWeight, vec=$vecWeight)")
     txt.join(vec, Seq(idCol), "outer")
       .select(col(idCol),
-        (coalesce(lit(1.0) / (lit(rrfK) + col("__tr")), lit(0.0)) +
-         coalesce(lit(1.0) / (lit(rrfK) + col("__vr")), lit(0.0))).as("score"))
+        (coalesce(lit(textWeight) / (lit(rrfK) + col("__tr")), lit(0.0)) +
+         coalesce(lit(vecWeight) / (lit(rrfK) + col("__vr")), lit(0.0))).as("score"))
       .agg(TopKAggregate.topK(col("score"), col(idCol).cast("long"), k).as("__top"))
       .select(posexplode(col("__top")).as(Seq("__r", "__e")))
       .select(col("__e.id").as(idCol), col("__e.score").as("score"),
         (col("__r") + 1).cast("int").as("rank"))
+  }
 
   /** Per-document TF-IDF keyphrase extraction: each doc's top-k terms
     * by tf · idf_fp, where idf_fp = (N·scale) div df is the integer

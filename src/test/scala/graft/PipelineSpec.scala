@@ -55,6 +55,18 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("vec_id") ->
         (r.getAs[Long]("n_matches"), r.getAs[Double]("max_cosine"))).toMap
     assert(re == out)
+    // internal-name isolation: a corpus that already carries the old
+    // internal names (__bvec / __cos) — or any column shadowing the
+    // benchmark's vecCol — must neither throw ambiguous-reference nor
+    // silently bind the benchmark side to a corpus column
+    val trapped = corpus
+      .withColumn("__bvec", col("embedding"))
+      .withColumn("__cos", org.apache.spark.sql.functions.lit(9.9))
+    val trap = Pipeline.contaminationEmbedding(trapped, bench,
+      "vec_id", "embedding", threshold = 0.6)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_matches"), r.getAs[Double]("max_cosine"))).toMap
+    assert(trap == out)
   }
 
   test("hashed and string gram variants agree") {

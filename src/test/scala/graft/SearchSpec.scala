@@ -346,6 +346,58 @@ class SearchSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("hybridTopK parameterization: weights and rank constant steer the fusion exactly; guards reject misuse") {
+    val docs = Seq(
+      (1L, "spark join window pad", Seq(1f, 0f, 0f)),
+      (2L, "spark spark join join window", Seq(0f, 1f, 0f)),
+      (3L, "scan merge sort", Seq(0.9f, 0.1f, 0f)),
+      (4L, "filter scan pad pad", Seq(0.8f, 0.2f, 0f)),
+      (5L, "sort scan pad", Seq(0f, 0f, 1f)),
+    ).toDF("doc_id", "text", "vec")
+    val qv = Seq(Tuple1(Seq(1f, 0f, 0f))).toDF("qvec")
+    val terms = Seq("spark", "join", "window")
+    def fuse(rrfK: Int, tw: Double, vw: Double) =
+      Search.hybridTopK(docs, "doc_id", "text", "vec", qv, terms,
+        k = 5, poolK = 2, rrfK = rrfK, textWeight = tw, vecWeight = vw)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Double]("score"), r.getAs[Int]("rank"))).toMap
+    val txtRank = Search.rankedTopK(docs, "doc_id", "text", terms, k = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rank")).toMap
+    // exact recomposition for ANY (rrfK, weights): w/(k+r) is one
+    // correctly-rounded IEEE division per source, fixed two-term tree
+    Seq((60, 1.0, 1.0), (10, 1.0, 1.0), (60, 2.5, 0.5), (7, 0.25, 4.0)).foreach {
+      case (rk, tw, vw) =>
+        val out = fuse(rk, tw, vw)
+        assert(out(1L)._1 == tw / (rk + txtRank(1L)) + vw / (rk + 1),
+          s"(rrfK=$rk, tw=$tw, vw=$vw) doc 1 score mismatch")
+        assert(out(2L)._1 == tw / (rk + txtRank(2L)), s"doc 2 @ ($rk,$tw,$vw)")
+        assert(out(3L)._1 == vw / (rk + 2), s"doc 3 @ ($rk,$tw,$vw)")
+    }
+    // weights steer the ranking: text-heavy puts the text-only doc 2
+    // above the vector-only doc 3 (equal pool ranks), vector-heavy flips
+    val textHeavy = fuse(60, 10.0, 1.0)
+    val vecHeavy = fuse(60, 1.0, 10.0)
+    assert(textHeavy(2L)._2 < textHeavy(3L)._2)
+    assert(vecHeavy(3L)._2 < vecHeavy(2L)._2)
+    // guards: non-positive tuning values and multi-row query vectors
+    intercept[IllegalArgumentException] { fuse(0, 1.0, 1.0) }
+    intercept[IllegalArgumentException] { fuse(60, 0.0, 1.0) }
+    intercept[IllegalArgumentException] { fuse(60, 1.0, -1.0) }
+    val twoQv = Seq(Tuple1(Seq(1f, 0f, 0f)), Tuple1(Seq(0f, 1f, 0f))).toDF("qvec")
+    intercept[IllegalArgumentException] {
+      Search.hybridTopK(docs, "doc_id", "text", "vec", twoQv, terms, k = 5, poolK = 2)
+    }
+    // internal-name isolation: a corpus already carrying __graft_qv /
+    // score columns, with the queryVec column named like a corpus
+    // column, still binds each side correctly
+    val trapped = docs.withColumn("__graft_qv", col("vec")).withColumn("score", lit(9.9))
+    val trappedQv = Seq(Tuple1(Seq(1f, 0f, 0f))).toDF("vec")
+    assert(Search.hybridTopK(trapped, "doc_id", "text", "vec", trappedQv, terms,
+        k = 5, poolK = 2).collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Double]("score"), r.getAs[Int]("rank"))).toMap ==
+      fuse(60, 1.0, 1.0))
+  }
+
   test("hybridTopKIndexed: exhaustive probe (nProbe = nCentroids) is bit-identical to the scratch hybrid") {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val emb = Tables.embeddings(spark, sfDir)
