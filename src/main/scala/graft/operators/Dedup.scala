@@ -303,7 +303,11 @@ object Dedup {
     * (id, hash) longs; its cost scales with Σ df(g)² over shingles, so
     * run it on the evaluation SAMPLE, not the full corpus — this is
     * the truth side of [[pairEval]], the tuning metric for the banded
-    * production detectors (which never do this join). */
+    * production detectors (which never do this join). Measured on the
+    * r14 sf1 scale ladder (BASELINE.md): 10× docs → 83× runtime on a
+    * dense-vocabulary corpus (every shingle shared by ~90 docs) — the
+    * Σdf² term is genuinely quadratic there, which is WHY the contract
+    * is eval-on-sample (10–50k docs), never the 100 TB corpus. */
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
     // count-based exact Jaccard: |A∩B| = the number of shared DISTINCT

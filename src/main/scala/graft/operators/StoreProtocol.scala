@@ -264,6 +264,15 @@ private[graft] object StoreProtocol {
       new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
     val lines = txt.split("\n").filter(_.nonEmpty)
+    // 0 lines = a hand-made marker (accepted on the bare stable-id
+    // contract); anything other than the full 3-line record is a
+    // TRUNCATED marker from a crash mid-write — refuse rather than
+    // silently downgrade the content check (toLong on garbage also
+    // lands here via NumberFormatException)
+    if (lines.length != 0 && lines.length != 3)
+      throw new java.io.IOException(s"append: commit marker for batch id '$batchId' is " +
+        s"corrupt (${lines.length} lines) — cannot verify the replay's content; " +
+        "rebuild the store or restart batch ids past the old range")
     if (lines.length == 3 &&
         (lines(0).toLong, lines(1).toLong, lines(2).toLong) != fingerprint)
       throw new java.io.IOException(s"append: batch id '$batchId' was redelivered with " +

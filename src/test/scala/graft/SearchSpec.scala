@@ -608,6 +608,36 @@ class SearchSpec extends SparkSpec {
       "doc_id", "text", batchId = "1")
   }
 
+  test("committed replays are content-verified: re-batched redelivery and truncated markers fail loudly") {
+    val path = java.nio.file.Files.createTempDirectory("graft_fprint").toString + "/idx"
+    Search.buildPostingsIndex(tinyCorpus.filter(col("doc_id") <= 5), path,
+      "doc_id", "text", nBuckets = 4)
+    val d6 = tinyCorpus.filter(col("doc_id") === 6)
+    Search.appendPostingsIndex(d6, path, "doc_id", "text", batchId = "b1")
+    val before = postingsSet(path)
+    // identical replay: exactly-once no-op
+    Search.appendPostingsIndex(d6, path, "doc_id", "text", batchId = "b1")
+    assert(postingsSet(path) == before)
+    // redelivery under the same id with MORE rows (the reset-checkpoint
+    // re-batching case): the fingerprint the marker sealed refuses it —
+    // a bare existence no-op would have silently dropped doc 7
+    val e = intercept[java.io.IOException] {
+      Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id").isin(6L, 7L)), path,
+        "doc_id", "text", batchId = "b1")
+    }
+    assert(e.getMessage.contains("DIFFERENT content"))
+    assert(postingsSet(path) == before)
+    // a truncated marker (crash mid-write) refuses verification rather
+    // than silently downgrading to the existence check
+    val w = new java.io.FileWriter(s"$path/_commits/b1"); w.write("2\n123"); w.close()
+    new java.io.File(s"$path/_commits/.b1.crc").delete()
+    val e2 = intercept[java.io.IOException] {
+      Search.appendPostingsIndex(d6, path, "doc_id", "text", batchId = "b1")
+    }
+    assert(e2.getMessage.contains("corrupt"))
+    assert(postingsSet(path) == before)
+  }
+
   test("numeric batch ids form a monotone sequence: an out-of-order id is rejected as reuse") {
     val path = java.nio.file.Files.createTempDirectory("graft_mono").toString + "/idx"
     Search.buildPostingsIndex(tinyCorpus.filter(col("doc_id") <= 5), path,
