@@ -736,7 +736,13 @@ object Search {
     * ivfStoreStats discipline: the health probe must answer in
     * exactly the states it exists to surface). Output: (live_docs,
     * tombstoned_docs, tombstone_fraction, total_tokens, n_buckets,
-    * epoch, bytes, uncommitted_batches). */
+    * epoch, bytes, uncommitted_batches, replay_hw, replay_named) —
+    * the last two surface the `_applied` replay ledger (high-water
+    * numeric batch id, −1 when none; count of non-numeric applied
+    * ids): the number an operator checks before deciding whether a
+    * stream checkpoint reset can safely restart at batch 0 (it
+    * cannot unless the store is rebuilt — see
+    * [[graft.operators.StoreProtocol.wasApplied]]). */
   def postingsStoreStats(spark: org.apache.spark.sql.SparkSession,
                          path: String): DataFrame = {
     val fs = fsOf(spark, path)
@@ -755,12 +761,14 @@ object Search {
     val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
     val uncommitted = StoreProtocol.stagedBatches(fs, path)
       .count(b => !StoreProtocol.isCommitted(fs, path, b))
+    val (replayHw, replayIds) = StoreProtocol.readLedger(fs, path)
     spark.createDataFrame(Seq((nDocs - nDel, nDel,
         if (nDocs == 0) 0.0 else math.rint(nDel.toDouble / nDocs * 1e6) / 1e6,
         st.getAs[Long]("total_tokens") - tokDel, st.getAs[Int]("n_buckets"),
-        epoch, bytes, uncommitted.toLong)))
+        epoch, bytes, uncommitted.toLong, replayHw, replayIds.size.toLong)))
       .toDF("live_docs", "tombstoned_docs", "tombstone_fraction",
-        "total_tokens", "n_buckets", "epoch", "bytes", "uncommitted_batches")
+        "total_tokens", "n_buckets", "epoch", "bytes", "uncommitted_batches",
+        "replay_hw", "replay_named")
   }
 
   /** BM25 retrieval against a persisted postings index (see

@@ -388,7 +388,10 @@ object Similarity {
     * postingsStoreStats twin: row/file counts come from parquet
     * metadata and directory listings, never a vector scan. Output:
     * (n_vectors, n_cells, n_files, bytes, uncommitted_batches,
-    * pending_cell_swaps). */
+    * pending_cell_swaps, replay_hw, replay_named) — the last two
+    * surface the `_applied` replay ledger (the postingsStoreStats
+    * columns: what an operator checks before resetting a stream
+    * checkpoint). */
   def ivfStoreStats(spark: org.apache.spark.sql.SparkSession,
                     path: String): DataFrame = {
     val fs = StoreProtocol.fsOf(spark, path)
@@ -408,11 +411,12 @@ object Similarity {
       if (cellDirs.isEmpty) 0L
       else spark.read.option("basePath", path)
         .parquet(cellDirs.map(_.getPath.toString).toSeq: _*).count()
+    val (replayHw, replayIds) = StoreProtocol.readLedger(fs, path)
     spark.createDataFrame(Seq((nVectors,
         cellDirs.length.toLong, nFiles.toLong, bytes, uncommitted.toLong,
-        pendingOld.toLong)))
+        pendingOld.toLong, replayHw, replayIds.size.toLong)))
       .toDF("n_vectors", "n_cells", "n_files", "bytes",
-        "uncommitted_batches", "pending_cell_swaps")
+        "uncommitted_batches", "pending_cell_swaps", "replay_hw", "replay_named")
   }
 
   /** Query a persisted IVF index (see [[buildIvfIndex]]). The probed

@@ -783,6 +783,8 @@ class SearchSpec extends SparkSpec {
     assert(s0.getAs[Long]("live_docs") == 8L && s0.getAs[Long]("tombstoned_docs") == 0L)
     assert(s0.getAs[Long]("epoch") == 0L && s0.getAs[Long]("uncommitted_batches") == 0L)
     assert(s0.getAs[Long]("bytes") > 0L)
+    // a fresh store has no replay history
+    assert(s0.getAs[Long]("replay_hw") == -1L && s0.getAs[Long]("replay_named") == 0L)
     Search.deleteFromPostingsIndex(spark, path,
       tinyCorpus.filter(col("doc_id") <= 2).select(col("doc_id")), "doc_id")
     val s1 = stats()
@@ -798,6 +800,20 @@ class SearchSpec extends SparkSpec {
     assert(s2.getAs[Double]("tombstone_fraction") == 0.0 && s2.getAs[Long]("epoch") == 1L)
     // clean store: nothing due
     assert(!Search.compactIfNeeded(spark, path, maxTombstoneFraction = 0.0))
+    // the replay ledger surfaces once appends fold markers into it:
+    // a numeric id advances the high-water mark, a named id counts by
+    // name. Fold runs at each NEXT entry, so after these three appends
+    // markers 7 and crawlA are folded (batch 8's own marker is not —
+    // it folds at the next maintenance entry).
+    Search.appendPostingsIndex(Seq((101L, "pad spark")).toDF("doc_id", "text"),
+      path, "doc_id", "text", batchId = "7")
+    Search.appendPostingsIndex(Seq((102L, "pad join")).toDF("doc_id", "text"),
+      path, "doc_id", "text", batchId = "crawlA")
+    Search.appendPostingsIndex(Seq((103L, "pad sort")).toDF("doc_id", "text"),
+      path, "doc_id", "text", batchId = "8")
+    val sr = stats()
+    assert(sr.getAs[Long]("replay_hw") == 7L, "marker 7 folded at batch 8's entry")
+    assert(sr.getAs[Long]("replay_named") == 1L, "crawlA folded by name")
   }
 
   test("rankedTopK: BM25 pivot × slop boost, no-window docs keep plain BM25") {

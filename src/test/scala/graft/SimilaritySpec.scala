@@ -400,6 +400,7 @@ class SimilaritySpec extends SparkSpec {
     assert(s0.getAs[Long]("n_cells") >= 1L && s0.getAs[Long]("n_files") >= s0.getAs[Long]("n_cells"))
     assert(s0.getAs[Long]("bytes") > 0L)
     assert(s0.getAs[Long]("uncommitted_batches") == 0L && s0.getAs[Long]("pending_cell_swaps") == 0L)
+    assert(s0.getAs[Long]("replay_hw") == -1L && s0.getAs[Long]("replay_named") == 0L)
     // a half-swapped cell surfaces as pending maintenance
     val anyCell = spark.read.parquet(path).select("__cell").distinct()
       .orderBy(col("__cell").asc).first().getInt(0)
