@@ -235,7 +235,11 @@ private[graft] object StoreProtocol {
     * wraparound needed (the corpus_manifest lane recipe). Partition-
     * and order-independent, so the recomputation on a redelivered
     * batch cannot depend on shuffle layout. One O(batch) map-side
-    * aggregate — paid once per append and once per replay. */
+    * aggregate — paid once per append and once per replay. Contract:
+    * the delta is a DETERMINISTIC relation (the streaming-source
+    * guarantee within one checkpoint lineage) — a delta carrying a
+    * non-deterministic column (current_timestamp, rand) would refuse
+    * its own legitimate replay; fail-loud, never silent. */
   def contentFingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, shiftrightunsigned, sum, xxhash64}
     val cols = df.schema.fields
