@@ -245,7 +245,9 @@ private[graft] object StoreProtocol {
     val cols = df.schema.fields
       .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
       .map(f => col(f.name)).toSeq
-    val h = xxhash64(cols: _*)
+    // a delta whose every column is map-typed (unhashable) degrades to
+    // a count-only fingerprint rather than a zero-arg analysis error
+    val h = if (cols.isEmpty) xxhash64(lit(0L)) else xxhash64(cols: _*)
     val r = df.agg(count(lit(1)).cast("long"),
         coalesce(sum(h.bitwiseAND(lit(0xFFFFFFFFL))), lit(0L)),
         coalesce(sum(shiftrightunsigned(h, 32)), lit(0L))).collect()(0)
