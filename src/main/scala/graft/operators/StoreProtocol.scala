@@ -133,11 +133,16 @@ private[graft] object StoreProtocol {
   /** (high-water numeric id, non-numeric applied ids) — (-1, empty)
     * when no ledger exists. Falls back to the preserved `__old` copy
     * of a torn swap (markers are only pruned AFTER a completed fold,
-    * so the stale copy plus the still-live markers covers every id). */
+    * so the stale copy plus the still-live markers covers every id).
+    * A ledger file that EXISTS but cannot be parsed throws — the
+    * protocol's swap writes make a half-written live ledger
+    * impossible, so unparseable means external corruption, and
+    * silently reading it as "no history" would drop replay protection
+    * (the requireSameReplay truncated-marker rule). */
   private[graft] def readLedger(fs: FileSystem, path: String): (Long, Set[String]) = {
     def readAt(p: Path): Option[(Long, Set[String])] =
       if (!fs.exists(p)) None
-      else scala.util.Try {
+      else {
         val in = fs.open(p)
         val txt = try {
           val out = new java.io.ByteArrayOutputStream()
@@ -145,8 +150,12 @@ private[graft] object StoreProtocol {
           new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
         } finally in.close()
         val lines = txt.split("\n").filter(_.nonEmpty)
-        (lines.head.toLong, lines.tail.toSet)
-      }.toOption
+        val parsed = scala.util.Try((lines.head.toLong, lines.tail.toSet))
+        if (parsed.isFailure)
+          throw new java.io.IOException(s"applied-batch ledger $p is corrupt — cannot " +
+            "read replay history; restore it (or rebuild the store) before appending")
+        parsed.toOption
+      }
     readAt(ledgerPath(path)).orElse(readAt(ledgerOldPath(path))).getOrElse((-1L, Set.empty[String]))
   }
 

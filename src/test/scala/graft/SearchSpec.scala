@@ -638,6 +638,25 @@ class SearchSpec extends SparkSpec {
     assert(postingsSet(path) == before)
   }
 
+  test("a corrupt applied-batch ledger refuses appends loudly instead of silently dropping replay history") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ledgercorrupt").toString + "/idx"
+    Search.buildPostingsIndex(tinyCorpus.filter(col("doc_id") <= 5), path,
+      "doc_id", "text", nBuckets = 4)
+    Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 6), path,
+      "doc_id", "text", batchId = "1")
+    Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 7), path,
+      "doc_id", "text", batchId = "2") // entry folds marker 1 -> ledger exists
+    assert(new java.io.File(s"$path/_applied").exists())
+    val w = new java.io.FileWriter(s"$path/_applied"); w.write("not a number"); w.close()
+    new java.io.File(s"$path/.._applied.crc").delete()
+    new java.io.File(s"$path/._applied.crc").delete()
+    val e = intercept[java.io.IOException] {
+      Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 8), path,
+        "doc_id", "text", batchId = "3")
+    }
+    assert(e.getMessage.contains("ledger") && e.getMessage.contains("corrupt"))
+  }
+
   test("numeric batch ids form a monotone sequence: an out-of-order id is rejected as reuse") {
     val path = java.nio.file.Files.createTempDirectory("graft_mono").toString + "/idx"
     Search.buildPostingsIndex(tinyCorpus.filter(col("doc_id") <= 5), path,
