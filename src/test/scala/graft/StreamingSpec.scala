@@ -133,6 +133,31 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
     assert(got == full)
     assert(got.map(_._1) == Set(10L, 20L, 110L, 210L)) // dups 100/200 dropped
+
+    // checkpoint LOSS: the restarted stream re-reads every input file
+    // as one coarse batch 0, redelivering docs the state already
+    // ingested. Unlike the index stores (whose rows are not
+    // content-keyed, hence their ledger/fingerprint machinery), the
+    // corpus state is idempotent under redelivered content BY
+    // CONSTRUCTION — the fingerprint store IS the dedup, so every
+    // re-submitted doc is exact-filtered before any store grows. The
+    // replay must be a semantic no-op: same export, zero state growth.
+    val fpRows = spark.read.parquet(s"$state/fp").count()
+    val survRows = spark.read.parquet(s"$state/survivors").count()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$base/ckpt"))
+    val q2 = StreamOps.corpusStream(
+      StreamOps.parquetStream(spark, in, schema, maxFilesPerTrigger = 10),
+      state, "doc_id", "text", s"$base/ckpt", nShards = 2, minTokens = 1,
+      minStopwordRatio = 0.0, maxRepetition = 2.0).start()
+    q2.processAllAvailable()
+    q2.stop()
+    val got2 = spark.read.parquet(s"$state/export")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    assert(got2 == full, "checkpoint-loss replay must not change the export")
+    assert(spark.read.parquet(s"$state/fp").count() == fpRows,
+      "redelivered docs must not grow the fingerprint store")
+    assert(spark.read.parquet(s"$state/survivors").count() == survRows,
+      "redelivered docs must not grow the survivor store")
   }
 
   test("tokenMixStream: replayed batches equal one-shot tokenMixToBudget; later batch displaces") {
