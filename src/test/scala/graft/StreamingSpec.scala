@@ -207,6 +207,22 @@ class StreamingSpec extends SparkSpec {
       val sel = got.values.filter(v => v._1 == s0 && v._4).map(_._2).sum
       assert(sel <= b && sel > 0)
     }
+    // checkpoint LOSS: restart with coarser re-batching (every file
+    // redelivered as one batch 0) against the already-built state —
+    // the id-dedup merge makes redelivery a semantic no-op: the mix
+    // is still the one-shot answer and the id-only state relation
+    // holds each doc exactly once
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$base/ckpt"))
+    val q2 = StreamOps.tokenMixStream(
+      StreamOps.parquetStream(spark, in, schema, maxFilesPerTrigger = 10),
+      state, "doc_id", "source", "n_tokens", budgets, s"$base/ckpt").start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(asMap(spark.read.parquet(s"$state/mix")) == oneShot,
+      "checkpoint-loss replay must not change the mixture")
+    val rows = spark.read.parquet(s"$state/rows")
+    assert(rows.count() == 40L && rows.select("doc_id").distinct().count() == 40L,
+      "redelivered docs must not duplicate the state relation")
   }
 
   test("embeddingDriftStream emits per-batch drift equal to batch embeddingDrift on replay") {
