@@ -88,6 +88,19 @@ class StreamingSpec extends SparkSpec {
       1L -> (30L, "c"),  // batch 3's ord=20 must NOT regress batch 2's ord=30
       2L -> (5L, "n"),
       3L -> (2L, "y")))  // within-batch latest-wins
+    // checkpoint LOSS: restart with every file redelivered as one
+    // coarse batch 0 — latest-wins merging makes redelivered rows a
+    // semantic no-op (no row can regress the stored latest), so the
+    // table is unchanged
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$base/ckpt"))
+    val q2 = StreamOps.upsertStream(
+      StreamOps.parquetStream(spark, in, schema, maxFilesPerTrigger = 10),
+      table, Seq("k"), Seq("ord"), s"$base/ckpt").start()
+    q2.processAllAvailable()
+    q2.stop()
+    val out2 = spark.read.parquet(table)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out2 == out, "checkpoint-loss replay must not change the upsert table")
   }
 
   test("corpusStream: replayed crawl batches equal a full prepareCorpus rebuild") {
