@@ -367,8 +367,14 @@ object Search {
     * Note each batch adds one file per touched bucket partition;
     * [[compactPostingsIndex]] is also the file-count compaction. */
   def appendPostingsIndex(delta: DataFrame, path: String, idCol: String,
-                          textCol: String, batchId: String): Unit = {
+                          textCol: String, batchId: String,
+                          streamBatch: Boolean = false): Unit = {
     StoreProtocol.requireBatchId(batchId)
+    // all-digit ids (and legacy stream<N>) are the stream twins'
+    // monotone sequence — a manual append with a large numeric id
+    // would raise the ledger's high-water mark past the live stream's
+    // next checkpoint batch and wedge it permanently
+    if (!streamBatch) StoreProtocol.requireManualBatchId(batchId)
     val spark = delta.sparkSession
     val fs = fsOf(spark, path)
     if (StoreProtocol.isCommitted(fs, path, batchId)) {

@@ -197,8 +197,13 @@ object Similarity {
     * the batch's half-moved prefixed files, then applies it once —
     * a bare parquet `Append` would instead duplicate the vectors. */
   def appendIvfIndex(delta: DataFrame, path: String, centroidsFlat: Array[Double],
-                     vecCol: String, dim: Int, batchId: String): Unit = {
+                     vecCol: String, dim: Int, batchId: String,
+                     streamBatch: Boolean = false): Unit = {
     StoreProtocol.requireBatchId(batchId)
+    // numeric id space is reserved for the stream twins (the
+    // appendPostingsIndex rationale: one manual numeric append can
+    // wedge a live stream via the ledger's high-water rule)
+    if (!streamBatch) StoreProtocol.requireManualBatchId(batchId)
     val spark = delta.sparkSession
     val fs = StoreProtocol.fsOf(spark, path)
     if (StoreProtocol.isCommitted(fs, path, batchId)) {

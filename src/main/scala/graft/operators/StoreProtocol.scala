@@ -130,6 +130,37 @@ private[graft] object StoreProtocol {
       Some(batchId.toLong)
     else None
 
+  /** Pre-r14 stream twins prefixed batch ids as `stream<N>`; stores
+    * written under that format hold markers/ledger entries by that
+    * name. Treat them as the numeric sequence ids they were, so the
+    * high-water mark covers them after upgrade — otherwise a
+    * redelivered in-flight batch N (now passed as plain "N") would
+    * find no marker "N", no "bN-" files, and no ledger coverage, and
+    * silently apply twice. The `stream<digits>` name space is
+    * therefore reserved alongside the all-digit space. */
+  private def legacyNumericId(batchId: String): Option[Long] =
+    if (batchId.startsWith("stream")) numericId(batchId.stripPrefix("stream")) else None
+
+  /** Numeric (current) or legacy-stream-format sequence number. */
+  private def sequenceId(batchId: String): Option[Long] =
+    numericId(batchId).orElse(legacyNumericId(batchId))
+
+  /** All-digit ids (and the legacy `stream<N>` spelling) are the
+    * stream twins' monotone sequence — [[wasApplied]] compares them
+    * against a single high-water mark, so ONE manual append with a
+    * large numeric id (say "900") would permanently wedge a live
+    * stream whose intact checkpoint is about to deliver batch 3.
+    * Manual append entry points call this to keep the numeric space
+    * reserved; callers driving the protocol the way a stream does
+    * (monotone ids from a checkpoint) opt out via their
+    * `streamBatch` parameter. */
+  def requireManualBatchId(batchId: String): Unit =
+    require(sequenceId(batchId).isEmpty,
+      s"batch id '$batchId' is in the numeric id space reserved for stream batches " +
+        "(the ledger's high-water rule would wedge a live stream's next batch); " +
+        "use a named id like 'crawlA', or pass streamBatch = true when deliberately " +
+        "driving the protocol with a stream's monotone sequence")
+
   /** (high-water numeric id, non-numeric applied ids) — (-1, empty)
     * when no ledger exists. Falls back to the preserved `__old` copy
     * of a torn swap (markers are only pruned AFTER a completed fold,
@@ -177,11 +208,17 @@ private[graft] object StoreProtocol {
       else { fs.delete(old, false); () }
     }
     fs.delete(ledgerTmpPath(path), false)
-    if (names.isEmpty) return
+    if (names.isEmpty && !fs.exists(live)) return
     val (hw, ids) = readLedger(fs, path)
-    val newHw = (hw +: names.toSeq.flatMap(numericId)).max
-    val newIds = ids ++ names.filter(n => numericId(n).isEmpty)
+    // fold legacy `stream<N>` evidence (marker names AND by-name set
+    // entries written by a pre-upgrade ledger) into the high-water
+    // mark, migrating the set entries out — see legacyNumericId
+    val newHw = (Seq(hw) ++ names.toSeq.flatMap(sequenceId) ++
+      ids.toSeq.flatMap(legacyNumericId)).max
+    val newIds = (ids ++ names.filter(n => sequenceId(n).isEmpty))
+      .filter(n => legacyNumericId(n).isEmpty)
     if (newHw == hw && newIds == ids && fs.exists(live)) return
+    if (newHw == -1L && newIds.isEmpty) return
     val out = fs.create(ledgerTmpPath(path), true)
     try out.write((newHw.toString +: newIds.toSeq.sorted).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -202,7 +239,7 @@ private[graft] object StoreProtocol {
     * the recorded set. */
   def wasApplied(fs: FileSystem, path: String, batchId: String): Boolean = {
     val (hw, ids) = readLedger(fs, path)
-    numericId(batchId).exists(_ <= hw) || ids.contains(batchId)
+    sequenceId(batchId).exists(_ <= hw) || ids.contains(batchId)
   }
 
   /** Drop the ledger (with its swap debris) — a REBUILD defines a
@@ -231,10 +268,23 @@ private[graft] object StoreProtocol {
   def markCommitted(fs: FileSystem, path: String, batchId: String,
                     fingerprint: Option[(Long, Long, Long)] = None): Unit = {
     fs.mkdirs(new Path(s"$path/_commits"))
-    val out = fs.create(commitMarker(path, batchId), true)
+    // write-then-rename: a crash mid-write of the fingerprint would
+    // otherwise leave either a TRUNCATED marker (every retry then
+    // throws 'corrupt' forever — the store wedges despite a correctly
+    // applied batch, breaking retry-converges) or an EMPTY one (the
+    // replay is accepted with NO content verification — reopening the
+    // reset-checkpoint loss hole). Rename is the protocol's atomic
+    // primitive; the `_tmp-` name is invisible to listMarkers (leading
+    // underscore) and a crashed leftover is overwritten on retry.
+    val tmp = new Path(s"$path/_commits/_tmp-$batchId")
+    val out = fs.create(tmp, true)
     try fingerprint.foreach { case (n, lo, hi) =>
       out.write(s"$n\n$lo\n$hi".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
+    val dst = commitMarker(path, batchId)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"commit: rename $tmp -> $dst failed")
   }
 
   /** Order-free content fingerprint of a delta batch: (row count,
@@ -269,6 +319,11 @@ private[graft] object StoreProtocol {
     * extra rows. Markers without a recorded fingerprint (none are
     * written by this code; a hand-made marker) are accepted on the
     * bare stable-batch-id contract. */
+  private def corruptMarker(batchId: String, nLines: Int) =
+    new java.io.IOException(s"append: commit marker for batch id '$batchId' is " +
+      s"corrupt ($nLines lines) — cannot verify the replay's content; " +
+      "rebuild the store or restart batch ids past the old range")
+
   def requireSameReplay(fs: FileSystem, path: String, batchId: String,
                         fingerprint: (Long, Long, Long)): Unit = {
     val p = commitMarker(path, batchId)
@@ -280,20 +335,21 @@ private[graft] object StoreProtocol {
     } finally in.close()
     val lines = txt.split("\n").filter(_.nonEmpty)
     // 0 lines = a hand-made marker (accepted on the bare stable-id
-    // contract); anything other than the full 3-line record is a
-    // TRUNCATED marker from a crash mid-write — refuse rather than
-    // silently downgrade the content check (toLong on garbage also
-    // lands here via NumberFormatException)
-    if (lines.length != 0 && lines.length != 3)
-      throw new java.io.IOException(s"append: commit marker for batch id '$batchId' is " +
-        s"corrupt (${lines.length} lines) — cannot verify the replay's content; " +
-        "rebuild the store or restart batch ids past the old range")
-    if (lines.length == 3 &&
-        (lines(0).toLong, lines(1).toLong, lines(2).toLong) != fingerprint)
+    // contract); anything other than a PARSEABLE 3-line record is a
+    // corrupt marker (crash-truncated writes are ruled out by
+    // markCommitted's write-then-rename, so this is external damage)
+    // — refuse rather than silently downgrade the content check
+    val sealed3 =
+      if (lines.length == 0) None
+      else if (lines.length != 3) throw corruptMarker(batchId, lines.length)
+      else Some(scala.util.Try((lines(0).toLong, lines(1).toLong, lines(2).toLong))
+        .getOrElse(throw corruptMarker(batchId, lines.length)))
+    sealed3.filter(_ != fingerprint).foreach { s =>
       throw new java.io.IOException(s"append: batch id '$batchId' was redelivered with " +
-        s"DIFFERENT content than its commit recorded (got $fingerprint, sealed " +
-        s"(${lines(0)}, ${lines(1)}, ${lines(2)})) — the stream checkpoint was reset and " +
-        "re-batched the source; rebuild the store or restart batch ids past the old range")
+        s"DIFFERENT content than its commit recorded (got $fingerprint, sealed $s) — " +
+        "the stream checkpoint was reset and re-batched the source; rebuild the store " +
+        "or restart batch ids past the old range")
+    }
   }
 
   /** Staged batches, committed or not — the repair worklist. */

@@ -292,7 +292,7 @@ object StreamOps {
         // by one entry per micro-batch, forever
         if (!batch.isEmpty)
           graft.operators.Similarity.appendIvfIndex(batch.toDF(), indexPath,
-            centroidsFlat, vecCol, dim, batchId = batchId.toString)
+            centroidsFlat, vecCol, dim, batchId = batchId.toString, streamBatch = true)
         ()
       }
 
@@ -321,7 +321,7 @@ object StreamOps {
         // ledger's high-water mark absorbs the whole monotone sequence
         if (!batch.isEmpty)
           graft.operators.Search.appendPostingsIndex(batch.toDF(), indexPath,
-            idCol, textCol, batchId = batchId.toString)
+            idCol, textCol, batchId = batchId.toString, streamBatch = true)
         ()
       }
 

@@ -566,9 +566,9 @@ class SearchSpec extends SparkSpec {
     Search.buildPostingsIndex(tinyCorpus.filter(col("doc_id") <= 5), path,
       "doc_id", "text", nBuckets = 4)
     Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 6), path,
-      "doc_id", "text", batchId = "1")
+      "doc_id", "text", batchId = "1", streamBatch = true)
     Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 7), path,
-      "doc_id", "text", batchId = "2")
+      "doc_id", "text", batchId = "2", streamBatch = true)
     // age batch 1's marker past retention; compact prunes it AND folds
     // the b1- prefixed files into unprefixed rewrites — after which the
     // old file-probe guard has nothing left to detect the reuse with
@@ -586,13 +586,13 @@ class SearchSpec extends SparkSpec {
     val before = postingsSet(path)
     val e = intercept[java.io.IOException] {
       Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 8), path,
-        "doc_id", "text", batchId = "1")
+        "doc_id", "text", batchId = "1", streamBatch = true)
     }
     assert(e.getMessage.contains("re-using old batch ids"))
     assert(postingsSet(path) == before)
     // a genuinely new id (past the high-water mark) still appends
     Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 8), path,
-      "doc_id", "text", batchId = "3")
+      "doc_id", "text", batchId = "3", streamBatch = true)
     assert(postingsSet(path) != before)
     // the ledger survives a torn swap: with the live copy gone the
     // preserved __old still answers (markers are only pruned after a
@@ -605,7 +605,7 @@ class SearchSpec extends SparkSpec {
     Search.buildPostingsIndex(tinyCorpus.filter(col("doc_id") <= 5), path,
       "doc_id", "text", nBuckets = 4)
     Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 6), path,
-      "doc_id", "text", batchId = "1")
+      "doc_id", "text", batchId = "1", streamBatch = true)
   }
 
   test("committed replays are content-verified: re-batched redelivery and truncated markers fail loudly") {
@@ -643,16 +643,16 @@ class SearchSpec extends SparkSpec {
     Search.buildPostingsIndex(tinyCorpus.filter(col("doc_id") <= 5), path,
       "doc_id", "text", nBuckets = 4)
     Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 6), path,
-      "doc_id", "text", batchId = "1")
+      "doc_id", "text", batchId = "1", streamBatch = true)
     Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 7), path,
-      "doc_id", "text", batchId = "2") // entry folds marker 1 -> ledger exists
+      "doc_id", "text", batchId = "2", streamBatch = true) // entry folds marker 1 -> ledger exists
     assert(new java.io.File(s"$path/_applied").exists())
     val w = new java.io.FileWriter(s"$path/_applied"); w.write("not a number"); w.close()
     new java.io.File(s"$path/.._applied.crc").delete()
     new java.io.File(s"$path/._applied.crc").delete()
     val e = intercept[java.io.IOException] {
       Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 8), path,
-        "doc_id", "text", batchId = "3")
+        "doc_id", "text", batchId = "3", streamBatch = true)
     }
     assert(e.getMessage.contains("ledger") && e.getMessage.contains("corrupt"))
   }
@@ -662,16 +662,16 @@ class SearchSpec extends SparkSpec {
     Search.buildPostingsIndex(tinyCorpus.filter(col("doc_id") <= 5), path,
       "doc_id", "text", nBuckets = 4)
     Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 6), path,
-      "doc_id", "text", batchId = "10")
+      "doc_id", "text", batchId = "10", streamBatch = true)
     // the next entry folds marker 10 into the ledger's high-water mark
     Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 7), path,
-      "doc_id", "text", batchId = "20")
+      "doc_id", "text", batchId = "20", streamBatch = true)
     // "5" was never appended, but a numeric id below the high-water
     // mark is indistinguishable from a reset checkpoint's reuse —
     // Structured Streaming ids are monotone, so reject loudly
     val e = intercept[java.io.IOException] {
       Search.appendPostingsIndex(tinyCorpus.filter(col("doc_id") === 8), path,
-        "doc_id", "text", batchId = "5")
+        "doc_id", "text", batchId = "5", streamBatch = true)
     }
     assert(e.getMessage.contains("re-using old batch ids"))
     // non-numeric ids are tracked by name, not by the numeric mark:
@@ -825,11 +825,11 @@ class SearchSpec extends SparkSpec {
     // markers 7 and crawlA are folded (batch 8's own marker is not —
     // it folds at the next maintenance entry).
     Search.appendPostingsIndex(Seq((101L, "pad spark")).toDF("doc_id", "text"),
-      path, "doc_id", "text", batchId = "7")
+      path, "doc_id", "text", batchId = "7", streamBatch = true)
     Search.appendPostingsIndex(Seq((102L, "pad join")).toDF("doc_id", "text"),
       path, "doc_id", "text", batchId = "crawlA")
     Search.appendPostingsIndex(Seq((103L, "pad sort")).toDF("doc_id", "text"),
-      path, "doc_id", "text", batchId = "8")
+      path, "doc_id", "text", batchId = "8", streamBatch = true)
     val sr = stats()
     assert(sr.getAs[Long]("replay_hw") == 7L, "marker 7 folded at batch 8's entry")
     assert(sr.getAs[Long]("replay_named") == 1L, "crawlA folded by name")

@@ -360,8 +360,8 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", dim = 8, nCentroids = 4)
     val b1 = emb.filter(col("vec_id") >= 30 && col("vec_id") < 35)
     val b2 = emb.filter(col("vec_id") >= 35)
-    Similarity.appendIvfIndex(b1, path, centroids, "embedding", dim = 8, batchId = "1")
-    Similarity.appendIvfIndex(b2, path, centroids, "embedding", dim = 8, batchId = "2")
+    Similarity.appendIvfIndex(b1, path, centroids, "embedding", dim = 8, batchId = "1", streamBatch = true)
+    Similarity.appendIvfIndex(b2, path, centroids, "embedding", dim = 8, batchId = "2", streamBatch = true)
     // age batch 1's marker out of retention, then delete ids out of
     // EVERY cell batch 1 touched — the cell rewrite folds away its
     // b1- prefixed files, so only the ledger remembers the batch
@@ -382,12 +382,12 @@ class SimilaritySpec extends SparkSpec {
       "cell rewrites should have folded away the prefixed files — the ledger is load-bearing")
     val before = cellRel(path)
     val e = intercept[java.io.IOException] {
-      Similarity.appendIvfIndex(b1, path, centroids, "embedding", dim = 8, batchId = "1")
+      Similarity.appendIvfIndex(b1, path, centroids, "embedding", dim = 8, batchId = "1", streamBatch = true)
     }
     assert(e.getMessage.contains("re-using old batch ids"))
     assert(cellRel(path) == before) // nothing applied, nothing lost
     // a fresh id past the high-water mark still appends
-    Similarity.appendIvfIndex(b1, path, centroids, "embedding", dim = 8, batchId = "3")
+    Similarity.appendIvfIndex(b1, path, centroids, "embedding", dim = 8, batchId = "3", streamBatch = true)
     assert(cellRel(path) != before)
   }
 

@@ -213,7 +213,7 @@ class StoreLifecycleSpec extends SparkSpec {
     }
     Search.appendPostingsIndex(
       Seq((200L, "hash stream pad")).toDF("doc_id", "text"),
-      idx, "doc_id", "text", batchId = "900")
+      idx, "doc_id", "text", batchId = "900", streamBatch = true)
     assert(!new java.io.File(s"$idx/_commits/0").exists(), "aged markers should be pruned")
     val settled2 = rel()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))

@@ -89,8 +89,12 @@ def synth_documents(con, src, out, k, rnd):
         a, b = victims[2 * j], victims[2 * j + 1]
         ws = docs[a][1].split()
         pool = per_lang_words[docs[a][2]]
-        for _ in range(3):
-            ws[rnd.randrange(len(ws))] = pool[rnd.randrange(len(pool))]
+        # an empty source doc (length 0 drawn from the empirical pool)
+        # has no words to edit — plant it as an exact dup instead of
+        # letting randrange(0) abort the whole generation
+        if ws:
+            for _ in range(3):
+                ws[rnd.randrange(len(ws))] = pool[rnd.randrange(len(pool))]
         docs[b][1], docs[b][2], docs[b][3] = " ".join(ws), docs[a][2], docs[a][3]
     table = pa.table({
         "doc_id": pa.array([d[0] for d in docs], pa.int64()),
