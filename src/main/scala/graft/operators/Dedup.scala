@@ -307,9 +307,14 @@ object Dedup {
     * r14 sf1 scale ladder (BASELINE.md): 10× docs → 83× runtime on a
     * dense-vocabulary corpus (every shingle shared by ~90 docs) — the
     * Σdf² term is genuinely quadratic there, which is WHY the contract
-    * is eval-on-sample (10–50k docs), never the 100 TB corpus. */
+    * is eval-on-sample (10–50k docs), never the 100 TB corpus. Since
+    * r15 the contract is ENFORCED: the exact candidate mass Σ df² is
+    * priced with one agg before the pair join, and an over-budget
+    * input is refused with sample-size guidance (`maxCandidateMass`;
+    * <= 0 opts out for callers that already priced the corpus). */
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        shingleK: Int = 3, threshold: Double = 0.5,
+                        maxCandidateMass: Long = 50_000_000L): DataFrame = {
     // count-based exact Jaccard: |A∩B| = the number of shared DISTINCT
     // shingle hashes, counted directly off the prefilter join, and
     // |A∪B| = |A|+|B|−|A∩B| from two tiny (id, size) joins — the
@@ -327,6 +332,38 @@ object Dedup {
       .cache()
     val sizes = sets.select(col("__id"), size(col("__set")).as("__n"))
     val ex = sets.select(col("__id"), explode(col("__set")).as("__g"))
+    // ENFORCE the eval-on-sample contract before generating a single
+    // pair: the prefilter join emits exactly Σ df(g)² rows (both
+    // orders + self-matches), so one cheap agg over the shingle df
+    // relation prices the join in advance. Above the budget the call
+    // REFUSES with concrete sample-size guidance instead of launching
+    // a shuffle that is quadratic in the hot shingles' document
+    // frequency (the r14 sf1 ladder measured 83× runtime for 10×
+    // docs on a dense-vocabulary corpus). maxCandidateMass <= 0
+    // disables the guard (and its extra pass) for callers that have
+    // already priced the corpus. The default admits every eval-sized
+    // sample (measured: sf0.1's 5k docs ≈ 2.8e6 mass) and refuses the
+    // dense sf1 ladder corpus (50k docs ≈ 2.5e8 mass) with a ~0.44
+    // sample fraction suggested.
+    if (maxCandidateMass > 0) {
+      val r = ex.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+        .agg(coalesce(sum(col("__df").cast("double") * col("__df")), lit(0.0)),
+          coalesce(sum(col("__df")), lit(0L))).collect()(0)
+      val mass = r.getDouble(0)
+      if (mass > maxCandidateMass) {
+        val nDocs = sizes.count()
+        // mass scales ~quadratically in the sampled doc count at fixed
+        // shingle density, so a fraction f cuts it by ~f²
+        val f = math.sqrt(maxCandidateMass / mass)
+        throw new IllegalArgumentException(
+          f"exactJaccardPairs: candidate mass ${mass}%.3g (Σ df² over ${r.getLong(1)} " +
+            f"shingle occurrences, $nDocs docs) exceeds the budget $maxCandidateMass. " +
+            "This operator is the eval-on-sample TRUTH side of pairEval, not a corpus " +
+            f"dedup — run it on docs.sample(${math.max(f, 1e-6)}%.4f) (≈${math.max(1L,
+              (nDocs * f).toLong)} docs) or raise maxCandidateMass deliberately; " +
+            "production detectors (minhashPairs/simhashPairs) stay banded and capped.")
+      }
+    }
     val inter = ex.select(col("__id").as("id_l"), col("__g"))
       .join(ex.select(col("__id").as("id_r"), col("__g")), "__g")
       .filter(col("id_l") < col("id_r"))

@@ -314,6 +314,31 @@ class DedupSpec extends SparkSpec {
     assert(empty.getLong(0) == 0L && empty.isNullAt(3) && empty.getDouble(4) == 0.0)
   }
 
+  test("exactJaccardPairs enforces the eval-on-sample contract via the candidate-mass budget") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f x"),
+      (3L, "e f g h i j k"),
+      (4L, "p q r s t u v"),
+    ).toDF("doc_id", "text")
+    // over-budget input is REFUSED before any pair is generated, with
+    // concrete sample-size guidance (the r14 ladder's 83×-for-10×
+    // quadratic is priced in advance, not discovered at runtime)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5, maxCandidateMass = 3L)
+    }
+    assert(e.getMessage.contains("candidate mass"))
+    assert(e.getMessage.contains("sample"))
+    // in-budget runs and the guard-off path are the same relation —
+    // the guard prices, it never alters the truth
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val guarded = rows(Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.1))
+    val unguarded = rows(Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.1,
+      maxCandidateMass = 0L))
+    assert(guarded == unguarded && guarded.map(t => (t._1, t._2)) == Set((1L, 2L), (1L, 3L)))
+  }
+
   test("ngramContainment: subset doc has containment 1.0 on its side; hashed == string") {
     val docs = Seq(
       (1L, "a b c d e f g h"),       // superset
