@@ -843,6 +843,24 @@ object SparkEntry {
       Similarity.recallAtK(ann, truth, "qid", "vec_id")
     }),
 
+    "sim_ivfpq_index" -> ((s, dir) => {
+      // persisted IVF+PQ store: the memory-bounded index shape — the
+      // query scans only (id, cell, 4 codes) of the probed cells and
+      // touches raw vectors solely for the rescore shortlist via the
+      // cell-partitioned sidecar. Same frozen centroids/codebooks as
+      // sim_ivfpq_topk, so it must match that chain row-for-row and
+      // shares its oracle (the sim_ivf_index argument: the store only
+      // changes which files are read). Master built once per session;
+      // this gate times the pruned two-phase query path.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 1000 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val (path, flat, cbs) = masterIvfPqIndex(s, dir)
+      Similarity.queryIvfPqIndex(s, path, flat, cbs, queries, "vec_id", "embedding",
+        "qid", "qvec", k = 5, dim = 64, nProbe = 4, rescore = 20)
+        .select(col("qid"), col("vec_id"), col("score"), col("rank"))
+    }),
+
     "sim_ivf_index" -> ((s, dir) => {
       // persisted-IVF path: query the session-master cell-partitioned
       // index through the static partition filter — must equal
@@ -3615,6 +3633,7 @@ object SparkEntry {
     "sim_ivf_append" -> ivfAppendSql,
     "sim_ivf_delete" -> ivfDeleteSql,
     "sim_ivfpq_topk" -> ivfPqSql,
+    "sim_ivfpq_index" -> ivfPqSql,
 
     // the recall shape with the IVF+PQ chain as the ann side
     "sim_ivfpq_recall" ->
@@ -5303,6 +5322,26 @@ object SparkEntry {
         "vec_id", "embedding", dim = 64, nCentroids = 16,
         sampleKey = Some(id => md5(concat(lit("ivf:"), id.cast("string")))))
       (master, flat)
+    }
+
+  /** Session-master PQ-encoded IVF store (path + frozen centroids +
+    * frozen codebooks) for the sim_ivfpq_index gate. Same corpus,
+    * same md5 sample key and (m, codes, iters) as sim_ivfpq_topk, so
+    * the store query shares that gate's oracle (the index path only
+    * changes which files are read). */
+  private val ivfPqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      (String, Array[Double], Array[Array[Double]])]
+  private def masterIvfPqIndex(s: SparkSession, dir: String)
+      : (String, Array[Double], Array[Array[Double]]) =
+    masterStore(ivfPqIndexCache,
+        (_: (String, Array[Double], Array[Array[Double]]))._1, "graft_ivfpq_master",
+        s, dir) { master =>
+      val (flat, cbs) = Similarity.buildIvfPqIndex(t(s, dir, "embeddings"), master,
+        "vec_id", "embedding", dim = 64, nCentroids = 16, m = 4, codes = 8,
+        pqIters = 2,
+        sampleKey = Some(id => md5(concat(lit("ivf:"), id.cast("string")))))
+      (master, flat, cbs)
     }
 
   /** Session-master postings index for the text_search_indexed /

@@ -367,15 +367,25 @@ object Quality {
     * above repr error), min fold distance ≥2.6e-7 (10 orders), and
     * the two rounding paths agree on all 192k elements + 5k folds —
     * zero mismatches. Recorded in SURVEY §7 (r11). */
+  /** Per-dimension decimal sums — one half of [[embeddingDrift]]'s
+    * evidence, package-visible so the persisted-IVF maintenance policy
+    * can snapshot it at build time ([[Similarity.ivfMaintenanceDecision]]):
+    * the centroid-cosine between the build-time sums and the current
+    * store's sums is the drift signal, without persisting any vectors. */
+  private[graft] def driftDimSums(df: DataFrame, vecCol: String, tag: String): DataFrame = df
+    .select(posexplode(col(vecCol)).as(Seq("__i", "__v")))
+    .groupBy(col("__i"))
+    .agg(sum(col("__v").cast("decimal(18,6)")).cast("decimal(18,6)").as(s"__s$tag"))
+
+  /** (count, Σ|x|² as decimal) — the norm half of the drift evidence. */
+  private[graft] def driftScalarStats(df: DataFrame, vecCol: String, tag: String): DataFrame = df
+    .select(aggregate(col(vecCol).cast("array<double>"), lit(0.0d),
+      (a, x) => a + x * x).cast("decimal(18,6)").as("__q"))
+    .agg(count(lit(1)).as(s"n_$tag"), sum(col("__q")).as(s"__qs$tag"))
+
   def embeddingDrift(base: DataFrame, cur: DataFrame, vecCol: String): DataFrame = {
-    def dimSums(df: DataFrame, tag: String) = df
-      .select(posexplode(col(vecCol)).as(Seq("__i", "__v")))
-      .groupBy(col("__i"))
-      .agg(sum(col("__v").cast("decimal(18,6)")).cast("decimal(18,6)").as(s"__s$tag"))
-    def scalarStats(df: DataFrame, tag: String) = df
-      .select(aggregate(col(vecCol).cast("array<double>"), lit(0.0d),
-        (a, x) => a + x * x).cast("decimal(18,6)").as("__q"))
-      .agg(count(lit(1)).as(s"n_$tag"), sum(col("__q")).as(s"__qs$tag"))
+    def dimSums(df: DataFrame, tag: String) = driftDimSums(df, vecCol, tag)
+    def scalarStats(df: DataFrame, tag: String) = driftScalarStats(df, vecCol, tag)
     val cosRow = dimSums(base, "b").join(dimSums(cur, "c"), "__i")
       .agg(sum(col("__sb") * col("__sc")).as("__dot"),
         sum(col("__sb") * col("__sb")).as("__nb"),

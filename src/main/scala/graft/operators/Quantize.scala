@@ -91,15 +91,20 @@ object Quantize {
     * assignments per row, each over its slice; no shuffle, no join.
     * Output: (idCol, codes array&lt;int&gt; of length m). */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-               codebooks: Array[Array[Double]]): DataFrame = {
+               codebooks: Array[Array[Double]]): DataFrame =
+    emb.select(col(idCol), pqCodes(col(vecCol), dim, codebooks).as("codes"))
+
+  /** The m-code array expression [[pqEncode]] selects — exposed so the
+    * persisted IVF+PQ store ([[Similarity.buildIvfPqIndex]]) can derive
+    * (id, codes, cell) in ONE map-side projection instead of a join. */
+  def pqCodes(vec: Column, dim: Int, codebooks: Array[Array[Double]]): Column = {
     val m = codebooks.length
     val sub = dim / m
     val k = codebooks(0).length / sub
-    val codes = (0 until m).map { si =>
+    array((0 until m).map { si =>
       element_at(VectorExpressions.nearestCentroids(
-        slice(col(vecCol), si * sub + 1, sub), codebooks(si), sub, k, 1), 1).cast("int")
-    }
-    emb.select(col(idCol), array(codes: _*).as("codes"))
+        slice(vec, si * sub + 1, sub), codebooks(si), sub, k, 1), 1).cast("int")
+    }: _*)
   }
 
   /** Add a `__dec` column decoding `codesCol` in place (all other

@@ -489,4 +489,211 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getAs[Double]("recall")).toSet
     assert(self == Set(1.0))
   }
+
+  // ---- PQ-encoded persisted IVF store -------------------------------
+
+  test("persisted IVF+PQ store: query bit-identical to ivfPqTopK; codes index far smaller than the sidecar") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 1000 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/idx"
+    val (flat, cbs) = Similarity.buildIvfPqIndex(emb, path, "vec_id", "embedding",
+      dim = 64, nCentroids = 16, m = 4, codes = 8, pqIters = 2)
+    val fromStore = Similarity.queryIvfPqIndex(spark, path, flat, cbs, queries,
+      "vec_id", "embedding", "qid", "qvec", k = 5, dim = 64, nProbe = 4, rescore = 20)
+    val inMemory = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 5, dim = 64, nCentroids = 16, nProbe = 4,
+      m = 4, codes = 8, rescore = 20)
+    assert(fromStore.collect().map(_.toSeq).toSet == inMemory.collect().map(_.toSeq).toSet)
+    // the compression evidence: the scanned index is a fraction of the
+    // raw-vector sidecar (4 int codes vs 64 floats per vector)
+    val st = Similarity.ivfPqStoreStats(spark, path).collect()(0)
+    assert(st.getAs[Long]("n_vectors") == emb.count())
+    assert(st.getAs[Long]("codes_bytes") < st.getAs[Long]("vectors_bytes") / 2,
+      s"codes ${st.getAs[Long]("codes_bytes")} vs vectors ${st.getAs[Long]("vectors_bytes")}")
+  }
+
+  test("appendIvfPqIndex: appended store == fresh build of the union under frozen quantizer AND codebooks") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val old = emb.filter(col("vec_id") % 4 < 3)
+    val delta = emb.filter(col("vec_id") % 4 === 3)
+    val queries = emb.filter(col("vec_id") % 1000 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val appendedPath = java.nio.file.Files.createTempDirectory("graft_ivfpq_a").toString + "/idx"
+    val (flat, cbs) = Similarity.buildIvfPqIndex(old, appendedPath, "vec_id", "embedding",
+      dim = 64, nCentroids = 16, m = 4, codes = 8, pqIters = 2)
+    val oldRows = spark.read.parquet(s"$appendedPath/codes").count()
+    Similarity.appendIvfPqIndex(delta, appendedPath, flat, cbs, "vec_id", "embedding",
+      dim = 64, batchId = "crawlA")
+    // O(delta) growth on BOTH relations
+    assert(spark.read.parquet(s"$appendedPath/codes").count() == oldRows + delta.count())
+    assert(spark.read.parquet(s"$appendedPath/vectors").count() == oldRows + delta.count())
+    // fresh build of old ∪ delta under the SAME frozen (centroids,
+    // codebooks) — code/cell assignment depends only on (vector,
+    // params), so both relations must be identical and queries cannot
+    // tell the appended store from the rebuild
+    val frozenPath = java.nio.file.Files.createTempDirectory("graft_ivfpq_c").toString + "/idx"
+    val cellOf = element_at(graft.functions.VectorExpressions
+      .nearestCentroids(col("embedding"), flat, 64, flat.length / 64, 1), 1)
+    graft.operators.Quantize.pqEncode(emb, "vec_id", "embedding", 64, cbs)
+      .join(emb.select(col("vec_id"), cellOf.as("__cell")), "vec_id")
+      .write.partitionBy("__cell").parquet(s"$frozenPath/codes")
+    emb.select(col("vec_id"), col("embedding"), cellOf.as("__cell"))
+      .write.partitionBy("__cell").parquet(s"$frozenPath/vectors")
+    def codesRel(p: String) = spark.read.parquet(s"$p/codes")
+      .select("vec_id", "__cell", "codes")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(codesRel(appendedPath) == codesRel(frozenPath))
+    def q(p: String) = Similarity.queryIvfPqIndex(spark, p, flat, cbs, queries,
+      "vec_id", "embedding", "qid", "qvec", k = 5, dim = 64, nProbe = 4, rescore = 20)
+      .collect().map(_.toSeq).toSet
+    assert(q(appendedPath) == q(frozenPath))
+  }
+
+  test("IVF+PQ append crash property: retry converges at every step boundary; replay verified no-op; reset-content loud") {
+    val emb = tinyVectors
+    val old = emb.filter(col("vec_id") % 4 < 3)
+    val delta = emb.filter(col("vec_id") % 4 === 3)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfpqcrash").toString
+    val basePath = s"$root/base"
+    val (flat, cbs) = Similarity.buildIvfPqIndex(old, basePath, "vec_id", "embedding",
+      dim = 8, nCentroids = 4, m = 4, codes = 4, pqIters = 1)
+    def rel(p: String) = spark.read.parquet(s"$p/codes")
+      .select("vec_id", "__cell").collect().map(_.toSeq).toSet
+    // the converged target: a clean append on a pristine copy
+    val cleanPath = s"$root/clean"; copyStore(basePath, cleanPath)
+    Similarity.appendIvfPqIndex(delta, cleanPath, flat, cbs, "vec_id", "embedding",
+      dim = 8, batchId = "b1", streamBatch = true)
+    val want = rel(cleanPath)
+    assert(want.size == 40)
+
+    val nSteps = Similarity.appendIvfPqSteps(delta, s"$root/probe", flat, cbs,
+      "vec_id", "embedding", 8, "b1").length
+    (0 to nSteps).foreach { k =>
+      val p = s"$root/k$k"; copyStore(basePath, p)
+      Similarity.appendIvfPqSteps(delta, p, flat, cbs, "vec_id", "embedding", 8, "b1")
+        .take(k).foreach(_._2())
+      Similarity.appendIvfPqIndex(delta, p, flat, cbs, "vec_id", "embedding",
+        dim = 8, batchId = "b1", streamBatch = true)
+      assert(rel(p) == want, s"crash at step $k: codes diverged")
+      assert(spark.read.parquet(s"$p/vectors").count() == 40L,
+        s"crash at step $k: sidecar duplicated or lost vectors")
+      assert(!new java.io.File(s"$p/_staging/b1").exists(), s"crash at step $k: staging leaked")
+      // verified exactly-once replay: same content no-ops...
+      Similarity.appendIvfPqIndex(delta, p, flat, cbs, "vec_id", "embedding",
+        dim = 8, batchId = "b1", streamBatch = true)
+      assert(rel(p) == want, s"replay after crash at step $k diverged")
+    }
+    // ...but a redelivery with DIFFERENT content under the sealed id
+    // (a reset checkpoint that re-batched the source) fails loudly
+    val more = emb.filter(col("vec_id") % 4 >= 2) // a superset-ish different batch
+    val ex = intercept[java.io.IOException] {
+      Similarity.appendIvfPqIndex(more, cleanPath, flat, cbs, "vec_id", "embedding",
+        dim = 8, batchId = "b1", streamBatch = true)
+    }
+    assert(ex.getMessage.contains("DIFFERENT content"))
+    // and the numeric id space stays reserved for stream twins
+    val exNum = intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqIndex(delta, cleanPath, flat, cbs, "vec_id", "embedding",
+        dim = 8, batchId = "7")
+    }
+    assert(exNum.getMessage.contains("reserved for stream batches"))
+  }
+
+  // ---- evidence-driven IVF maintenance -------------------------------
+
+  test("ivfMaintenanceDecision: healthy store passes; a drifted append trips drift_due; skew trips skew_due") {
+    val emb = tinyVectors
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfpolicy").toString
+    val path = s"$root/idx"
+    val centroids = Similarity.buildIvfIndex(emb, path, "vec_id", "embedding",
+      dim = 8, nCentroids = 4)
+    val healthy = Similarity.ivfMaintenanceDecision(spark, path, "embedding").collect()(0)
+    assert(!healthy.getAs[Boolean]("rebuild_due"), healthy.getAs[String]("reason"))
+    assert(healthy.getAs[String]("reason") == "healthy")
+    assert(healthy.getAs[Double]("centroid_cosine") > 0.999)
+    assert(math.abs(healthy.getAs[Double]("norm_ratio") - 1.0) < 0.01)
+
+    // a strongly drifted delta (every dim shifted +5): the mean vector
+    // swings away from the build-time baseline and the norms inflate
+    val drifted = emb.select((col("vec_id") + 100L).as("vec_id"),
+      transform(col("embedding"), v => v + lit(5.0f)).as("embedding"))
+    Similarity.appendIvfIndex(drifted, path, centroids, "embedding", dim = 8,
+      batchId = "driftbatch")
+    val after = Similarity.ivfMaintenanceDecision(spark, path, "embedding").collect()(0)
+    assert(after.getAs[Boolean]("drift_due"), after.getAs[String]("reason"))
+    assert(after.getAs[Boolean]("rebuild_due"))
+    // the shifted vectors also pile into few cells — at a tight
+    // threshold that is skew evidence too
+    val skewed = Similarity.ivfMaintenanceDecision(spark, path, "embedding",
+      maxCellSkew = 1.5).collect()(0)
+    assert(skewed.getAs[Boolean]("skew_due"), skewed.getAs[String]("reason"))
+
+    // rebuild: fresh centroids from today's distribution; the decision
+    // returns to healthy and the caller gets the new quantizer
+    val newFlat = Similarity.rebuildIvfIfNeeded(spark, path, "vec_id", "embedding",
+      dim = 8, nCentroids = 4)
+    assert(newFlat.nonEmpty, "rebuild_due store must rebuild")
+    val rebuilt = Similarity.ivfMaintenanceDecision(spark, path, "embedding").collect()(0)
+    assert(!rebuilt.getAs[Boolean]("drift_due"), rebuilt.getAs[String]("reason"))
+    assert(rebuilt.getAs[Long]("n_vectors") == 80L)
+    // healthy store: rebuildIfNeeded is a no-op
+    assert(Similarity.rebuildIvfIfNeeded(spark, path, "vec_id", "embedding",
+      dim = 8, nCentroids = 4).isEmpty)
+    // the re-clustered store answers queries exactly like the in-memory
+    // operator over the same contents (same deterministic sampling)
+    val queries = emb.limit(2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val contents = spark.read.parquet(path).drop("__cell")
+    val fromStore = Similarity.queryIvfIndex(spark, path, newFlat.get, queries,
+      "vec_id", "embedding", "qid", "qvec", k = 3, dim = 8, nProbe = 2)
+    val inMemory = Similarity.ivfTopK(contents, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 3, dim = 8, nCentroids = 4, nProbe = 2)
+    assert(fromStore.collect().map(_.toSeq).toSet == inMemory.collect().map(_.toSeq).toSet)
+  }
+
+  test("rebuildIvfIndex crash property: retry converges at every step boundary; replay ledger survives the rebuild") {
+    val emb = tinyVectors
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfrebuild").toString
+    val basePath = s"$root/base"
+    val centroids = Similarity.buildIvfIndex(emb.filter(col("vec_id") < 30), basePath,
+      "vec_id", "embedding", dim = 8, nCentroids = 4)
+    // an applied named batch whose replay protection must OUTLIVE the
+    // rebuild (the stream/append history does not reset — maintenance,
+    // not a fresh build)
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 30), basePath, centroids,
+      "embedding", dim = 8, batchId = "crawlA")
+
+    // the converged target: a clean rebuild of a pristine copy
+    val cleanPath = s"$root/clean"; copyStore(basePath, cleanPath)
+    Similarity.rebuildIvfIndex(spark, cleanPath, "vec_id", "embedding", dim = 8, nCentroids = 4)
+    val want = cellRel(cleanPath)
+    assert(want.size == 40)
+
+    val stepNames = Similarity.rebuildIvfSteps(spark, cleanPath, "vec_id", "embedding",
+      8, 4, 42L, None)._2.map(_._1)
+    (0 to stepNames.length).foreach { k =>
+      val p = s"$root/k$k"; copyStore(basePath, p)
+      Similarity.rebuildIvfSteps(spark, p, "vec_id", "embedding", 8, 4, 42L, None)
+        ._2.take(k).foreach(_._2())
+      // health probe stays readable in every crash state
+      val st = Similarity.ivfStoreStats(spark, p).collect()(0)
+      assert(st.getAs[Long]("n_vectors") == 40L, s"crash at step $k: stats unreadable/wrong")
+      // the retry converges (same ids -> same deterministic sample)
+      Similarity.rebuildIvfIndex(spark, p, "vec_id", "embedding", dim = 8, nCentroids = 4)
+      assert(cellRel(p) == want, s"crash at step $k (${stepNames.take(k).lastOption}): diverged")
+      assert(!new java.io.File(p + "__rebuild").exists(), s"crash at step $k: rebuild dir leaked")
+      assert(!new java.io.File(p + "__old").exists(), s"crash at step $k: old dir leaked")
+      assert(!new java.io.File(s"$p/_ready").exists(), s"crash at step $k: ready marker leaked")
+      // replay protection survived the rebuild: re-using the applied id
+      // with different content refuses LOUDLY — via the carried marker's
+      // content check, or the carried ledger if the marker aged out
+      val ex = intercept[java.io.IOException] {
+        Similarity.appendIvfIndex(emb.limit(1), p, centroids, "embedding",
+          dim = 8, batchId = "crawlA")
+      }
+      assert(ex.getMessage.contains("already applied") ||
+        ex.getMessage.contains("DIFFERENT content"), s"crash at step $k: replay history lost")
+    }
+  }
 }
