@@ -201,6 +201,46 @@ object Dedup {
       .distinct()
   }
 
+  /** [[pairsFromBuckets]] with a per-id payload column carried through
+    * the bucket pipeline: emits (id_l, payload_l, id_r, payload_r).
+    *
+    * Exists for PLAN SAFETY, not convenience. A pair relation is built
+    * by Generate (explode) nodes, and Generate does not inflate
+    * Catalyst's static size estimate — a pair explosion rooted at a
+    * small store scan is estimated at scan size, so a downstream
+    * "pairs ⋈ signatures" join can statically BROADCAST the pair side:
+    * on the sf10 ladder's dense-vocab corpus the candidate relation
+    * reached the hard 8 GiB broadcast cap and killed the job. Carrying
+    * the (fixed-width) payload through the buckets removes that join
+    * entirely — same pair set, same cap semantics, one fewer shuffle.
+    * Payload must be a function of the id (same doc ⇒ same payload),
+    * which every signature column satisfies; the struct sort is
+    * id-major, so pair enumeration order and the bucket-size cap are
+    * bit-identical to [[pairsFromBuckets]] (spec-pinned). Use for
+    * 8-16 byte signatures; for array payloads (minhash shingle sets,
+    * embeddings) keep the id-only variant + a shuffle_hash-hinted
+    * verify join — carrying KB-sized arrays 16-bands-wide would
+    * multiply shuffle volume, and the hint removes the broadcast
+    * hazard at zero width cost. */
+  def pairsFromBucketsCarrying(bucketed: DataFrame, idCol: String, payloadCol: String,
+                               bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(bucketCols.map(col): _*).orderBy(col(idCol))
+    val truncated = bucketed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucketSize + 1)
+    val ids = truncated.groupBy(bucketCols.map(col): _*)
+      .agg(collect_set(struct(col(idCol), col(payloadCol))).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucketSize))
+      .select(array_sort(col("__ids")).as("__ids"))
+    ids
+      .select(posexplode(col("__ids")).as(Seq("__i", "__l")), col("__ids"))
+      .select(col("__l"), explode(slice(col("__ids"), col("__i") + 2, size(col("__ids")))).as("__r"))
+      .select(col(s"__l.$idCol").as("id_l"), col(s"__l.$payloadCol").as("payload_l"),
+        col(s"__r.$idCol").as("id_r"), col(s"__r.$payloadCol").as("payload_r"))
+      .distinct()
+  }
+
   /** MinHash+LSH near-duplicate pairs, exact-verified with n-gram
     * Jaccard >= `threshold`.
     *
@@ -262,9 +302,13 @@ object Dedup {
     val sets = docs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol).as("__id"),
         array_distinct(X.shingleHashes(T.normText(col(textCol)), shingleK)).as("__set"))
+    // shuffle_hash pins the sets side as the SHJ build: the pair side
+    // is Generate-built (scan-sized static estimate) and must never be
+    // the broadcast build — the sf10 8 GiB crash class (see
+    // pairsFromBucketsCarrying)
     pairs
-      .join(sets.select(col("__id").as("id_l"), col("__set").as("set_l")), "id_l")
-      .join(sets.select(col("__id").as("id_r"), col("__set").as("set_r")), "id_r")
+      .join(sets.select(col("__id").as("id_l"), col("__set").as("set_l")).hint("shuffle_hash"), "id_l")
+      .join(sets.select(col("__id").as("id_r"), col("__set").as("set_r")).hint("shuffle_hash"), "id_r")
       .select(col("id_l"), col("id_r"),
         round(size(array_intersect(col("set_l"), col("set_r"))).cast("double") /
           size(array_union(col("set_l"), col("set_r"))), 6).as("jaccard"))
@@ -283,9 +327,10 @@ object Dedup {
     val sets = docs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol).as("__id"),
         array_distinct(T.shingles(col(textCol), shingleK)).as("__set"))
+    // same shuffle_hash build-side pin as ngramJaccard
     pairs
-      .join(sets.select(col("__id").as("id_l"), col("__set").as("set_l")), "id_l")
-      .join(sets.select(col("__id").as("id_r"), col("__set").as("set_r")), "id_r")
+      .join(sets.select(col("__id").as("id_l"), col("__set").as("set_l")).hint("shuffle_hash"), "id_l")
+      .join(sets.select(col("__id").as("id_r"), col("__set").as("set_r")).hint("shuffle_hash"), "id_r")
       .select(col("id_l"), col("id_r"),
         round(size(array_intersect(col("set_l"), col("set_r"))).cast("double") /
           size(array_union(col("set_l"), col("set_r"))), 6).as("jaccard"))
@@ -459,10 +504,19 @@ object Dedup {
       .union(cand.join(newIds.select(col(idCol).as("id_r")), Seq("id_r"), "left_semi")
         .select("id_l", "id_r"))
       .distinct()
+    // shuffle_hash on the SETS side: the pair side is Generate-built,
+    // so its static size estimate is scan-sized — left to the planner
+    // it becomes the broadcast build side and a dense corpus explodes
+    // it past the 8 GiB cap (the sf10 simhash crash class). The hint
+    // pins SHJ building the per-partition sets maps — the shape that
+    // holds at 100 TB. (The shingle-set arrays are KB-sized, so
+    // carrying them through the buckets à la pairsFromBucketsCarrying
+    // would multiply banded shuffle volume ~100×; the hint costs
+    // nothing.)
     val sets = all.select(col(idCol), col("sh"))
     val pairs = withNew
-      .join(sets.select(col(idCol).as("id_l"), col("sh").as("set_l")), "id_l")
-      .join(sets.select(col(idCol).as("id_r"), col("sh").as("set_r")), "id_r")
+      .join(sets.select(col(idCol).as("id_l"), col("sh").as("set_l")).hint("shuffle_hash"), "id_l")
+      .join(sets.select(col(idCol).as("id_r"), col("sh").as("set_r")).hint("shuffle_hash"), "id_r")
       .select(col("id_l"), col("id_r"),
         round(size(array_intersect(col("set_l"), col("set_r"))).cast("double") /
           size(array_union(col("set_l"), col("set_r"))), 6).as("jaccard"))
@@ -495,9 +549,10 @@ object Dedup {
       else array_distinct(T.shingles(c, shingleK))
     val sets = docs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol).as("__id"), set(col(textCol)).as("__set"))
+    // same shuffle_hash build-side pin as ngramJaccard
     pairs
-      .join(sets.select(col("__id").as("id_l"), col("__set").as("set_l")), "id_l")
-      .join(sets.select(col("__id").as("id_r"), col("__set").as("set_r")), "id_r")
+      .join(sets.select(col("__id").as("id_l"), col("__set").as("set_l")).hint("shuffle_hash"), "id_l")
+      .join(sets.select(col("__id").as("id_r"), col("__set").as("set_r")).hint("shuffle_hash"), "id_r")
       .select(col("id_l"), col("id_r"),
         size(col("set_l")).cast("long").as("n_l"),
         size(col("set_r")).cast("long").as("n_r"),
@@ -555,26 +610,19 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucketSize: Int = 1000,
                    tokenHash: TokenHash = xxTokenHash): DataFrame = {
-    // cache the (id, sig) relation — 16 bytes/doc — and reuse it for
-    // BOTH banding and the verify join. The alternative (recompute
-    // signatures for the semi-joined candidate set) re-runs the
-    // tokenize+hash pipeline a second time; measured at sf0.1 the
-    // cached-sig join is ~2× faster and the cached relation is far
-    // smaller than the banded relation we shuffle anyway, so it holds
-    // at 100 TB (signatures, never text, per the shuffle invariant).
-    // Not unpersisted here (returned plan consumes it lazily) —
-    // long-lived sessions should clearCache() between dedup jobs.
-    val sigs = simhashSignatures(df, idCol, textCol, tokenHash).cache()
+    // sig is CARRIED through the bucket pipeline (8 bytes per banded
+    // row) instead of joined back per candidate: the join-back shape
+    // let the static planner broadcast the pair side (see
+    // pairsFromBucketsCarrying — the 8 GiB sf10 crash), and the carry
+    // is one fewer shuffle besides (r1-r14 cached (id, sig) and
+    // joined it twice; the carry subsumes both the cache and the join).
+    val sigs = simhashSignatures(df, idCol, textCol, tokenHash)
     val banded = sigs.select(col(idCol), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bucket")))
-    val cand = pairsFromBuckets(banded.select(idCol, "band", "bucket"), idCol,
-      Seq("band", "bucket"), maxBucketSize)
-    cand
-      .join(sigs.select(col(idCol).as("id_l"), col("sig").as("sig_l")), "id_l")
-      .join(sigs.select(col(idCol).as("id_r"), col("sig").as("sig_r")), "id_r")
+    pairsFromBucketsCarrying(banded, idCol, "sig", Seq("band", "bucket"), maxBucketSize)
       .select(col("id_l"), col("id_r"),
-        bit_count(col("sig_l").bitwiseXOR(col("sig_r"))).as("hamming"))
+        bit_count(col("payload_l").bitwiseXOR(col("payload_r"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -642,14 +690,13 @@ object Dedup {
     val banded = all.select(col(idCol), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bucket")))
-    val cand = pairsFromBuckets(banded.select(idCol, "band", "bucket"), idCol,
+    // sig carried through the buckets — no verify join for the pair
+    // side to be mis-broadcast into (this exact line was the sf10
+    // 8 GiB broadcast crash; see pairsFromBucketsCarrying)
+    val pairs = pairsFromBucketsCarrying(banded, idCol, "sig",
       Seq("band", "bucket"), maxBucketSize)
-    val sigs = all.select(col(idCol), col("sig"))
-    val pairs = cand
-      .join(sigs.select(col(idCol).as("id_l"), col("sig").as("sig_l")), "id_l")
-      .join(sigs.select(col(idCol).as("id_r"), col("sig").as("sig_r")), "id_r")
       .select(col("id_l"), col("id_r"),
-        bit_count(col("sig_l").bitwiseXOR(col("sig_r"))).as("hamming"))
+        bit_count(col("payload_l").bitwiseXOR(col("payload_r"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
     // only pairs that involve the new batch (old-old already reported)
     val withNew = pairs
@@ -767,9 +814,13 @@ object Dedup {
         posexplode(bucketCol).as(Seq("table", "bucket")))
     val cand = pairsFromBuckets(bucketed, idCol, Seq("table", "bucket"), maxBucketSize)
     val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    // shuffle_hash pins the vector side as the SHJ build: the pair
+    // side is Generate-built (scan-sized static estimate) and must
+    // never be the broadcast build — the sf10 8 GiB crash class (see
+    // pairsFromBucketsCarrying)
     cand
-      .join(vecs.select(col("__id").as("id_l"), col("__v").as("v_l")), "id_l")
-      .join(vecs.select(col("__id").as("id_r"), col("__v").as("v_r")), "id_r")
+      .join(vecs.select(col("__id").as("id_l"), col("__v").as("v_l")).hint("shuffle_hash"), "id_l")
+      .join(vecs.select(col("__id").as("id_r"), col("__v").as("v_r")).hint("shuffle_hash"), "id_r")
       .select(col("id_l"), col("id_r"), V.cosineRounded(col("v_l"), col("v_r")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
@@ -805,9 +856,10 @@ object Dedup {
     val cand = pairsFromBuckets(cells.select(col(idCol), col("cell")), idCol,
       Seq("cell"), maxCellSize)
     val vecs = cells.select(col(idCol).as("__id"), col("__v"))
+    // same shuffle_hash build-side pin as embeddingPairs
     val dropped = cand
-      .join(vecs.select(col("__id").as("id_l"), col("__v").as("v_l")), "id_l")
-      .join(vecs.select(col("__id").as("id_r"), col("__v").as("v_r")), "id_r")
+      .join(vecs.select(col("__id").as("id_l"), col("__v").as("v_l")).hint("shuffle_hash"), "id_l")
+      .join(vecs.select(col("__id").as("id_r"), col("__v").as("v_r")).hint("shuffle_hash"), "id_r")
       .select(col("id_r"), V.cosineRounded(col("v_l"), col("v_r")).as("__cos"))
       .filter(col("__cos") >= threshold && !isnan(col("__cos")))
       .select(col("id_r").as(idCol)).distinct()

@@ -478,7 +478,9 @@ object Pipeline {
     val keepIds = Dedup.dedupeKeepList(exact, pairs, idCol)
       .filter(col("keep")).select(col("id").as(idCol))
     val kept = exact.join(keepIds, idCol).cache()
+    // same shuffle_hash build-side pin as exportLayout
     shuffleShard(kept.select(col(idCol)), idCol, nShards, hashed = hashedShard)
+      .hint("shuffle_hash")
       .join(kept.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol), col(textCol), col("shard"), col("pos"))
   }
@@ -563,7 +565,15 @@ object Pipeline {
                            idCol: String, textCol: String,
                            nShards: Int, hashedShard: Boolean): DataFrame = {
     val surv = spark.read.parquet(s"$stateDir/survivors")
+    // shuffle_hash pins the SHARD-LAYOUT side as the SHJ build: it is
+    // window-built over an id-only scan, so its static estimate is the
+    // pruned-column scan size — left to the planner it becomes the
+    // broadcast build side, which at corpus scale is a relation that
+    // grows 24 B/doc without bound (the 8 GiB-cap crash class; see
+    // Dedup.pairsFromBucketsCarrying). Building the 24 B/row layout
+    // maps per partition is the shape that holds at 100 TB.
     shuffleShard(surv.select(col(idCol)), idCol, nShards, hashed = hashedShard)
+      .hint("shuffle_hash")
       .join(surv, idCol)
       .select(col(idCol), col(textCol), col("shard"), col("pos"))
   }

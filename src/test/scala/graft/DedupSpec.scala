@@ -151,6 +151,22 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count == 50L * 49 / 2)
   }
 
+  test("pairsFromBucketsCarrying == pairsFromBuckets + payload join, caps included") {
+    // multi-bucket membership (pair dedup across buckets), a bucket at
+    // the cap boundary, and an over-cap bucket that must be dropped
+    val rows = (1L to 30L).map(i => (i, i * 1000 + 7, "b" + (i % 3))) ++ // 3 buckets of 10
+      (31L to 45L).map(i => (i, i * 1000 + 7, "hot")) ++                // over-cap bucket (15 > 10)
+      Seq((1L, 1007L, "x"), (2L, 2007L, "x"))                           // cross-bucket repeat pair
+    val bucketed = rows.toDF("id", "sig", "bucket")
+    val carrying = Dedup.pairsFromBucketsCarrying(bucketed, "id", "sig", Seq("bucket"), 10)
+    val reference = Dedup.pairsFromBuckets(bucketed.select("id", "bucket"), "id", Seq("bucket"), 10)
+      .join(bucketed.select(col("id").as("id_l"), col("sig").as("payload_l")).distinct(), "id_l")
+      .join(bucketed.select(col("id").as("id_r"), col("sig").as("payload_r")).distinct(), "id_r")
+      .select("id_l", "payload_l", "id_r", "payload_r")
+    assert(carrying.count() > 0)
+    assert(carrying.except(reference).count() == 0 && reference.except(carrying).count() == 0)
+  }
+
   test("canonicalize: chains collapse to the smallest id") {
     // 1-2-3-4 chain + isolated pair (10,11) + singleton 20 (no pair)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_l", "id_r")
