@@ -80,16 +80,14 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the ENGINE session (GraftSession.builder): r15 found Bench had
+    // drifted from the engine defaults — the join-strategy and
+    // broadcast-safety configs (preferSortMergeJoin=false,
+    // measured-sizes-only broadcasts) applied everywhere EXCEPT the
+    // session the driver actually times; master/partitions stay
+    // env-derived per the driver contract
+    val spark = GraftSession.builder(master = s"local[$cpus]",
+        shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val gateNames = SparkEntry.queries.keys.toSeq.sorted
     val prodNames = SparkEntry.perfQueries.keys.toSeq.sorted

@@ -12,8 +12,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftSession {
 
+  /** Ad-hoc conf overrides for experiments and cluster tuning:
+    * `SPARK_GRAFT_EXTRA_CONF="k=v;k=v"` applied LAST (wins over the
+    * defaults below). Scale-dependent settings stay parameterised this
+    * way instead of being baked into code (a constant tuned for
+    * local[32] is wrong on a cluster and vice versa). */
+  private def withExtraConf(b: SparkSession.Builder): SparkSession.Builder = {
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foldLeft(b) { (bb, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        bb.config(k.trim, v.trim)
+      }
+  }
+
   def builder(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
-              shufflePartitions: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =
+              shufflePartitions: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder = withExtraConf(
     SparkSession.builder()
       .master(master)
       .appName("graft")
@@ -38,8 +52,22 @@ object GraftSession {
       // holds at cluster scale: build-side volume per partition stays
       // bounded by the threshold regardless of total data size.
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      // AQE may additionally rewrite a planned sort-merge join to a
+      // shuffled-hash join from MEASURED post-shuffle partition sizes
+      // (default 0 = off): partitions under 128 MB build hash maps
+      // instead of sorting — the same per-task memory bound an
+      // aggregation map uses. (r15 also measured the stronger
+      // "estimates may never broadcast" config — static
+      // autoBroadcastJoinThreshold=-1 with AQE-only broadcasts: it is
+      // free on single-join queries but taxes every multi-join store
+      // path with pre-upgrade shuffle stages — corpus_incremental
+      // 10.7→17.7 s at sf0.1 — so static broadcasts stay ON and the
+      // Generate-estimate broadcast hazard is closed per-join by
+      // materializing candidate-pair relations before their verify
+      // joins; see Dedup.minhashPairs.)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "134217728")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
 
   def getOrCreate(): SparkSession = builder().getOrCreate()
 }

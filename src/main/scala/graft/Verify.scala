@@ -69,13 +69,11 @@ object Verify {
         SparkEntry.queries.view.filterKeys(only).toMap
       }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the ENGINE session (GraftSession.builder) so correctness is
+    // verified under exactly the configs the bench runs with (r15:
+    // Verify had drifted — no AQE, no join-strategy configs)
+    val spark = GraftSession.builder(master = s"local[$cpus]",
+        shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     selected.foreach { case (name, fn) =>

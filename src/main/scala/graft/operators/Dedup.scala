@@ -218,10 +218,13 @@ object Dedup {
     * id-major, so pair enumeration order and the bucket-size cap are
     * bit-identical to [[pairsFromBuckets]] (spec-pinned). Use for
     * 8-16 byte signatures; for array payloads (minhash shingle sets,
-    * embeddings) keep the id-only variant + a shuffle_hash-hinted
-    * verify join — carrying KB-sized arrays 16-bands-wide would
-    * multiply shuffle volume, and the hint removes the broadcast
-    * hazard at zero width cost. */
+    * embeddings) keep the id-only variant — carrying KB-sized arrays
+    * 16-bands-wide would multiply shuffle volume ~100× — and
+    * MATERIALIZE the candidate set (cache + count) before the verify
+    * join so the planner decides from its true size: a tiny pair set
+    * still broadcasts for free, an oversized one never can (r15; the
+    * earlier shuffle_hash hints forced both sides to exchange and
+    * cost ~1 s of sf0.1 wall per dedup query). */
   def pairsFromBucketsCarrying(bucketed: DataFrame, idCol: String, payloadCol: String,
                                bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -283,6 +286,18 @@ object Dedup {
     // sessions running many dedup jobs should clearCache() between
     // them (Bench does, before every measured pass).
     val cand = pairsFromBuckets(bucketed, idCol, Seq("band", "bucket"), maxBucketSize).cache()
+    // MATERIALIZE the candidate set (one count over the cached
+    // relation — the verify stage was re-executing it anyway) so the
+    // verify join plans against its TRUE size: a Generate-built pair
+    // relation carries its root scan's size estimate, and letting the
+    // planner statically broadcast a multi-GiB pair explosion was the
+    // sf10 8 GiB crash class. With the size measured, a genuinely tiny
+    // pair set still broadcasts (the sets side is never shuffled) and
+    // an oversized one cannot. (r15 alternatives measured and
+    // rejected: shuffle_hash hints force both sides to exchange,
+    // ~+1 s per dedup query at sf0.1; session-wide estimate-blind
+    // broadcasts tax every multi-join store path.)
+    cand.count()
     ngramJaccard(cand, df, idCol, textCol, shingleK)
       .filter(col("jaccard") >= threshold)
   }
@@ -302,13 +317,14 @@ object Dedup {
     val sets = docs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol).as("__id"),
         array_distinct(X.shingleHashes(T.normText(col(textCol)), shingleK)).as("__set"))
-    // shuffle_hash pins the sets side as the SHJ build: the pair side
-    // is Generate-built (scan-sized static estimate) and must never be
-    // the broadcast build — the sf10 8 GiB crash class (see
-    // pairsFromBucketsCarrying)
+    // join-plan safety contract: a Generate-built `pairs` relation
+    // must be MATERIALIZED by the caller (cache + count, as
+    // minhashPairs does) so this join plans against its true size —
+    // a scan-sized static estimate on a multi-GiB pair explosion lets
+    // the planner broadcast it (the sf10 8 GiB crash class)
     pairs
-      .join(sets.select(col("__id").as("id_l"), col("__set").as("set_l")).hint("shuffle_hash"), "id_l")
-      .join(sets.select(col("__id").as("id_r"), col("__set").as("set_r")).hint("shuffle_hash"), "id_r")
+      .join(sets.select(col("__id").as("id_l"), col("__set").as("set_l")), "id_l")
+      .join(sets.select(col("__id").as("id_r"), col("__set").as("set_r")), "id_r")
       .select(col("id_l"), col("id_r"),
         round(size(array_intersect(col("set_l"), col("set_r"))).cast("double") /
           size(array_union(col("set_l"), col("set_r"))), 6).as("jaccard"))
@@ -327,10 +343,10 @@ object Dedup {
     val sets = docs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol).as("__id"),
         array_distinct(T.shingles(col(textCol), shingleK)).as("__set"))
-    // same shuffle_hash build-side pin as ngramJaccard
+    // same caller-materializes-pairs contract as ngramJaccard
     pairs
-      .join(sets.select(col("__id").as("id_l"), col("__set").as("set_l")).hint("shuffle_hash"), "id_l")
-      .join(sets.select(col("__id").as("id_r"), col("__set").as("set_r")).hint("shuffle_hash"), "id_r")
+      .join(sets.select(col("__id").as("id_l"), col("__set").as("set_l")), "id_l")
+      .join(sets.select(col("__id").as("id_r"), col("__set").as("set_r")), "id_r")
       .select(col("id_l"), col("id_r"),
         round(size(array_intersect(col("set_l"), col("set_r"))).cast("double") /
           size(array_union(col("set_l"), col("set_r"))), 6).as("jaccard"))
@@ -499,24 +515,20 @@ object Dedup {
       .select(col(idCol), col("__s.bands").as("bands"), col("__s.sh").as("sh"))
     val bucketed = all.select(col(idCol),
       posexplode(col("bands")).as(Seq("band", "bucket")))
-    val cand = pairsFromBuckets(bucketed, idCol, Seq("band", "bucket"), maxBucketSize)
+    // cached + materialized: the two new-side semi-joins would
+    // otherwise re-run the whole bucket pipeline, and the verify join
+    // must plan against the candidate set's TRUE size (see
+    // minhashPairs — the Generate-estimate broadcast hazard)
+    val cand = pairsFromBuckets(bucketed, idCol, Seq("band", "bucket"), maxBucketSize).cache()
+    cand.count()
     val withNew = cand.join(newIds.select(col(idCol).as("id_l")), Seq("id_l"), "left_semi")
       .union(cand.join(newIds.select(col(idCol).as("id_r")), Seq("id_r"), "left_semi")
         .select("id_l", "id_r"))
       .distinct()
-    // shuffle_hash on the SETS side: the pair side is Generate-built,
-    // so its static size estimate is scan-sized — left to the planner
-    // it becomes the broadcast build side and a dense corpus explodes
-    // it past the 8 GiB cap (the sf10 simhash crash class). The hint
-    // pins SHJ building the per-partition sets maps — the shape that
-    // holds at 100 TB. (The shingle-set arrays are KB-sized, so
-    // carrying them through the buckets à la pairsFromBucketsCarrying
-    // would multiply banded shuffle volume ~100×; the hint costs
-    // nothing.)
     val sets = all.select(col(idCol), col("sh"))
     val pairs = withNew
-      .join(sets.select(col(idCol).as("id_l"), col("sh").as("set_l")).hint("shuffle_hash"), "id_l")
-      .join(sets.select(col(idCol).as("id_r"), col("sh").as("set_r")).hint("shuffle_hash"), "id_r")
+      .join(sets.select(col(idCol).as("id_l"), col("sh").as("set_l")), "id_l")
+      .join(sets.select(col(idCol).as("id_r"), col("sh").as("set_r")), "id_r")
       .select(col("id_l"), col("id_r"),
         round(size(array_intersect(col("set_l"), col("set_r"))).cast("double") /
           size(array_union(col("set_l"), col("set_r"))), 6).as("jaccard"))
@@ -525,7 +537,7 @@ object Dedup {
     val out = pairs.localCheckpoint(true)
     newState.join(oldState.select(col(idCol)), Seq(idCol), "left_anti")
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(statePath)
-    newState.unpersist()
+    newState.unpersist(); cand.unpersist()
     out
   }
 
@@ -549,10 +561,10 @@ object Dedup {
       else array_distinct(T.shingles(c, shingleK))
     val sets = docs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol).as("__id"), set(col(textCol)).as("__set"))
-    // same shuffle_hash build-side pin as ngramJaccard
+    // same caller-materializes-pairs contract as ngramJaccard
     pairs
-      .join(sets.select(col("__id").as("id_l"), col("__set").as("set_l")).hint("shuffle_hash"), "id_l")
-      .join(sets.select(col("__id").as("id_r"), col("__set").as("set_r")).hint("shuffle_hash"), "id_r")
+      .join(sets.select(col("__id").as("id_l"), col("__set").as("set_l")), "id_l")
+      .join(sets.select(col("__id").as("id_r"), col("__set").as("set_r")), "id_r")
       .select(col("id_l"), col("id_r"),
         size(col("set_l")).cast("long").as("n_l"),
         size(col("set_r")).cast("long").as("n_r"),
@@ -812,15 +824,15 @@ object Dedup {
     }
     val bucketed = df.select(col(idCol),
         posexplode(bucketCol).as(Seq("table", "bucket")))
-    val cand = pairsFromBuckets(bucketed, idCol, Seq("table", "bucket"), maxBucketSize)
+    // materialized so the verify joins plan against the candidate
+    // set's TRUE size (see minhashPairs — the Generate-estimate
+    // broadcast hazard)
+    val cand = pairsFromBuckets(bucketed, idCol, Seq("table", "bucket"), maxBucketSize).cache()
+    cand.count()
     val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    // shuffle_hash pins the vector side as the SHJ build: the pair
-    // side is Generate-built (scan-sized static estimate) and must
-    // never be the broadcast build — the sf10 8 GiB crash class (see
-    // pairsFromBucketsCarrying)
     cand
-      .join(vecs.select(col("__id").as("id_l"), col("__v").as("v_l")).hint("shuffle_hash"), "id_l")
-      .join(vecs.select(col("__id").as("id_r"), col("__v").as("v_r")).hint("shuffle_hash"), "id_r")
+      .join(vecs.select(col("__id").as("id_l"), col("__v").as("v_l")), "id_l")
+      .join(vecs.select(col("__id").as("id_r"), col("__v").as("v_r")), "id_r")
       .select(col("id_l"), col("id_r"), V.cosineRounded(col("v_l"), col("v_r")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
@@ -853,13 +865,14 @@ object Dedup {
     val cells = emb.select(col(idCol), col(vecCol).as("__v"),
       element_at(graft.functions.VectorExpressions.nearestCentroids(col(vecCol), flat, dim, c, 1), 1)
         .as("cell"))
+    // materialized — true-size verify-join planning (see minhashPairs)
     val cand = pairsFromBuckets(cells.select(col(idCol), col("cell")), idCol,
-      Seq("cell"), maxCellSize)
+      Seq("cell"), maxCellSize).cache()
+    cand.count()
     val vecs = cells.select(col(idCol).as("__id"), col("__v"))
-    // same shuffle_hash build-side pin as embeddingPairs
     val dropped = cand
-      .join(vecs.select(col("__id").as("id_l"), col("__v").as("v_l")).hint("shuffle_hash"), "id_l")
-      .join(vecs.select(col("__id").as("id_r"), col("__v").as("v_r")).hint("shuffle_hash"), "id_r")
+      .join(vecs.select(col("__id").as("id_l"), col("__v").as("v_l")), "id_l")
+      .join(vecs.select(col("__id").as("id_r"), col("__v").as("v_r")), "id_r")
       .select(col("id_r"), V.cosineRounded(col("v_l"), col("v_r")).as("__cos"))
       .filter(col("__cos") >= threshold && !isnan(col("__cos")))
       .select(col("id_r").as(idCol)).distinct()

@@ -478,9 +478,8 @@ object Pipeline {
     val keepIds = Dedup.dedupeKeepList(exact, pairs, idCol)
       .filter(col("keep")).select(col("id").as(idCol))
     val kept = exact.join(keepIds, idCol).cache()
-    // same shuffle_hash build-side pin as exportLayout
+    // layout-side estimate bound: see exportLayout
     shuffleShard(kept.select(col(idCol)), idCol, nShards, hashed = hashedShard)
-      .hint("shuffle_hash")
       .join(kept.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol), col(textCol), col("shard"), col("pos"))
   }
@@ -565,15 +564,17 @@ object Pipeline {
                            idCol: String, textCol: String,
                            nShards: Int, hashedShard: Boolean): DataFrame = {
     val surv = spark.read.parquet(s"$stateDir/survivors")
-    // shuffle_hash pins the SHARD-LAYOUT side as the SHJ build: it is
-    // window-built over an id-only scan, so its static estimate is the
-    // pruned-column scan size — left to the planner it becomes the
-    // broadcast build side, which at corpus scale is a relation that
-    // grows 24 B/doc without bound (the 8 GiB-cap crash class; see
-    // Dedup.pairsFromBucketsCarrying). Building the 24 B/row layout
-    // maps per partition is the shape that holds at 100 TB.
+    // The shard-layout side is window-built over an id-only scan, so
+    // its static estimate is the PRUNED-column scan size — an honest
+    // lower bound that GROWS with the corpus (24 B/doc true vs ~8 B/doc
+    // estimated: a bounded ×3 error, unlike a Generate pair explosion's
+    // unbounded one). A mis-broadcast is therefore impossible past
+    // ~4M survivors (estimate crosses the 10 MB threshold) and merely
+    // suboptimal below it — so no join hint: at bench scale the planner
+    // broadcasts the tiny layout relation and the corpus text is never
+    // shuffled (the r15 shuffle_hash hint here forced a full-text
+    // exchange per export and cost ~0.5 s on every corpus-state gate).
     shuffleShard(surv.select(col(idCol)), idCol, nShards, hashed = hashedShard)
-      .hint("shuffle_hash")
       .join(surv, idCol)
       .select(col(idCol), col(textCol), col("shard"), col("pos"))
   }

@@ -488,22 +488,32 @@ object Similarity {
     val c = flat.length / dim
     val cbs = Quantize.pqCodebooks(corpus, idCol, vecCol, dim, m, codes,
       iters = 2, seed = seed, sampleKey = sampleKey)
-    // the compressed index relation: (id, cell, codes)
-    val index = Quantize.pqEncode(corpus, idCol, vecCol, dim, cbs)
-      .join(corpus.select(col(idCol),
-        element_at(VectorExpressions.nearestCentroids(col(vecCol), flat, dim, c, 1), 1)
-          .as("__cell")), idCol)
+    // the compressed index relation: (id, codes, cell) in ONE map-side
+    // projection — codes and cell assignment are both codegen'd
+    // nearest-centroid expressions over the same row (r15: this was a
+    // self-join of two projections of the same corpus scan — one whole
+    // Exchange+join removed, exactly the fused shape the persisted
+    // store's ivfPqCodesRel already used; same (id, codes, cell)
+    // tuples by construction)
+    val index = corpus.select(col(idCol),
+      Quantize.pqCodes(col(vecCol), dim, cbs).as("codes"),
+      element_at(VectorExpressions.nearestCentroids(col(vecCol), flat, dim, c, 1), 1)
+        .as("__cell"))
     val qb = broadcast(queries.select(col(qidCol), col(qvecCol),
       explode(VectorExpressions.nearestCentroids(col(qvecCol), flat, dim, c, nProbe))
         .as("__cell")))
     val approx = Quantize.pqDecodeCol(index.join(qb, "__cell"), "codes", cbs, dim)
       .select(col(qidCol), col(idCol),
         V.cosineRounded(col("__dec"), col(qvecCol)).as("score"))
-    val shortlist = rankTopK(approx, idCol, qidCol, rescore)
-      .select(col(qidCol), col(idCol))
+    // shortlist is ≤ |queries|·rescore rows BY CONSTRUCTION (the same
+    // small-query-batch contract that broadcasts qb above) — broadcast
+    // it so the corpus side of the exact rescore is never shuffled
+    // (the persisted queryIvfPqIndex already did; r15 aligns this path)
+    val shortlist = broadcast(rankTopK(approx, idCol, qidCol, rescore)
+      .select(col(qidCol), col(idCol)))
     // exact rescore: fetch full-precision vectors ONLY for the shortlist
-    val exact = shortlist
-      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+    val exact = corpus.select(col(idCol), col(vecCol))
+      .join(shortlist, idCol)
       .join(broadcast(queries.select(col(qidCol), col(qvecCol))), qidCol)
       .select(col(qidCol), col(idCol),
         V.cosineRounded(col(vecCol), col(qvecCol)).as("score"))
