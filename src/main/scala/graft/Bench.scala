@@ -205,13 +205,23 @@ object Bench {
     // parsed:null). So: the complete per-query JSON goes to a FILE,
     // and the LAST stdout line is a compact totals-only record that
     // always fits the captured tail.
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries":${toJson(gate)},"prod":${toJson(prod)},"prod_total":${fmt(prodTotal)},"failed":$failedJson,"load_avg":{"ambient":${fmt(loadAmbient)},"start":${fmt(loadStart)},"end":${fmt(loadEnd)}},"suspects":$suspectsJson,"sub_floor_drift":$driftJson,"pass_detail":$detailJson,"sf":"$sfDir"}"""
-    val benchFile = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json"))
-    java.nio.file.Files.write(benchFile,
-      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    System.err.println(s"[bench] full per-query JSON written to $benchFile")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"n":${gate.size},"prod_total":${fmt(prodTotal)},"prod_n":${prod.size},"failed":$failedJson,"suspect_n":${suspects.size},"load":[${fmt(loadAmbient)},${fmt(loadStart)},${fmt(loadEnd)}],"sf":"$sfDir","detail":"BENCH.json"}""")
+    //
+    // r15 post-mortem (PERF_r15 per_query empty both rounds): every run
+    // overwrote the ONE detail file, so the driver's 8-core scaling run
+    // clobbered the 32-core detail minutes after it was written. The
+    // detail now ALSO goes to a per-core-count path
+    // (BENCH_detail_<cpus>c.json) that auxiliary runs at other core
+    // counts cannot touch; BENCH.json stays as the latest-run legacy
+    // path (it is the default suspect-ref input). The compact stdout
+    // line names the surviving per-cpus file.
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"cpus":$cpus,"queries":${toJson(gate)},"prod":${toJson(prod)},"prod_total":${fmt(prodTotal)},"failed":$failedJson,"load_avg":{"ambient":${fmt(loadAmbient)},"start":${fmt(loadStart)},"end":${fmt(loadEnd)}},"suspects":$suspectsJson,"sub_floor_drift":$driftJson,"pass_detail":$detailJson,"sf":"$sfDir"}"""
+    val detailName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH_detail_${cpus}c.json")
+    Seq(detailName, "BENCH.json").distinct.foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full per-query JSON written to $p")
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"n":${gate.size},"prod_total":${fmt(prodTotal)},"prod_n":${prod.size},"failed":$failedJson,"suspect_n":${suspects.size},"load":[${fmt(loadAmbient)},${fmt(loadStart)},${fmt(loadEnd)}],"sf":"$sfDir","detail":"$detailName"}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -267,7 +267,14 @@ object Dedup {
 
   /** `numBands <= 0` (the default) auto-selects the geometry from
     * `threshold` via [[bandGeometry]] — pass it explicitly only to
-    * trade recall for candidate volume deliberately. */
+    * trade recall for candidate volume deliberately.
+    *
+    * Resource contract: the candidate-pair relation is left `.cache()`d
+    * (the returned plan consumes it lazily, so it cannot be unpersisted
+    * here, and the cached TRUE size is what keeps the verify join's
+    * broadcast planning safe). A long-lived session running many dedup
+    * invocations must release it after materializing the result —
+    * `spark.catalog.clearCache()` between jobs, as Bench/Verify do. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, numBands: Int = 0, shingleK: Int = 3,
                    threshold: Double = 0.5, maxBucketSize: Int = 500): DataFrame = {
@@ -813,7 +820,9 @@ object Dedup {
     * generation (same bucket in any table) then exact cosine verify.
     * Shuffle carries (id, table, bucket) longs — never the vectors.
     * `planes` overrides the default Gaussian hyperplanes (the gate
-    * query passes LCG-derived planes the DuckDB oracle can rebuild). */
+    * query passes LCG-derived planes the DuckDB oracle can rebuild).
+    * Resource contract: leaves the candidate set cached — caller
+    * releases it after materializing (see [[minhashPairs]]). */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                      threshold: Double = 0.4, nBits: Int = 8, nTables: Int = 8,
                      maxBucketSize: Int = 1000,
@@ -855,7 +864,9 @@ object Dedup {
     * grow with the corpus (cells of ~10^4-10^5 docs) — the published
     * configuration uses 11k clusters for 500M docs.
     *
-    * Returns every input id: (id, cell, keep). */
+    * Returns every input id: (id, cell, keep). Resource contract:
+    * leaves the candidate set cached — caller releases it after
+    * materializing (see [[minhashPairs]]). */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
                nCentroids: Int = 16, threshold: Double = 0.4,
                maxCellSize: Int = 10000, seed: Long = 42L,
