@@ -82,4 +82,41 @@ object Cluster {
     }
     next
   }
+
+  /** One Lloyd update over ALL `m` PQ subspaces in a SINGLE job — the
+    * fused form of m sequential [[lloydStep]] calls on vector slices
+    * (Quantize.pqCodebooks trains through this; 12 corpus jobs → 3 for
+    * the default m=4/iters=2). Per row it assigns each slice to its
+    * nearest subspace centroid map-side, explodes to (subspace, cell,
+    * dim, component) and partial-aggregates the same floor(v·2^20)
+    * exact long sums as [[lloydStep]] — per-(subspace, cell, dim)
+    * integer sums are partition-order-free, so the result is
+    * BIT-IDENTICAL to the per-subspace chain (QuantizeSpec pins the
+    * equivalence). The exchange carries ≤ m·k·sub rows per map task. */
+  def lloydStepSubspaces(emb: DataFrame, vecCol: String, dim: Int, m: Int, k: Int,
+                         flats: Array[Array[Double]]): Array[Array[Double]] = {
+    require(flats.length == m && dim % m == 0)
+    val sub = dim / m
+    val parts = (0 until m).map { si =>
+      val sl = slice(col(vecCol), si * sub + 1, sub)
+      struct(lit(si).as("si"),
+        element_at(VectorExpressions.nearestCentroids(sl, flats(si), sub, k, 1), 1).as("cell"),
+        sl.cast("array<double>").as("v"))
+    }
+    val sums = emb
+      .select(explode(array(parts: _*)).as("__p"))
+      .select(col("__p.si").as("__si"), col("__p.cell").as("__cell"),
+        posexplode(col("__p.v")).as(Seq("__d", "__v")))
+      .groupBy(col("__si"), col("__cell"), col("__d"))
+      .agg(sum(floor(col("__v") * lit(1048576.0)).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+      .collect()
+    val next = flats.map(_.clone())
+    sums.foreach { r =>
+      val si = r.getInt(0); val c = r.getInt(1); val d = r.getInt(2)
+      if (si >= 0 && si < m && c >= 0 && c < k && d < sub)
+        next(si)(c * sub + d) = r.getLong(3).toDouble / (r.getLong(4) * 1048576L).toDouble
+    }
+    next
+  }
 }

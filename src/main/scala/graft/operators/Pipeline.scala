@@ -657,8 +657,14 @@ object Pipeline {
       .join(cc.select(col("id").as(idCol), col("canonical_id")), Seq(idCol), "left")
       .filter(col("canonical_id").isNull || col("canonical_id") === col(idCol))
       .select(col(idCol))
+    // no seal needed here (r16): newKept's only consumer is the
+    // updatedSurv union below, which is itself sealed BEFORE the
+    // survivors overwrite, and newKept's lineage roots are already
+    // sealed/cached relations (exactNew via exactKept, cc) — never the
+    // store files being rewritten. The checkpoint was one blocking
+    // batch-text materialization per increment for nothing.
     val newKept = exactKept.join(keepIds, Seq(idCol), "left_semi")
-      .select(col(idCol), col(textCol)).localCheckpoint(true)
+      .select(col(idCol), col(textCol))
     // bridge retraction: an OLD cluster rep whose merged component has
     // a smaller minimum loses — exactly the doc a rebuild would drop
     val moved = cc.filter(col("canonical_id") < col("id"))

@@ -79,12 +79,33 @@ object Quantize {
                   sampleKey: Option[Column => Column] = None): Array[Array[Double]] = {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
-    (0 until m).map { si =>
-      val sliced = emb.select(col(idCol), slice(col(vecCol), si * sub + 1, sub).as("__sub"))
-      var flat = Similarity.sampleCentroids(sliced, idCol, "__sub", sub, k, seed, sampleKey)
-      (0 until iters).foreach(_ => flat = Cluster.lloydStep(sliced, "__sub", sub, k, flat))
-      flat
+    // Training is fused across subspaces: m·(1 sample + iters Lloyd)
+    // sequential corpus jobs collapse to 1 + iters (r16: 12 jobs → 3
+    // for the default m=4, iters=2 — the training chain was ~half of
+    // sim_ivfpq_topk's wall at sf10 after scoring was parallelized).
+    // Bit-identical to the per-subspace chain (QuantizeSpec pins it):
+    //   - the hash-sample key is a function of the id ALONE, so every
+    //     subspace sampled the SAME k rows — collect the full vectors
+    //     once and slice on the driver (float→double casts are exact,
+    //     so slicing before or after the cast is the same doubles);
+    //   - a Lloyd update is per-(subspace, cell, dim) LONG sums —
+    //     exact integers, independent of partitioning and of which
+    //     job computed them (Cluster.lloydStepSubspaces).
+    val full = Similarity.sampleCentroids(emb, idCol, vecCol, dim, k, seed, sampleKey)
+    val kAct = full.length / dim
+    var flats: Array[Array[Double]] = (0 until m).map { si =>
+      val f = new Array[Double](kAct * sub)
+      var ci = 0
+      while (ci < kAct) {
+        System.arraycopy(full, ci * dim + si * sub, f, ci * sub, sub)
+        ci += 1
+      }
+      f
     }.toArray
+    (0 until iters).foreach { _ =>
+      flats = Cluster.lloydStepSubspaces(emb, vecCol, dim, m, kAct, flats)
+    }
+    flats
   }
 
   /** PQ-encode: ONE map-side pass — m codegen'd nearest-centroid

@@ -63,6 +63,47 @@ class QuantizeSpec extends SparkSpec {
     assert(dec.forall(_.length == dim))
   }
 
+  test("pqCodebooks fused training is bit-identical to the per-subspace chain") {
+    // the pre-r16 composable pipeline, kept verbatim as the reference:
+    // per subspace, hash-sample k slice-centroids then iterate
+    // lloydStep on the sliced relation — the fused pqCodebooks must
+    // reproduce it EXACTLY (same sample because the key is a function
+    // of the id alone; same centroids because Lloyd sums are exact
+    // longs), or the PQ gates' oracle replay breaks
+    import graft.operators.{Cluster, Similarity}
+    def reference(m: Int, k: Int, iters: Int): Array[Array[Double]] = {
+      val sub = dim / m
+      (0 until m).map { si =>
+        val sliced = vecs.select(col("vec_id"), slice(col("embedding"), si * sub + 1, sub).as("__sub"))
+        var flat = Similarity.sampleCentroids(sliced, "vec_id", "__sub", sub, k)
+        (0 until iters).foreach(_ => flat = Cluster.lloydStep(sliced, "__sub", sub, k, flat))
+        flat
+      }.toArray
+    }
+    for ((m, k, iters) <- Seq((4, 4, 2), (2, 4, 1), (1, 4, 2), (4, 4, 0))) {
+      val fused = Quantize.pqCodebooks(vecs, "vec_id", "embedding", dim, m, k, iters)
+      val ref = reference(m, k, iters)
+      assert(fused.length == ref.length, s"m=$m")
+      fused.zip(ref).zipWithIndex.foreach { case ((f, r), si) =>
+        assert(f.toSeq == r.toSeq, s"subspace $si of m=$m k=$k iters=$iters")
+      }
+    }
+    // and with the gate's md5 sampling key (the oracle-replayable path)
+    val key = Some((id: org.apache.spark.sql.Column) =>
+      md5(concat(lit("ivf:"), id.cast("string"))))
+    val fusedK = Quantize.pqCodebooks(vecs, "vec_id", "embedding", dim, 2, 4, 2, sampleKey = key)
+    val refK = {
+      val sub = dim / 2
+      (0 until 2).map { si =>
+        val sliced = vecs.select(col("vec_id"), slice(col("embedding"), si * sub + 1, sub).as("__sub"))
+        var flat = Similarity.sampleCentroids(sliced, "vec_id", "__sub", sub, 4, sampleKey = key)
+        (0 until 2).foreach(_ => flat = Cluster.lloydStep(sliced, "__sub", sub, 4, flat))
+        flat
+      }.toArray
+    }
+    fusedK.zip(refK).foreach { case (f, r) => assert(f.toSeq == r.toSeq) }
+  }
+
   test("codeOutliers flags the far vector, honors labels, is partition-stable") {
     // 20 vectors hugging the origin + one far point: the far point is
     // the only one whose dist2 exceeds 4× the mean dist2

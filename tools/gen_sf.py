@@ -103,7 +103,13 @@ def synth_documents(con, src, out, k, rnd):
         "source": pa.array([d[3] for d in docs], pa.string()),
         "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
     })
-    pq.write_table(table, f"{out}/documents.parquet")
+    # bounded row groups: a single-row-group file caps Spark's scan
+    # parallelism at ONE TASK no matter the split count (row groups are
+    # the parquet read unit), so a one-file synthesized table silently
+    # measures single-thread throughput on every compute-dense operator
+    # (r16 found dedup/ANN/kmeans sf10 numbers were 1-2 way parallel).
+    # A real corpus ships many files; bounded groups restore that.
+    pq.write_table(table, f"{out}/documents.parquet", row_group_size=8192)
     print(f"  documents: synthesized {n_out} ({n_exact} exact-dup + "
           f"{n_near} near-dup pairs planted)")
 
@@ -135,7 +141,8 @@ def synth_embeddings(con, src, out, k, rnd):
         "embedding": pa.array(vecs, pa.list_(pa.float32())),
         "label": pa.array(labels, pa.int32()),
     })
-    pq.write_table(table, f"{out}/embeddings.parquet")
+    # bounded row groups — see documents above (scan-parallelism cap)
+    pq.write_table(table, f"{out}/embeddings.parquet", row_group_size=4096)
     print(f"  embeddings: synthesized {i} x dim{dim} from per-label moments")
 
 

@@ -56,7 +56,9 @@ def skew_documents(con, src, out, rnd):
         "source": pa.array([d[3] for d in docs], pa.string()),
         "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
     })
-    pq.write_table(table, f"{out}/documents.parquet")
+    # bounded row groups — single-row-group files cap scan parallelism
+    # at one task (see gen_sf.py)
+    pq.write_table(table, f"{out}/documents.parquet", row_group_size=8192)
     n_hot = sum(1 for d in docs if d[2] == hot)
     print(f"  documents: {n_hot}/{len(docs)} now '{hot}' "
           f"({n_hot / len(docs):.0%}), boilerplate planted in ~{BOILERPLATE_FRACTION:.0%}")
