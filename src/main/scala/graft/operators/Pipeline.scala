@@ -484,6 +484,28 @@ object Pipeline {
       .select(col(idCol), col(textCol), col("shard"), col("pos"))
   }
 
+  /** Run independent driver-side Spark actions concurrently (guide
+    * §2.6 "overlap independent jobs"): the scheduler runs several jobs
+    * at once inside one application — actions are only sequential
+    * because driver code calls them sequentially — so the next job's
+    * tasks back-fill task slots idled by the current job's straggler
+    * tail and the per-job scheduling floors overlap instead of adding.
+    * Fresh threads per call (not a shared pool): callers overlap 2-3
+    * store writes, and a pool built once would freeze whichever
+    * caller's inheritable thread-locals (job group/description) it was
+    * created under. Every task runs to completion; the first failure
+    * is rethrown only after ALL finish, so a caller never proceeds to
+    * a downstream step while a sibling write is still in flight. */
+  private[operators] def inParallel(tasks: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = tasks.map { t =>
+      val th = new Thread(() => try t() catch { case e: Throwable => errs.add(e) })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   /** Stages 1–2 of corpus preparation (quality gate + PII scrub) —
     * pure map work fused into the scan projection, shared by the full
     * and incremental paths. */
@@ -528,27 +550,38 @@ object Pipeline {
     val cleaned = qualityScrub(docs, idCol, textCol, minTokens, maxTokens,
       minStopwordRatio, maxRepetition)
     val hashed = cleaned.withColumn("__fp", md5(T.normText(col(textCol)))).cache()
-    hashed.groupBy(col("__fp").as("content_hash"))
-      .agg(min(col(idCol)).as("keep_id"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/fp")
     val wFp = Window.partitionBy(col("__fp")).orderBy(col(idCol))
     val exact = hashed
       .withColumn("__rn", row_number().over(wFp))
       .filter(col("__rn") === 1).drop("__fp", "__rn")
       .cache()
-    Dedup.simhashSignatures(exact, idCol, textCol, tokenHash)
-      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/sigs")
+    // fp and sigs derive from independent subtrees of the shared cached
+    // base — write them CONCURRENTLY (guide §2.6; inParallel scaladoc).
+    // This is a fresh-directory REBUILD with no mid-run crash contract
+    // (a crash at any point = rerun the build), so write ordering is
+    // free to overlap; content is unchanged. Concurrent first
+    // materialization of the shared caches is safe: the block manager
+    // computes each partition once and blocks the second consumer.
+    inParallel(
+      () => hashed.groupBy(col("__fp").as("content_hash"))
+        .agg(min(col(idCol)).as("keep_id"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/fp"),
+      () => Dedup.simhashSignatures(exact, idCol, textCol, tokenHash)
+        .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/sigs"))
     val pairs = Dedup.simhashPairs(exact, idCol, textCol, maxHamming = maxHamming,
       tokenHash = tokenHash)
     val canon = Dedup.canonicalize(pairs).cache()
-    canon.filter(col("canonical_id") =!= col("id"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/canon")
     val keepIds = exact.select(col(idCol).as("id"))
       .join(canon, Seq("id"), "left")
       .filter(col("canonical_id").isNull || col("canonical_id") === col("id"))
       .select(col("id").as(idCol))
-    exact.join(keepIds, idCol).select(col(idCol), col(textCol))
-      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/survivors")
+    // canon and survivors both read only the cached canon/exact bases —
+    // the second independent write pair (guide §2.6)
+    inParallel(
+      () => canon.filter(col("canonical_id") =!= col("id"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/canon"),
+      () => exact.join(keepIds, idCol).select(col(idCol), col(textCol))
+        .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/survivors"))
     hashed.unpersist(); exact.unpersist(); canon.unpersist()
     exportLayout(docs.sparkSession, stateDir, idCol, textCol, nShards, hashedShard)
   }
@@ -670,22 +703,39 @@ object Pipeline {
     val moved = cc.filter(col("canonical_id") < col("id"))
     val retracted = moved.select(col("id"))
       .join(exactKept.select(col(idCol).as("id")), Seq("id"), "left_anti")
-    val updatedSurv = spark.read.parquet(s"$stateDir/survivors")
-      .join(retracted.select(col("id").as(idCol)), Seq(idCol), "left_anti")
-      .union(newKept).localCheckpoint(true)
-    updatedSurv.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/survivors")
-    // canon store update: re-point members of merged clusters at the
-    // new minimum, then add this round's non-self rows (dropped batch
-    // docs and retracted reps) for future batches
-    val movedMap = moved.select(col("id").as("canonical_id"), col("canonical_id").as("__m"))
-    val repointed = canonStore
-      .join(movedMap, Seq("canonical_id"), "left")
-      .select(col("id"), coalesce(col("__m"), col("canonical_id")).as("canonical_id"))
-    val fresh = cc.filter(col("canonical_id") =!= col("id"))
-      .join(repointed.select(col("id")), Seq("id"), "left_anti")
-    val newCanon = repointed.union(fresh.select(col("id"), col("canonical_id")))
-      .localCheckpoint(true)
-    newCanon.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/canon")
+    // The two store-refresh chains are independent — the survivors
+    // chain reads only survivors/ files + sealed/cached relations, the
+    // canon chain only canon/ files + the same sealed bases — so each
+    // chain's seal-then-overwrite runs on its own thread (guide §2.6):
+    // the two blocking localCheckpoint barriers and the two write jobs
+    // overlap instead of adding. Ordering between the chains carries no
+    // crash contract to preserve: these are plain SaveMode.Overwrite
+    // relations (not StoreProtocol-staged), so a crash DURING either
+    // overwrite already corrupts that relation regardless of inter-
+    // chain order, and the pinned redelivery-idempotence contract
+    // (StreamingSpec "corpusStream: replayed crawl batches…") keys on
+    // the fp store, whose append strictly precedes everything here.
+    inParallel(
+      () => {
+        val updatedSurv = spark.read.parquet(s"$stateDir/survivors")
+          .join(retracted.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+          .union(newKept).localCheckpoint(true)
+        updatedSurv.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/survivors")
+      },
+      () => {
+        // canon store update: re-point members of merged clusters at the
+        // new minimum, then add this round's non-self rows (dropped batch
+        // docs and retracted reps) for future batches
+        val movedMap = moved.select(col("id").as("canonical_id"), col("canonical_id").as("__m"))
+        val repointed = canonStore
+          .join(movedMap, Seq("canonical_id"), "left")
+          .select(col("id"), coalesce(col("__m"), col("canonical_id")).as("canonical_id"))
+        val fresh = cc.filter(col("canonical_id") =!= col("id"))
+          .join(repointed.select(col("id")), Seq("id"), "left_anti")
+        val newCanon = repointed.union(fresh.select(col("id"), col("canonical_id")))
+          .localCheckpoint(true)
+        newCanon.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/canon")
+      })
     exactKept.unpersist()
     exportLayout(spark, stateDir, idCol, textCol, nShards, hashedShard)
   }

@@ -667,8 +667,25 @@ object Search {
     val fs = fsOf(spark, path)
     repairAppends(spark, path)
     repairSwaps(fs, path, Seq("postings", "positions", "docs", "stats"))
-    if (tombstones(spark, path).isDefined)
-      compactPostingsSteps(spark, path).foreach(_._2())
+    if (tombstones(spark, path).isDefined) {
+      val steps = compactPostingsSteps(spark, path)
+      // guide §2.6: the three anti-join staging rewrites read disjoint
+      // live relations and write disjoint __staging dirs — run them
+      // concurrently so their task tails back-fill each other instead
+      // of three sequential per-job floors. stage-stats reads
+      // docs__staging, and the swaps are strictly ordered (stats last
+      // is the interim-query-correctness window), so everything after
+      // the independent group stays sequential. Crash-safety is
+      // UNCHANGED: a partial concurrent group is one of the states the
+      // sequential kill-at-every-boundary property already converges
+      // from (each staging write is an idempotent Overwrite recomputed
+      // from live data), and SearchSpec additionally pins convergence
+      // from EVERY subset of the concurrent group.
+      val concurrent = Set("stage-postings", "stage-positions", "stage-docs")
+      val (group, rest) = steps.partition(s => concurrent(s._1))
+      Pipeline.inParallel(group.map(_._2): _*)
+      rest.foreach(_._2())
+    }
   }
 
   /** The compact protocol as named steps (the crash-property surface,

@@ -525,6 +525,39 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("compact crash property under CONCURRENT staging: every subset of the staging group converges") {
+    // compactPostingsIndex runs stage-postings/positions/docs from a
+    // thread group (guide §2.6); a crash mid-group can leave ANY subset
+    // of the three staged — states the sequential prefix-kill test
+    // cannot reach (it only produces prefixes). Pin: from every subset,
+    // the retry converges to the no-crash result with no debris.
+    val terms = Seq("spark", "join")
+    val root = java.nio.file.Files.createTempDirectory("graft_cmpconc").toString
+    val basePath = s"$root/base"
+    Search.buildPostingsIndex(tinyCorpus, basePath, "doc_id", "text", nBuckets = 4)
+    Search.deleteFromPostingsIndex(spark, basePath,
+      tinyCorpus.filter(col("doc_id") % 3 === 0).select(col("doc_id")), "doc_id")
+    val survPath = s"$root/surv"
+    Search.buildPostingsIndex(tinyCorpus.filter(col("doc_id") % 3 =!= 0), survPath,
+      "doc_id", "text", nBuckets = 4)
+    val want = qSet(survPath, terms)
+    val group = Seq("stage-postings", "stage-positions", "stage-docs")
+    (1 until (1 << group.length)).foreach { mask =>
+      val names = group.zipWithIndex.collect { case (n, i) if (mask & (1 << i)) != 0 => n }
+      val p = s"$root/m$mask"; copyStore(basePath, p)
+      val byName = Search.compactPostingsSteps(spark, p).toMap
+      names.foreach(n => byName(n)())
+      Search.compactPostingsIndex(spark, p)
+      assert(qSet(p, terms) == want, s"crash with staged=$names: recovery diverged")
+      assert(!new java.io.File(s"$p/deleted").exists(), s"staged=$names: tombstones not cleared")
+      Seq("postings", "positions", "docs", "stats").foreach { rel =>
+        assert(!new java.io.File(s"$p/${rel}__old").exists() &&
+          !new java.io.File(s"$p/${rel}__staging").exists(),
+          s"staged=$names: $rel swap debris leaked")
+      }
+    }
+  }
+
   test("batch ids that alias path components are rejected before any filesystem op") {
     val path = java.nio.file.Files.createTempDirectory("graft_badid").toString + "/idx"
     Search.buildPostingsIndex(tinyCorpus, path, "doc_id", "text", nBuckets = 4)
