@@ -177,8 +177,22 @@ object Dedup {
     * at `maxBucketSize` (skew guard — an n-doc bucket yields n²/2
     * pairs; a degenerate all-identical-spam bucket is dropped rather
     * than allowed to explode an executor). */
+  /** `dedup=false` skips the cross-bucket `.distinct()` on the emitted
+    * pairs. The distinct is a pair-COUNT-sized aggregation (hash state
+    * per candidate — the single most expensive node of the whole LSH
+    * pipeline when buckets are dense: 182.7M-row two-phase agg, 26 GB
+    * spill, ~1750 CPU-s at the sf10 ladder) and it only shaves
+    * duplicate verify work bounded by the bucket-column multiplicity
+    * (≤ nTables−1 extra verifies per pair). Callers whose verify is
+    * CHEAP per pair (one codegen'd cosine) and SELECTIVE defer the
+    * distinct to the filtered survivors instead; callers with a single
+    * bucket column (cell-partitioned semDedup) have no duplicates at
+    * all and skip both. Callers whose verify is itself a join
+    * (minhash/ngram's shingle-set jaccard) keep the pre-verify dedup —
+    * there each duplicate costs a full join row, not 64 multiplies. */
   def pairsFromBuckets(bucketed: DataFrame, idCol: String,
-                                          bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
+                                          bucketCols: Seq[String], maxBucketSize: Int,
+                                          dedup: Boolean = true): DataFrame = {
     // Pre-truncate each bucket to cap+1 rows BEFORE collecting: the
     // row_number window is sort-based (spills gracefully), so a
     // degenerate 10M-doc bucket never materializes as one in-memory
@@ -194,11 +208,11 @@ object Dedup {
       .agg(collect_set(col(idCol)).as("__ids"))
       .filter(size(col("__ids")).between(2, maxBucketSize))
       .select(array_sort(col("__ids")).as("__ids"))
-    ids
+    val pairs = ids
       .select(posexplode(col("__ids")).as(Seq("__i", "id_l")), col("__ids"))
       .select(col("id_l"),
         explode(slice(col("__ids"), col("__i") + 2, size(col("__ids")))).as("id_r"))
-      .distinct()
+    if (dedup) pairs.distinct() else pairs
   }
 
   /** [[pairsFromBuckets]] with a per-id payload column carried through
@@ -823,10 +837,24 @@ object Dedup {
     * query passes LCG-derived planes the DuckDB oracle can rebuild).
     * Resource contract: leaves the candidate set cached — caller
     * releases it after materializing (see [[minhashPairs]]). */
+  /** `dedupBeforeVerify`: where the cross-table duplicate-pair dedup
+    * runs. `false` (default — right for a SELECTIVE threshold): raw
+    * bucket pairs flow straight into the cosine verify and the
+    * `.distinct()` runs on the filtered SURVIVORS — the duplicate cost
+    * is ≤ nTables−1 extra 64-multiply cosines per pair, while the
+    * avoided pre-verify distinct is a candidate-sized aggregation
+    * (the sf10 ladder measured it at ~1750 CPU-s / 26 GB spill for
+    * 182.7M candidates of which 460k survived). `true` (right when the
+    * verify keeps ~everything, e.g. [[graft.operators.Similarity.knnGraph]]'s
+    * threshold=−2): dedup before the verify joins so duplicates never
+    * ride the vector-carrying pair exchange. Output rows are identical
+    * either way — cosine is deterministic per pair, so distinct
+    * commutes with the filter. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                      threshold: Double = 0.4, nBits: Int = 8, nTables: Int = 8,
                      maxBucketSize: Int = 1000,
-                     planes: Option[Array[Double]] = None): DataFrame = {
+                     planes: Option[Array[Double]] = None,
+                     dedupBeforeVerify: Boolean = false): DataFrame = {
     val bucketCol = planes match {
       case Some(p) => graft.functions.VectorExpressions.lshBucketsWith(col(vecCol), p, dim, nBits, nTables)
       case None    => V.lshBuckets(col(vecCol), dim, nBits, nTables)
@@ -836,14 +864,16 @@ object Dedup {
     // materialized so the verify joins plan against the candidate
     // set's TRUE size (see minhashPairs — the Generate-estimate
     // broadcast hazard)
-    val cand = pairsFromBuckets(bucketed, idCol, Seq("table", "bucket"), maxBucketSize).cache()
+    val cand = pairsFromBuckets(bucketed, idCol, Seq("table", "bucket"), maxBucketSize,
+      dedup = dedupBeforeVerify).cache()
     cand.count()
     val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    cand
+    val verified = cand
       .join(vecs.select(col("__id").as("id_l"), col("__v").as("v_l")), "id_l")
       .join(vecs.select(col("__id").as("id_r"), col("__v").as("v_r")), "id_r")
       .select(col("id_l"), col("id_r"), V.cosineRounded(col("v_l"), col("v_r")).as("cosine"))
       .filter(col("cosine") >= threshold)
+    if (dedupBeforeVerify) verified else verified.distinct()
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic dedup via a coarse
@@ -876,9 +906,12 @@ object Dedup {
     val cells = emb.select(col(idCol), col(vecCol).as("__v"),
       element_at(graft.functions.VectorExpressions.nearestCentroids(col(vecCol), flat, dim, c, 1), 1)
         .as("cell"))
-    // materialized — true-size verify-join planning (see minhashPairs)
+    // materialized — true-size verify-join planning (see minhashPairs).
+    // dedup=false: with a SINGLE bucket column every id sits in exactly
+    // one cell, so no pair can be emitted twice — the distinct was a
+    // candidate-sized aggregation for nothing
     val cand = pairsFromBuckets(cells.select(col(idCol), col("cell")), idCol,
-      Seq("cell"), maxCellSize).cache()
+      Seq("cell"), maxCellSize, dedup = false).cache()
     cand.count()
     val vecs = cells.select(col(idCol).as("__id"), col("__v"))
     val dropped = cand

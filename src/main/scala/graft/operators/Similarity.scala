@@ -145,9 +145,13 @@ object Similarity {
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int,
                nBits: Int = 8, nTables: Int = 8, maxBucketSize: Int = 1000,
                planes: Option[Array[Double]] = None): DataFrame = {
-    // threshold -2 < any cosine: keep every candidate pair
+    // threshold -2 < any cosine: keep every candidate pair. With a
+    // keep-everything verify the cross-table dedup must run BEFORE the
+    // verify joins (duplicates would otherwise ride the vector-carrying
+    // pair exchange and bloat the top-k heaps for nothing) — the
+    // opposite placement from the selective-threshold dedup paths.
     val pairs = Dedup.embeddingPairs(corpus, idCol, vecCol, dim, threshold = -2.0,
-      nBits, nTables, maxBucketSize, planes)
+      nBits, nTables, maxBucketSize, planes, dedupBeforeVerify = true)
     val directed = pairs
       .select(col("id_l").as("qid"), col("id_r").as("vec_id"), col("cosine").as("score"))
       .union(pairs.select(col("id_r").as("qid"), col("id_l").as("vec_id"),

@@ -275,6 +275,26 @@ class DedupSpec extends SparkSpec {
     assert(!found.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("embedding pairs: distinct placement (pre- vs post-verify) yields identical rows, no duplicates") {
+    // a cluster of 6 near-identical vectors lands every pair in EVERY
+    // table's shared bucket — the maximal cross-table duplication case.
+    // The post-verify distinct (default) and the pre-verify placement
+    // (knnGraph's) must agree row-for-row, and neither may emit a
+    // duplicate (id_l, id_r).
+    val vecs = (0L until 6L).map { i =>
+      (i, Array.tabulate(8)(d => (math.sin(d * 1.7) + i * 1e-4).toFloat).toSeq)
+    }.toDF("id", "v")
+    def rows(pre: Boolean) =
+      Dedup.embeddingPairs(vecs, "id", "v", dim = 8, threshold = 0.5,
+        nBits = 4, nTables = 6, dedupBeforeVerify = pre)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val post = rows(pre = false)
+    val pre = rows(pre = true)
+    assert(post.sorted == pre.sorted)
+    assert(post.map(p => (p._1, p._2)).distinct.size == post.size, "duplicate pair emitted")
+    assert(post.size == 15) // all C(6,2) near-identical pairs found once
+  }
+
   test("semDedup drops the larger id of a planted near-dup, keeps the rest") {
     val base = Array.tabulate(8)(i => math.sin(i * 1.7).toFloat)
     val near = base.clone(); near(0) = near(0) + 0.01f
