@@ -175,14 +175,22 @@ object Similarity {
     val flat = sampleCentroids(corpus, idCol, vecCol, dim, nCentroids, seed, sampleKey)
     val c = flat.length / dim
     val cell1 = VectorExpressions.nearestCentroids(col(vecCol), flat, dim, c, 1)
-    corpus.withColumn("__cell", element_at(cell1, 1))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("__cell").parquet(path)
-    // snapshot the build-time distribution evidence for the
-    // maintenance policy (one extra aggregate pass over the corpus,
-    // paid once per build — see ivfMaintenanceDecision); `_driftbase`
-    // has no `=` in its name, so partition discovery skips it
-    if (driftBase) writeIvfDriftBase(corpus, path, vecCol)
+    // The cell-partitioned index write and the two `_driftbase`
+    // evidence aggregates (see ivfMaintenanceDecision) are three
+    // independent passes over the same corpus — overlapped from driver
+    // threads (guide §2.6) so the build pays ~one corpus-pass wall
+    // instead of three sequential ones. A fresh build has no crash
+    // contract between them (a crash = rerun the build; `_driftbase`
+    // has no `=` in its name, so partition discovery skips it).
+    val writeIndex = () => {
+      corpus.withColumn("__cell", element_at(cell1, 1))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("__cell").parquet(path)
+      ()
+    }
+    if (driftBase)
+      Pipeline.inParallel(writeIndex +: driftBaseWrites(corpus, path, vecCol): _*)
+    else writeIndex()
     flat
   }
 
@@ -780,14 +788,26 @@ object Similarity {
     * as two tiny relations so drift is measurable later without ever
     * persisting vectors twice. */
   private[graft] def writeIvfDriftBase(corpus: DataFrame, path: String,
-                                       vecCol: String): Unit = {
-    Quality.driftDimSums(corpus, vecCol, "b")
+                                       vecCol: String): Unit =
+    Pipeline.inParallel(driftBaseWrites(corpus, path, vecCol): _*)
+
+  /** The two `_driftbase` evidence writes as independent thunks — two
+    * aggregate passes over the same corpus with disjoint outputs, so
+    * callers overlap them (and, on a fresh build, the index write
+    * itself) from driver threads (guide §2.6). Crash contract
+    * unchanged: both are Overwrite relations recomputed from the
+    * corpus, and every caller sits inside a build/rebuild whose
+    * recovery is "rerun the build" (the rebuild path's named step
+    * stays ONE step — intra-step concurrency adds no new observable
+    * crash state to the step-boundary property). */
+  private def driftBaseWrites(corpus: DataFrame, path: String,
+                              vecCol: String): Seq[() => Unit] = Seq(
+    () => Quality.driftDimSums(corpus, vecCol, "b")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/_driftbase/dims")
-    Quality.driftScalarStats(corpus, vecCol, "base")
+      .parquet(s"$path/_driftbase/dims"),
+    () => Quality.driftScalarStats(corpus, vecCol, "base")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/_driftbase/scalar")
-  }
+      .parquet(s"$path/_driftbase/scalar"))
 
   /** Read the LIVE cell partitions of a store relation with basePath —
     * the health-probe discipline: a pending `_old__cell=N` swap dir
