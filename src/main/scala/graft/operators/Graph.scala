@@ -158,7 +158,7 @@ object Graph {
       // bound analyzer/codegen cost for long runs (lineage is linear
       // now, so this is plan-SIZE hygiene, not a recompute guard);
       // short runs skip the (blocking) checkpoint barrier entirely
-      if (i % 10 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     // materialize the final ranks (node-count rows — cheap) so the
     // operator's caches can be dropped before returning: the caller
